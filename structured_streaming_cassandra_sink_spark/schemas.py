@@ -1,0 +1,193 @@
+"""Explicit schema registry.
+
+Engine policy (SURVEY.md §1.3): schemas are fixed and declared, never
+inferred, exactly like the reference's JSON parse schema
+(cassandra_sink.scala:105-110). One definition shared by batch and
+streaming readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Reference-derived schemas (FIXTURES.md §A)
+# ---------------------------------------------------------------------------
+
+# The fixed 2-field payload schema of the reference's from_json
+# (cassandra_sink.scala:105-110): both declared StringType even though
+# timestamp_ms carries numeric content — preserved for parity.
+FX_PAYLOAD = T.StructType(
+    [
+        T.StructField("fx_marker", T.StringType(), False),
+        T.StructField("timestamp_ms", T.StringType(), False),
+    ]
+)
+
+# Kafka source envelope (implicit wire schema the reference reads;
+# SURVEY.md §1.1). Our file/rate test sources mimic `value`.
+KAFKA_ENVELOPE = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+# Sink table shape (Cassandra DDL comment, cassandra_sink.scala:71-77).
+FX_SINK = T.StructType(
+    [
+        T.StructField("fx_marker", T.StringType(), False),
+        T.StructField("timestamp_ms", T.TimestampType(), True),
+        T.StructField("timestamp_dt", T.DateType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Driver testdata schemas (FIXTURES.md §B) — TPC-H-ish star schema + events
+# stream table + LLM-data tables.
+# ---------------------------------------------------------------------------
+
+REGION = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType(), False),
+        T.StructField("r_name", T.StringType(), False),
+    ]
+)
+
+NATION = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType(), False),
+        T.StructField("n_name", T.StringType(), False),
+        T.StructField("n_regionkey", T.IntegerType(), False),
+    ]
+)
+
+CUSTOMER = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_name", T.StringType(), False),
+        T.StructField("c_nationkey", T.IntegerType(), False),
+        T.StructField("c_acctbal", T.DoubleType(), False),
+        T.StructField("c_mktsegment", T.StringType(), False),
+    ]
+)
+
+SUPPLIER = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType(), False),
+        T.StructField("s_name", T.StringType(), False),
+        T.StructField("s_nationkey", T.IntegerType(), False),
+        T.StructField("s_acctbal", T.DoubleType(), False),
+    ]
+)
+
+PART = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType(), False),
+        T.StructField("p_name", T.StringType(), False),
+        T.StructField("p_brand", T.StringType(), False),
+        T.StructField("p_type", T.StringType(), False),
+        T.StructField("p_size", T.IntegerType(), False),
+        T.StructField("p_retailprice", T.DoubleType(), False),
+    ]
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_custkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), False),
+        T.StructField("o_totalprice", T.DoubleType(), False),
+        T.StructField("o_orderdate", T.TimestampType(), False),
+        T.StructField("o_orderpriority", T.StringType(), False),
+    ]
+)
+
+LINEITEM = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType(), False),
+        T.StructField("l_partkey", T.LongType(), False),
+        T.StructField("l_suppkey", T.LongType(), False),
+        T.StructField("l_linenumber", T.IntegerType(), False),
+        T.StructField("l_quantity", T.DoubleType(), False),
+        T.StructField("l_extendedprice", T.DoubleType(), False),
+        T.StructField("l_discount", T.DoubleType(), False),
+        T.StructField("l_tax", T.DoubleType(), False),
+        T.StructField("l_returnflag", T.StringType(), False),
+        T.StructField("l_linestatus", T.StringType(), False),
+        T.StructField("l_shipdate", T.TimestampType(), False),
+    ]
+)
+
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+# JSON payload inside events.props (the from_json target, ref analogue of
+# cassandra_sink.scala:116).
+EVENT_PROPS = T.StructType([T.StructField("k", T.LongType(), True)])
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+    ]
+)
+
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("label", T.IntegerType(), False),
+    ]
+)
+
+TABLES: dict[str, T.StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+# Multimodal: opaque binary payload + typed metadata (north-star op; the
+# decode itself is stubbed — see operators/multimodal.py).
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)

@@ -1,0 +1,59 @@
+"""Batch table readers over the driver's parquet testdata.
+
+Generalizes reference capability class #1 (streaming source scan,
+cassandra_sink.scala:98-103) to its batch twin: ``spark.read.parquet``.
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free as long as callers express filters/projections on the
+DataFrame (never collect-then-filter). At 100 TB the same code reads a
+partitioned table directory; partition pruning applies when the path is
+hive-partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one testdata table by name.
+
+    Schemas are declared in :mod:`..schemas`; for parquet we let the file
+    metadata drive (parquet is self-describing and the driver generated it)
+    but the registry is the contract tests assert against.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    if name == "events":
+        # Runtime-settable; needed even when the caller (e.g. the driver
+        # harness) built the session without our factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
+        # Integer `div` (not `/`): nanos ~1.7e18 exceed double's 2^53
+        # exact-integer range, float division would corrupt microseconds.
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in (names or sorted(TABLES))}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
