@@ -1,0 +1,372 @@
+"""Relational core — scans, filters, JSON, explode, dates, dedup, joins, aggs.
+
+Generalizes the reference's capability classes (SURVEY.md §2.1 #1-#8, #10)
+into a full relational operator surface, all stock Catalyst (§4.2): every
+query here compiles to whole-stage-codegen'd JVM plans with predicate
+pushdown and column pruning; no Python executes per-row.
+
+Scale notes per operator are inline; the common rules:
+- dimension joins (region/nation/customer/supplier/part) are broadcast —
+  at 100 TB the fact table never shuffles for them;
+- aggregates are hash-aggregates with map-side partials (Spark default);
+- floating aggregates round(…,4) to stay bit-stable vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Scan / projection / cast  (ref cassandra_sink.scala:113 — CAST(value AS STRING))
+# ---------------------------------------------------------------------------
+@query(
+    "scan_project_cast",
+    """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT)  AS linenum_long,
+           CAST(l_orderkey AS VARCHAR)   AS orderkey_str,
+           CAST(l_shipdate AS DATE)      AS ship_date,
+           l_returnflag
+    FROM lineitem
+    """,
+)
+def scan_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + casts pushed into the parquet scan (column pruning:
+    only 4 of 11 lineitem columns are read)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("linenum_long"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        "l_returnflag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter (ref cassandra_sink.scala:120 — .filter("fx_marker != ''"))
+# ---------------------------------------------------------------------------
+@query(
+    "filter_predicate",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag <> 'A'
+      AND l_quantity > 25
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate; `<>` is null-rejecting exactly like the
+    reference's `!=` filter (SQL three-valued logic — a NULL returnflag row
+    would be dropped, the engine's documented semantics). All four
+    conjuncts reach the parquet reader as PushedFilters."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_returnflag") != "A")
+        & (F.col("l_quantity") > 25)
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# JSON parse + flatten (ref cassandra_sink.scala:116)
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract",
+    """
+    SELECT event_id, user_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema (never schema_of_json in prod —
+    inference is a two-pass scan at 100 TB). Malformed JSON yields NULL,
+    filtered here as the explicit bad-records policy."""
+    from ..schemas import EVENT_PROPS
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.from_json(F.col("props"), EVENT_PROPS).getField("k").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split + explode (ref cassandra_sink.scala:114 — flatMap(_.split("\n")))
+# ---------------------------------------------------------------------------
+@query(
+    "split_explode",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's typed flatMap, re-expressed as explode(split(...)):
+    stays inside Catalyst/codegen instead of inserting an object-
+    serialization barrier (SURVEY.md §4.1). Generates rows 1:N — at scale
+    the explode multiplies partition size, so upstream filters must come
+    first (they do: the filter is pushed below the generator)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived date columns (ref cassandra_sink.scala:119)
+# ---------------------------------------------------------------------------
+@query(
+    "date_derive",
+    """
+    SELECT event_id,
+           epoch_ms(ts)       AS ts_millis,
+           CAST(ts AS DATE)   AS event_date,
+           hour(ts)           AS event_hour
+    FROM events
+    """,
+)
+def date_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch<->timestamp<->date derivations. Modern form of the
+    reference's  millis/1000.0 -> from_unixtime -> to_date  chain:
+    unix_millis/timestamp_millis are exact integer paths (the reference's
+    double division loses sub-millisecond precision — parity-tested in
+    tests/test_reference_parity.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ts_millis"),
+        F.to_date(F.col("ts")).alias("event_date"),
+        F.hour(F.col("ts")).alias("event_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-by-key / latest-per-key (ref sink PK upsert, cassandra_sink.scala:71-79)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_by_key",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — the batch form of the Cassandra PK
+    upsert. One shuffle on the key; deterministic tie-break."""
+    from ..plans.flagship import latest_per_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    return latest_per_key(orders, "o_custkey", ["o_orderdate", "o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash aggregate (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                               AS sum_qty,
+           round(sum(l_extendedprice), 4)                          AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)       AS sum_disc_price,
+           round(avg(l_quantity), 4)                               AS avg_qty,
+           round(avg(l_discount), 4)                               AS avg_disc,
+           count(*)                                                AS count_order,
+           count(DISTINCT l_partkey)                               AS n_parts
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: map-side partial aggregation then a tiny shuffle of
+    partials (group cardinality ~6) — the pattern that survives 100 TB.
+    count(DISTINCT) triggers Spark's expand+two-phase plan; still bounded
+    because the group count is tiny."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*)                          AS n,
+           round(sum(l_extendedprice), 4)    AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: Spark plans this as a single Expand + hash aggregate —
+    one pass over the fact table produces all grouping levels."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+@query(
+    "join_inner_broadcast",
+    """
+    SELECT r.r_name, count(*) AS n_customers, round(sum(c.c_acctbal), 4) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: both dims broadcast (explicit hint; at 100 TB the
+    customer/fact side never moves — verified BroadcastHashJoin in
+    tests/test_plans.py)."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c.c_custkey,
+           count(o.o_orderkey)                          AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 4)   AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders; count(col)
+    skips the nulls the outer join introduces."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: no row multiplication, the probe side
+    streams — the scalable form of `IN (subquery)`."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join (null-safe, unlike NOT IN). Filtered to
+    status 'P' so the result is non-empty at every sf (every customer has
+    some order in the testdata)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_range",
+    """
+    SELECT o.o_orderpriority,
+           count(*)                                   AS n_late,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))), 4) AS avg_days_late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range predicate (theta residual). The equi part drives
+    the shuffle/join strategy; the range condition is a post-join filter —
+    the only theta-join shape that scales (a pure cross-range join would be
+    O(n*m) and must instead be bucketized; see operators/similarity.py for
+    the bucketed pattern)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late"),
+        F.round(
+            F.avg(F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))),
+            4,
+        ).alias("avg_days_late"),
+    )

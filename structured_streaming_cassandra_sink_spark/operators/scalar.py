@@ -1,0 +1,119 @@
+"""Scalar function batteries — string / math / date (ref #7 generalized).
+
+Everything is a JVM built-in inside whole-stage codegen — the engine's
+"UDFs are the slow path" policy made concrete: none of these needs Python.
+
+Oracle-parity traps handled here (documented because they're easy to
+regress):
+- double->int CAST: Spark truncates, DuckDB rounds — never cross-cast
+  floats to ints in oracle-checked queries; use floor/ceil/round explicitly.
+- dayofweek: Spark is 1-7 (Sunday=1), DuckDB 0-6 (Sunday=0) — normalize.
+- log/exp are not IEEE-correctly-rounded identically everywhere — round(4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load_table
+
+
+@query(
+    "scalar_string_math",
+    """
+    SELECT p_partkey,
+           upper(p_name)                        AS name_upper,
+           length(p_name)                       AS name_len,
+           split_part(p_type, ' ', 1)           AS type_head,
+           concat(p_brand, ':', p_type)         AS brand_type,
+           replace(p_name, ' ', '_')            AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           round(sqrt(p_size), 4)               AS size_sqrt,
+           round(ln(p_retailprice), 4)          AS price_ln,
+           ceil(p_retailprice)                  AS price_ceil,
+           floor(p_retailprice / 100)           AS price_bucket
+    FROM part
+    """,
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.round(F.sqrt("p_size"), 4).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 4).alias("price_ln"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS order_year,
+           month(o_orderdate)                        AS order_month,
+           dayofweek(o_orderdate)                    AS order_dow,
+           last_day(CAST(o_orderdate AS DATE))       AS month_end,
+           CAST(o_orderdate AS DATE) + 30            AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date battery. order_dow normalized to DuckDB numbering
+    (Sunday=0): Spark dayofweek() - 1."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        # date_trunc returns TIMESTAMP in Spark but DATE in DuckDB at
+        # day+ precision — cast both sides to DATE.
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+    )
+
+
+@query("approx_distinct")  # no oracle: HLL sketch values differ per implementation
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB substitute for
+    count(DISTINCT) when exactness isn't required — no expand, single
+    pass, fixed-size sketch per group. Driver does a rows-only check;
+    tests/test_operators.py asserts <5% error vs exact counts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "approx_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-match variant: percentile (exact interpolated) so the oracle
+    can verify values; the scale path is percentile_approx (KLL-ish sketch)
+    exercised rows-only in approx_distinct's test."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )

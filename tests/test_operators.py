@@ -1,0 +1,62 @@
+"""Operator unit tests — edge cases the oracle harness can't see.
+
+(The oracle harness tools/check.py + the driver's CORRECTNESS gate cover
+value correctness; these cover semantics at the edges and approximate ops.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from structured_streaming_cassandra_sink_spark.plans import registry
+from structured_streaming_cassandra_sink_spark.sources import load_table
+
+registry.load_all()
+
+
+def test_dedup_by_key_is_unique(spark, sf_dir):
+    df = registry.QUERIES["dedup_by_key"](spark, sf_dir)
+    total = df.count()
+    assert df.select("o_custkey").distinct().count() == total
+
+
+def test_topk_is_prefix_of_full_sort(spark, sf_dir):
+    """Property: top-k == first k of the full sort (SURVEY.md §5.4)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    full = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    topk = registry.QUERIES["sort_limit_topk"](spark, sf_dir).collect()
+    assert topk == full[:10]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ default rsd=5%; assert within 10% of exact to avoid flakes."""
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    approx = {r.l_returnflag: r.approx_parts for r in registry.QUERIES["approx_distinct"](spark, sf_dir).collect()}
+    for k, exact_n in exact.items():
+        assert abs(approx[k] - exact_n) <= max(2, 0.1 * exact_n)
+
+
+def test_set_except_semantics(spark):
+    """EXCEPT removes a key present on the right entirely, regardless of
+    left multiplicity (the subtract-vs-exceptAll distinction)."""
+    left = spark.createDataFrame([(1,), (1,), (2,)], "custkey int")
+    right = spark.createDataFrame([(1,)], "custkey int")
+    assert [r.custkey for r in left.subtract(right).collect()] == [2]
+
+
+def test_rollup_has_all_levels(spark, sf_dir):
+    rows = registry.QUERIES["grouping_sets"](spark, sf_dir).collect()
+    # grand total row: both keys null
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    total = sum(r.n for r in rows if r.l_returnflag is not None and r.l_linestatus is not None)
+    assert grand[0].n == total

@@ -1,0 +1,90 @@
+"""Parity tests for the reference's quirks (SURVEY.md §7 hard parts (c)).
+
+The reference pipeline (cassandra_sink.scala:113-120) has three semantic
+corners worth locking down: multi-JSON-per-message split (:114 with sample
+:92-97), malformed JSON -> nulls (:116), empty-vs-null filter (:120), and
+double-division epoch rounding (:119).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from structured_streaming_cassandra_sink_spark.schemas import FX_PAYLOAD
+
+
+def _fx_messages(spark):
+    # One Kafka-style message carrying multiple \n-separated JSON records
+    # (FIXTURES.md A1), plus edge cases: trailing newline, empty line,
+    # malformed record, empty and null fx_marker.
+    msgs = [
+        ('{"timestamp_ms": "1530305100936", "fx_marker": "EUR/GBP"}\n'
+         '{"timestamp_ms": "1530305100815", "fx_marker": "USD/CHF"}\n'),
+        '{"timestamp_ms": "1530305100969", "fx_marker": "EUR/CHF"}',
+        'not json at all',
+        '{"timestamp_ms": "1530305100011", "fx_marker": ""}',
+        '{"timestamp_ms": "1530305100012", "fx_marker": null}',
+        '',
+    ]
+    return spark.createDataFrame([(m,) for m in msgs], "value string")
+
+
+def test_split_explode_multijson(spark):
+    """explode(split) reproduces the reference's flatMap(_.split('\\n'))
+    including empty-string rows for trailing newlines (ref :114)."""
+    df = _fx_messages(spark)
+    lines = df.select(F.explode(F.split(F.col("value"), "\n")).alias("line"))
+    assert lines.count() == 8  # 3 from msg1 (incl trailing ''), 1 each x4, 1 empty
+
+
+def test_from_json_malformed_yields_nulls(spark):
+    """from_json on malformed input yields a struct of nulls, despite the
+    declared nullable=false (the reference's unclosed semantic gap, :107-110)."""
+    df = _fx_messages(spark)
+    parsed = (
+        df.select(F.explode(F.split(F.col("value"), "\n")).alias("line"))
+        .select(F.from_json("line", FX_PAYLOAD).alias("data"))
+        .select("data.*")
+    )
+    rows = parsed.collect()
+    bad = [r for r in rows if r.fx_marker is None and r.timestamp_ms is None]
+    assert len(bad) >= 2  # 'not json at all' and the empty lines
+
+
+def test_filter_empty_vs_null(spark):
+    """`fx_marker != ''` (ref :120) drops BOTH empty strings and nulls —
+    SQL != is null-rejecting. The engine documents (and pins) this."""
+    df = spark.createDataFrame(
+        [("EUR/GBP",), ("",), (None,)], "fx_marker string"
+    )
+    kept = df.filter("fx_marker != ''").collect()
+    assert [r.fx_marker for r in kept] == ["EUR/GBP"]
+
+
+def test_epoch_double_division_parity(spark):
+    """The reference derives dates via millis/1000.0 (double) ->
+    from_unixtime (ref :119). Our engine uses the exact integer path
+    (timestamp_millis); both agree at date granularity."""
+    df = spark.createDataFrame([("1530305100936",)], "timestamp_ms string")
+    out = df.select(
+        F.to_date(
+            F.from_unixtime(F.col("timestamp_ms") / 1000.0, "yyyy-MM-dd HH:mm:ss.SSS")
+        ).alias("ref_way"),
+        F.to_date(F.timestamp_millis(F.col("timestamp_ms").cast("long"))).alias("our_way"),
+    ).first()
+    assert out.ref_way == out.our_way == datetime.date(2018, 6, 29)
+
+
+def test_latest_per_key_upsert_semantics(spark):
+    """latest_per_key == Cassandra PK upsert end state (ref :71-79): feeding
+    the same keys repeatedly keeps exactly the newest row per key."""
+    from structured_streaming_cassandra_sink_spark.plans.flagship import latest_per_key
+
+    df = spark.createDataFrame(
+        [("EUR/GBP", 1, "a"), ("EUR/GBP", 3, "c"), ("EUR/GBP", 2, "b"), ("USD/CHF", 1, "x")],
+        "k string, ts long, v string",
+    )
+    out = {r.k: r.v for r in latest_per_key(df, "k", ["ts"]).collect()}
+    assert out == {"EUR/GBP": "c", "USD/CHF": "x"}
