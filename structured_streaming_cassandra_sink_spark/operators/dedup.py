@@ -1,0 +1,291 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash LSH, SimHash.
+
+The LLM-data north star: finding duplicate/near-duplicate documents at
+100 TB. Three tiers, by cost and fidelity:
+
+1. ``dedup_exact`` — hash-groupBy on a normalized md5 fingerprint.
+   One shuffle of (16-byte key, doc_id). Exact, cheapest, always first.
+2. ``dedup_ngram_jaccard`` — EXACT near-dup pairs above a Jaccard
+   threshold, via an inverted-index self-join on word shingles. No
+   all-pairs product: |intersection| is computed as a count aggregate
+   over shared shingles, so the cost is Σ_shingle df(shingle)² — bounded
+   when hot shingles are pruned (see docstring).
+3. ``dedup_near_minhash`` / ``dedup_simhash`` — sketch-based (probabilistic)
+   versions whose cost is linear in corpus size: the only option when even
+   the inverted index is too big. Rows-only checked by the driver;
+   recall-vs-exact is pinned in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import fingerprint, seeded_hash64, tokens, word_shingles
+from ..plans.registry import query
+from ..sources import load_table
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 32          # signature length
+MINHASH_BANDS = 16      # 16 bands x 2 rows: P(candidate) = 1-(1-j^2)^16
+SIMHASH_BITS = 64
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id)  AS keep_doc_id,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized fingerprint: keep the lowest doc_id per
+    identical text. groupBy on a 128-bit key — one shuffle, fully
+    scalable (this exact shape dedups petabyte crawls)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle, sz) exploded inverted index; sz = |shingle set|."""
+    sh = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
+    ).select("doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle"))
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = NGRAM_N, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, exactly.
+
+    |A∩B| falls out of a count(*) over the shingle-equality join (shingles
+    are distinct per doc); |A∪B| = |A|+|B|-|A∩B|. No arrays are shipped
+    through the join — only (doc_id, sz, shingle).
+
+    Scale: cost concentrates on high-document-frequency shingles
+    (Σ df²). At 100 TB, add prefix filtering — drop each doc's most
+    frequent ⌊(1-t)·|A|⌋ shingles from the index; any pair above t still
+    shares a surviving shingle — before the self-join. Not needed at
+    test scale; the hook is this function's `n`/`threshold` params.
+    """
+    sh = shingle_table(docs, n)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jacc, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= {NGRAM_N}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5). The
+    oracle brute-forces all pairs; the Spark plan uses the inverted-index
+    join — same answer, scalable shape."""
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 3a. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, sig array<long>[k]): min over shingles of k salted
+    xxhash64 functions — the classic permutation-family approximation.
+    Single explode + one groupBy with k min() aggregates (map-side
+    partials make this one linear pass)."""
+    sh = shingle_table(docs, n)
+    mins = [F.min(seeded_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, then EXACT Jaccard verification of
+    candidates only.
+
+    rows-per-band r = k/bands; a pair lands in a bucket with
+    P = 1-(1-j^r)^bands (r=2, bands=16: j=0.5 -> 99.6%, j=0.8 -> ~1-1e-13).
+    Verification joins candidates back to the shingle index, so emitted
+    pairs are never false positives; recall is pinned in tests.
+    """
+    r = k // bands
+    sigs = minhash_signatures(docs, k, n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig").getItem(b * r + i) for i in range(r)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verify: intersection counts restricted to candidate pairs.
+    sh = shingle_table(docs, n)
+    av, bv = sh.alias("av"), sh.alias("bv")
+    inter = (
+        av.join(bv, (F.col("av.shingle") == F.col("bv.shingle")) & (F.col("av.doc_id") < F.col("bv.doc_id")))
+        .groupBy(
+            F.col("av.doc_id").alias("doc_a"),
+            F.col("bv.doc_id").alias("doc_b"),
+            F.col("av.sz").alias("sz_a"),
+            F.col("bv.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+    )
+    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jacc, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("dedup_near_minhash")  # rows-only: LSH banding is probabilistic machinery;
+# exact-recall equivalence vs dedup_ngram_jaccard is pinned in tests/test_dedup.py
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 3b. SimHash
+# ---------------------------------------------------------------------------
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """64-bit SimHash per doc from token hashes: bit j of the sketch is the
+    sign of Σ_tokens (±1 per token's hash bit j). One explode + 64
+    conditional-sum aggregates (all map-side partial)."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    # reassemble: sketch = Σ_j (b_j > 0) << j  — do it in two 32-bit halves
+    # to stay clear of long-overflow on bit 63.
+    expr_lo = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)" for j in range(32))
+    expr_hi = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) << {j - 32} ELSE 0 END)" for j in range(32, bits))
+    return agg.select(
+        "doc_id",
+        F.expr(expr_lo).alias("sim_lo"),
+        F.expr(expr_hi).alias("sim_hi"),
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Blocking by pigeonhole: split the 64 bits into max_hamming+1 chunks; a
+    pair within distance d <= max_hamming must agree on >= 1 chunk, so an
+    equi-join per chunk finds all of them — no all-pairs scan."""
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    sk = simhash(docs)
+    full = sk.withColumn(
+        "chunks",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("cid"),
+                    F.expr(
+                        f"CAST(shiftright({'sim_hi' if (c * width) >= 32 else 'sim_lo'}, "
+                        f"{(c * width) % 32}) & {(1 << width) - 1} AS BIGINT)"
+                    ).alias("cv"),
+                )
+                for c in range(chunks)
+            ]
+        ),
+    )
+    ex = full.select("doc_id", "sim_lo", "sim_hi", F.explode("chunks").alias("ck")).select(
+        "doc_id", "sim_lo", "sim_hi", F.col("ck.cid").alias("cid"), F.col("ck.cv").alias("cv")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+@query("dedup_simhash")  # rows-only: sketch values are hash-function-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, "documents", sf_dir))

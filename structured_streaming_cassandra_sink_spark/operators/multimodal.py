@@ -1,0 +1,139 @@
+"""Multimodal columns — array/map/struct handling + opaque binary payloads.
+
+North-star shape: image/audio/video ride through the engine as opaque
+``binary`` columns with typed metadata structs; decode/feature-extract
+runs as Arrow-batched pandas functions over ``mapInPandas``. The decode
+itself is STUBBED (no image/audio libs in this container) behind
+``decode_stub`` — a deterministic fake with the real Spark-side plumbing:
+schema, batching, partitioning all genuine and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectorfns import as_double, dot, norm
+from ..plans.registry import query
+from ..sources import load_table
+
+REAL_DECODERS_AVAILABLE = False  # flip when PIL/soundfile etc. are installed
+
+
+@query(
+    "multimodal_cols",
+    """
+    SELECT vec_id, label,
+           len(embedding)                                             AS dim,
+           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                 x -> x * x), 'sum')), 4)                             AS l2_norm,
+           round(list_aggregate(embedding::DOUBLE[], 'sum')
+                 / len(embedding), 4)                                 AS mean_val,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))          AS n_positive,
+           round(embedding[1]::DOUBLE, 6)                             AS first_val
+    FROM embeddings
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column battery over embeddings: transform/filter/aggregate
+    higher-order functions — all Catalyst, no Python, per-row map (no
+    shuffle)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vec = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm(vec), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"), 4
+        ).alias("mean_val"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(vec, 1), 6).alias("first_val"),
+    )
+
+
+def make_media(docs: DataFrame) -> DataFrame:
+    """Synthesize the media table shape (schemas.MEDIA) from documents:
+    payload = utf-8 bytes of text (a deterministic stand-in for real
+    image/audio bytes), kind round-robins image/audio/video."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def decode_stub(payload: bytes, kind: str) -> dict:
+    """Deterministic fake decoder. A real deployment replaces this body
+    with PIL / libsndfile / pyav calls (gated on REAL_DECODERS_AVAILABLE);
+    everything around it — Arrow batching, schema, partitioning — is the
+    production plumbing."""
+    if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("real decoders not wired in this environment")
+    n = len(payload)
+    checksum = sum(payload) % 997
+    if kind == "image":
+        return {"width": 64 + n % 640, "height": 64 + checksum % 480, "sample_rate": None, "n_frames": 1}
+    if kind == "audio":
+        return {"width": None, "height": None, "sample_rate": 8000 + (n % 8) * 1000, "n_frames": n}
+    return {"width": 64 + n % 640, "height": 64 + checksum % 480, "sample_rate": None, "n_frames": 1 + n % 240}
+
+
+@query("multimodal_decode")  # rows-only: the pandas-UDF decode surface
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode / feature-extract via mapInPandas: one Arrow batch of
+    (media_id, kind, payload) in, one batch of typed metadata out. The
+    batch loop is where a real decoder vectorizes (e.g. torchvision
+    decode_jpeg on the whole batch). Pure map — scales linearly, no
+    shuffle; partition sizing is controlled upstream by
+    spark.sql.files.maxPartitionBytes."""
+    import pandas as pd
+
+    media = make_media(load_table(spark, "documents", sf_dir))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "kind", pdf["kind"].values)
+            out["payload_bytes"] = [len(p) for p in pdf["payload"]]
+            yield out
+
+    return media.mapInPandas(
+        decode_batches,
+        "media_id long, kind string, width int, height int, "
+        "sample_rate int, n_frames int, payload_bytes long",
+    )
+
+
+@query(
+    "multimodal_meta_agg",
+    """
+    SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*)                                  AS n_items,
+           sum(length(text))                         AS total_payload_bytes,
+           round(avg(length(text)), 4)               AS avg_payload_bytes
+    FROM documents
+    GROUP BY kind
+    """,
+)
+def multimodal_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the media table (payload sizes by kind)
+    — the storage-accounting query of a multimodal corpus. Oracle-checked
+    via the deterministic payload construction (utf-8 of ASCII text ⇒
+    payload bytes == char length)."""
+    media = make_media(load_table(spark, "documents", sf_dir))
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
+        F.round(F.avg(F.octet_length("payload")), 4).alias("avg_payload_bytes"),
+    )

@@ -1,0 +1,223 @@
+"""Similarity search over embeddings — brute-force top-k, LSH-bucketed ANN,
+cosine near-dup pairs (north-star LLM-data ops).
+
+Three shapes:
+- ``sim_search_topk``: exact cosine top-k, query side broadcast. The
+  baseline; at 100 TB this is ONE scan of the corpus per query batch
+  (not per query) — queries ride along as a broadcast literal/table and
+  the per-partition heap (window row_number) avoids a global sort.
+- ``sim_search_ann_lsh``: random-hyperplane signatures bucket the corpus;
+  probes touch only matching buckets. Linear-scan-free; probabilistic
+  (recall pinned in tests vs brute force).
+- ``dedup_embedding_cosine``: pairwise near-dup detection, blocked by
+  label (the provided partition key) to avoid the all-pairs product.
+
+All dot products are Catalyst higher-order functions in DOUBLE (see
+functions/vectorfns.py) — reproducible vs the oracle and JVM-side. A
+pandas-UDF batched-matmul variant exists for the genuinely compute-bound
+case (`cosine_topk_pandas`), used by the `udf_surface` query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectorfns import as_double, cosine
+from ..plans.registry import query
+from ..sources import load_table
+
+N_QUERIES = 5      # vec_id < 5 are the probe vectors
+TOP_K = 10
+LSH_PLANES = 6     # bits per hash table (2^6 = 64 buckets)
+LSH_TABLES = 4     # independent tables; candidates = union of bucket hits
+COS_THRESHOLD = 0.4
+
+
+def _corpus_and_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return corpus, queries_df
+
+
+@query(
+    "sim_search_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+         sims AS (
+           SELECT q.query_id, c.vec_id,
+                  round(list_cosine_similarity(qvec::DOUBLE[], embedding::DOUBLE[]), 6) AS cos_sim
+           FROM q, c)
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM sims
+    QUALIFY rnk <= {TOP_K}
+    """,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for {N_QUERIES} probe vectors.
+
+    Plan shape: BroadcastNestedLoopJoin (queries are tiny) over one corpus
+    scan, then a per-query window top-k. Ranking uses the ROUNDED cosine
+    (6 dp) with vec_id tie-break so ordering is engine-portable."""
+    corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+    sim = F.round(cosine(as_double(F.col("qvec")), as_double(F.col("embedding"))), 6)
+    joined = corpus.crossJoin(F.broadcast(queries_df)).select(
+        "query_id", "vec_id", sim.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+def hyperplane_signature(vec, planes: list[list[float]]):
+    """Sign-bit signature: bit p = (vec . plane_p) >= 0. Planes are a
+    deterministic driver-side constant (seeded numpy), shipped as a
+    literal — at scale they'd be a broadcast variable; 12 planes = 4096
+    buckets."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _planes(dim: int = 64, n: int = LSH_PLANES, table: int = 0) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(12345 + table)
+    return rng.standard_normal((n, dim)).astype(float).tolist()
+
+
+@query("sim_search_ann_lsh")  # rows-only: bucketing is probabilistic machinery;
+# recall vs sim_search_topk is pinned in tests/test_similarity.py
+def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH: L independent signatures
+    bucket the corpus; a query's candidates are the union of its L bucket
+    hits; exact cosine re-ranks candidates. Touches ~L/2^bits of the
+    corpus instead of all of it. At 100 TB the bucketed corpus is written
+    partitioned by (table, signature) so a probe is a partition-pruned
+    scan, not a full pass."""
+    corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+    all_planes = [_planes(table=t) for t in range(LSH_TABLES)]
+
+    def with_sigs(df: DataFrame, vec_col: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_signature(as_double(F.col(vec_col)), planes).alias("sig"),
+                )
+                for t, planes in enumerate(all_planes)
+            ]
+        )
+        return df.select("*", F.explode(sigs).alias("ts")).select(
+            *df.columns, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        )
+
+    csig = with_sigs(corpus, "embedding")
+    qsig = with_sigs(queries_df, "qvec")
+    candidates = (
+        csig.join(F.broadcast(qsig), ["t", "sig"])
+        .select("query_id", "vec_id", "qvec", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])  # a pair may collide in several tables
+    )
+    sim = F.round(cosine(as_double(F.col("qvec")), as_double(F.col("embedding"))), 6)
+    scored = candidates.select("query_id", "vec_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {COS_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks. The label
+    equi-join keys the shuffle, so the pairwise product happens only
+    inside blocks — the blocked/banded pattern that replaces O(n²) at
+    scale (with LSH signatures as blocks when no natural key exists)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(
+        cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))), 6
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF escape hatch (the documented slow path, used when the math
+# genuinely needs numpy — here: batched matmul top-k)
+# ---------------------------------------------------------------------------
+@query("udf_surface")  # rows-only: demonstrates the Arrow-batched UDF surface
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas batched cosine: each Arrow batch of corpus vectors is
+    one numpy matmul against the (broadcast) query matrix. ~10-100x a
+    row-at-a-time Python UDF; still slower than the Catalyst expression
+    path for dim=64 — kept as the template for heavy per-row math."""
+    import numpy as np
+    import pandas as pd
+
+    corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+    qrows = queries_df.collect()  # N_QUERIES rows — driver-side tiny constant
+    qids = np.array([r.query_id for r in qrows])
+    qmat = np.array([r.qvec for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def best_query(batches):
+        for pdf in batches:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qnorm.T  # (batch, n_queries)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "best_query_id": qids[best],
+                    "best_cos": np.round(sims[np.arange(len(best)), best], 6),
+                }
+            )
+
+    return corpus.mapInPandas(
+        best_query, "vec_id long, best_query_id long, best_cos double"
+    )

@@ -1,0 +1,133 @@
+"""Batch-equivalent forms of the streaming windows (SURVEY.md §2.3
+stream_* rows).
+
+Spark's window()/session_window() functions work identically over batch
+DataFrames — these queries ARE the streaming aggregations, executed on the
+bounded events table so the DuckDB oracle can verify the semantics. The
+streaming twins (same expressions + watermark + incremental state) live in
+streaming/pipeline.py; tests assert the streaming output equals these
+batch results (the hard part (b) strategy from SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load_table
+
+SESSION_GAP_MIN = 15
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type (shared batch/stream)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR  AS window_end,
+           event_type,
+           count(*)                                              AS n,
+           round(sum(value), 4)                                  AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, "events", sf_dir))
+
+
+@query(
+    "stream_sliding",
+    """
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * (INTERVAL '30 minutes')  AS window_start,
+             event_type, value
+      FROM events, unnest([0, 1]) AS t(k))
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in exactly 2
+    windows (Spark plans this as one Expand — same trick the oracle's
+    unnest([0,1]) spells out)."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Session windows per user (15-min inactivity gap) — shared batch/stream."""
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id,
+           min(ts)                                          AS session_start,
+           max(ts) + INTERVAL '{SESSION_GAP_MIN} minutes'   AS session_end,
+           count(*)                                         AS n_events,
+           round(sum(value), 4)                             AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in batch mode; the oracle derives the same sessions
+    with the classic gaps-and-islands construction (session_end = last
+    event + gap, matching Spark's definition)."""
+    return session_agg(load_table(spark, "events", sf_dir))

@@ -1,0 +1,58 @@
+"""Dedup operator semantics: LSH recall vs exact, SimHash sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from structured_streaming_cassandra_sink_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from structured_streaming_cassandra_sink_spark.sources import load_table
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact(spark, sf_dir):
+    """With r=2, b=16 bands the candidate probability at j>=0.5 is ~99.6%,
+    and verification removes all false positives — so LSH output equals
+    the exact inverted-index result on this corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = _pairs(ngram_jaccard_pairs(docs))
+    lsh = _pairs(minhash_lsh_pairs(docs))
+    assert lsh <= exact  # verification kills false positives — always
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 20), f"LSH recall too low: missed {missed}"
+
+
+def test_identical_docs_have_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window join hash merge sort table"),
+            (2, "spark window join hash merge sort table"),
+            (3, "completely different words entirely here now today"),
+        ],
+        "doc_id long, text string",
+    )
+    sk = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash(docs).collect()}
+    assert sk[1] == sk[2]
+    assert sk[1] != sk[3]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    from structured_streaming_cassandra_sink_spark.functions.textfns import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b   c"), (3, "A B C"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    fp = docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+    groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).collect()
+    # whitespace-normalized + lowercased: docs 1-3 share a fingerprint
+    assert sorted(r.n for r in groups) == [1, 3]
