@@ -1,0 +1,76 @@
+"""Streaming twin of the flagship pipeline + watermarked windowed aggs.
+
+The full reference pipeline (cassandra_sink.scala:82-130), PySpark-native:
+source (Kafka or file mirror) -> parse chain -> derived columns -> filter
+-> upsert-by-key sink via foreachBatch. The transformation code is SHARED
+with the batch flagship (plans/flagship.py) — one expression tree, two
+execution modes, which is how the engine guarantees stream/batch
+equivalence (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.flagship import transform_events
+from .batch_equiv import tumbling_agg
+from .sinks import parquet_upsert_sink, start_to_sink
+from .sources import file_message_stream, parse_message_stream
+
+WATERMARK = "10 minutes"
+
+
+def streaming_flagship(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """End-to-end streaming pipeline on the file mirror source.
+
+    Dedup note: the batch flagship dedups with a window function, which
+    streaming can't incrementally run. Here the per-batch latest-per-key
+    happens INSIDE the sink's upsert (exactly how the reference gets its
+    dedup — from the Cassandra PK, not from Spark), so the sink's end
+    state converges to the batch flagship result.
+    """
+    messages = file_message_stream(spark, source_dir, max_files_per_trigger)
+    events = parse_message_stream(messages)
+    parsed = transform_events(events)
+    sink = parquet_upsert_sink(sink_dir, key="user_id", order=["ts", "event_id"])
+    return start_to_sink(parsed, sink, checkpoint_dir, query_name="StreamingFlagship")
+
+
+def streaming_tumbling(spark: SparkSession, source_dir: str, query_name: str = "TumblingAgg"):
+    """Watermarked 1-hour tumbling aggregation to an in-memory sink
+    (complete mode: finite test data can't advance the watermark past the
+    last windows; complete emits them all — equivalence with the batch
+    tumbling_agg is exact)."""
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
+    agg = tumbling_agg(events)
+    return (
+        agg.writeStream.queryName(query_name)
+        .outputMode("complete")
+        .format("memory")
+        .start()
+    )
+
+
+def streaming_dedup_events(spark: SparkSession, source_dir: str, query_name: str = "DedupEvents"):
+    """Streaming exactly-once-per-event_id dedup with bounded state:
+    watermark + dropDuplicatesWithinWatermark — duplicate deliveries
+    within the watermark horizon are suppressed, state older than the
+    horizon is evicted (the unbounded-state fix the naive dropDuplicates
+    would have)."""
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
+    deduped = events.dropDuplicatesWithinWatermark(["event_id"])
+    return (
+        deduped.writeStream.queryName(query_name)
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )

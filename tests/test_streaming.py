@@ -1,0 +1,135 @@
+"""Streaming semantics tests (SURVEY.md §5.3).
+
+Strategy (hard part (b)): streaming results are verified against their
+batch twins on the same data — file-source micro-batches + memory/parquet
+sinks + processAllAvailable() make the streaming run synchronous and
+deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from structured_streaming_cassandra_sink_spark.plans.flagship import latest_per_key, transform_events
+from structured_streaming_cassandra_sink_spark.sources import load_table
+from structured_streaming_cassandra_sink_spark.streaming.batch_equiv import tumbling_agg
+from structured_streaming_cassandra_sink_spark.streaming.pipeline import (
+    streaming_dedup_events,
+    streaming_flagship,
+    streaming_tumbling,
+)
+from structured_streaming_cassandra_sink_spark.streaming.sources import (
+    events_to_messages,
+    parse_message_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def message_dir(spark, sf_dir, tmp_path_factory):
+    """Events packed into Kafka-shaped multi-record messages, split into
+    4 parquet files => 4 deterministic micro-batches."""
+    out = str(tmp_path_factory.mktemp("messages"))
+    events = load_table(spark, "events", sf_dir)
+    msgs = events_to_messages(events, records_per_message=3)
+    msgs.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _batch_parsed(spark, message_dir):
+    msgs = spark.read.parquet(message_dir)
+    return parse_message_stream(msgs)
+
+
+def test_parse_chain_roundtrip(spark, sf_dir, message_dir):
+    """messages -> parse chain == original events (the serialization is
+    lossless, including the nested JSON props string)."""
+    events = load_table(spark, "events", sf_dir)
+    parsed = _batch_parsed(spark, message_dir)
+    assert parsed.count() == events.count()
+    orig = {r.event_id: r for r in events.collect()}
+    for r in parsed.collect():
+        o = orig[r.event_id]
+        assert (r.ts, r.user_id, r.event_type, r.props) == (o.ts, o.user_id, o.event_type, o.props)
+
+
+def test_streaming_tumbling_equals_batch(spark, message_dir):
+    q = streaming_tumbling(spark, message_dir, query_name="t_tumbling")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_agg(_batch_parsed(spark, message_dir)).collect()
+    }
+    assert got == want
+
+
+def test_streaming_flagship_converges_to_batch(spark, sf_dir, message_dir, tmp_path):
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_flagship(spark, message_dir, sink_dir, ckpt, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.user_id: (r.ts, r.event_id) for r in spark.read.parquet(sink_dir).collect()}
+    batch = latest_per_key(
+        transform_events(load_table(spark, "events", sf_dir)), "user_id", ["ts", "event_id"]
+    )
+    want = {r.user_id: (r.ts, r.event_id) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_flagship_restart_idempotent(spark, sf_dir, message_dir, tmp_path):
+    """Stop mid-stream, restart from the checkpoint: the sink's end state
+    equals the batch result — replayed epochs don't corrupt it (the
+    engine's version of the reference's PK-upsert replay safety, :19-23)."""
+    sink_dir = str(tmp_path / "sink2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = streaming_flagship(spark, message_dir, sink_dir, ckpt, max_files_per_trigger=3)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # restart with the same checkpoint — remaining files (if any) process;
+    # re-delivery of the last committed epoch must not change the state
+    q2 = streaming_flagship(spark, message_dir, sink_dir, ckpt, max_files_per_trigger=3)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r.user_id: (r.ts, r.event_id) for r in spark.read.parquet(sink_dir).collect()}
+    batch = latest_per_key(
+        transform_events(load_table(spark, "events", sf_dir)), "user_id", ["ts", "event_id"]
+    )
+    want = {r.user_id: (r.ts, r.event_id) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_suppresses_duplicates(spark, sf_dir, tmp_path):
+    """Deliver every message twice (two identical files): output still has
+    each event_id exactly once."""
+    src = str(tmp_path / "dup_messages")
+    events = load_table(spark, "events", sf_dir)
+    msgs = events_to_messages(events, records_per_message=5).coalesce(1)
+    msgs.write.mode("overwrite").parquet(src)
+    msgs.write.mode("append").parquet(src)  # duplicate delivery
+    q = streaming_dedup_events(spark, src, query_name="t_dedup")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id, count(*) c FROM t_dedup GROUP BY event_id HAVING count(*) > 1")
+        dupes = out.collect()
+        total = spark.sql("SELECT count(DISTINCT event_id) n FROM t_dedup").first().n
+    finally:
+        q.stop()
+    assert dupes == []
+    assert total == events.count()
