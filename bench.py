@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness — times every registered query at sf0.1.
+
+Usage:
+    python bench.py                       # all queries, sf from $SPARK_GRAFT_SF_DIR
+    python bench.py q1 q2 ...             # subset
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+
+Prints ONE JSON line:
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"name": sec, ...}, "sf": 0.1}
+
+Execution is forced with the `noop` DataSourceV2 sink (computes every
+column, writes nothing, no driver collect) so the measured time is the
+distributed plan, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("structured-streaming-cassandra-sink-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    names = sys.argv[1:] or sorted(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    # JVM/codegen warm-up outside the timed region.
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
