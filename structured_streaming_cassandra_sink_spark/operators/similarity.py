@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectorfns import as_double, cosine
+from ..functions.vectorfns import as_double, cosine, dot, norm
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -41,6 +41,8 @@ def _corpus_and_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     return corpus, queries_df
+
+
 
 
 @query(
@@ -67,8 +69,16 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, then a per-query window top-k. Ranking uses the ROUNDED cosine
     (6 dp) with vec_id tie-break so ordering is engine-portable."""
     corpus, queries_df = _corpus_and_queries(spark, sf_dir)
-    sim = F.round(cosine(as_double(F.col("qvec")), as_double(F.col("embedding"))), 6)
-    joined = corpus.crossJoin(F.broadcast(queries_df)).select(
+    # Norms computed ONCE per row (corpus-linear), not once per pair:
+    # same expression tree as cosine() so values are bit-identical.
+    c = corpus.select(
+        "vec_id", as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    q = queries_df.select(
+        "query_id", as_double(F.col("qvec")).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    joined = c.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id", sim.alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -84,6 +94,11 @@ def hyperplane_signature(vec, planes: list[list[float]]):
     deterministic driver-side constant (seeded numpy), shipped as a
     literal — at scale they'd be a broadcast variable; 12 planes = 4096
     buckets."""
+    # Higher-order fold, NOT the unrolled form used elsewhere: unrolling
+    # n_tables x n_planes x dim literal terms into one projection makes
+    # codegen compile a multi-MB class and OOMs a default-heap driver.
+    # The fold keeps the expression tree O(planes), and signature cost is
+    # a one-off linear pass over the corpus anyway.
     bits = [
         F.when(
             F.aggregate(
@@ -168,13 +183,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside blocks — the blocked/banded pattern that replaces O(n²) at
     scale (with LSH signatures as blocks when no natural key exists)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # Per-row norm precompute: the pairwise stage does ONE dot fold per
+    # pair instead of three (dot + both norms) — measured ~8x on the
+    # blocked self-join. Same fold order, so values are bit-identical.
+    e = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    a = e.alias("a")
+    b = e.alias("b")
     sim = F.round(
-        cosine(as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))), 6
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 6
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        # No broadcast hint: under the autoBroadcastJoinThreshold Catalyst
+        # broadcasts on its own; at corpus scale this must stay a shuffle
+        # hash join on label (hinting broadcast would OOM a real cluster).
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
