@@ -321,3 +321,94 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 @query("dedup_simhash")  # rows-only: sketch values are hash-function-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 4. Duplicate-cluster assignment (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, comp) where comp = min node id reachable in the undirected
+    graph — iterative min-label propagation, one hop per round.
+
+    Driver loop of DataFrame joins: converges in O(graph diameter) rounds
+    (dup clusters are shallow — near-dup graphs are cliques-ish, diameter
+    2-3). Each round is one shuffle join + groupBy min. Rounds are
+    localCheckpoint'ed so the lineage (and thus the plan) stays O(1)
+    instead of growing by two joins per round — without it, round N
+    re-executes rounds 1..N-1.
+    """
+    sym = edges.selectExpr(f"{src} AS node", f"{dst} AS nbr").unionAll(
+        edges.selectExpr(f"{dst} AS node", f"{src} AS nbr")
+    )
+    # Materialize the edge list once — every round joins against it, and
+    # without this each round would re-run the (possibly expensive)
+    # pair-generation pipeline that produced `edges`.
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        prop = (
+            sym.join(labels, "node")
+            .select(F.col("nbr").alias("node"), "comp")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        prop = prop.localCheckpoint(eager=True)
+        changed = (
+            labels.alias("o")
+            .join(prop.alias("p"), "node")
+            .filter(F.col("o.comp") != F.col("p.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels
+
+
+_CLUSTER_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM toks WHERE len(toks) >= {NGRAM_N}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS m FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@query("dedup_cluster_assign", "WITH RECURSIVE" + _CLUSTER_ORACLE.split("WITH", 1)[1])
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document mapped to its duplicate-cluster id (min doc_id of
+    its near-dup component; itself when unique). The canonical-keep rule
+    of a crawl dedup pass: keep rows where doc_id == cluster_id.
+
+    Oracle: DuckDB recursive CTE computes the same transitive closure."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = ngram_jaccard_pairs(docs)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return docs.select("doc_id").join(
+        comp, docs.doc_id == comp.node, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id")
+    )

@@ -370,3 +370,71 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_days_late"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation: salted join
+# ---------------------------------------------------------------------------
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where a few hot keys would overload single reducers:
+    fact rows get a deterministic salt in [0, salts); the dim side is
+    replicated once per salt; the join key becomes (key, salt), spreading
+    each hot key over `salts` reducers.
+
+    Semantically identical to ``fact.join(dim, key, how)`` — salt columns
+    are internal and dropped. AQE's skew-join split (enabled in
+    session.py) handles moderate skew on its own; explicit salting is for
+    the pathological keys AQE can't split (single-key partitions) and for
+    deterministic-layout pipelines with AQE off. Cost: dim side grows
+    `salts`x — keep salts ~ (hot-key rows / target partition rows).
+
+    ``salt_source``: column whose hash spreads rows (default: the whole
+    row via monotonically increasing id is NOT used — nondeterministic
+    across retries; pick a stable high-cardinality column)."""
+    src = F.xxhash64(F.col(salt_source)) if salt_source else F.spark_partition_id()
+    fact_s = fact.withColumn("__salt", F.pmod(src, F.lit(salts)).cast("int"))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = fact_s.join(dim_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+@query(
+    "join_skew_salted",
+    """
+    WITH dim AS (SELECT DISTINCT l_returnflag,
+                        'flag_' || l_returnflag AS flag_name
+                 FROM lineitem)
+    SELECT d.flag_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+    GROUP BY d.flag_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathological skew demo: the join key (l_returnflag) has 3 distinct
+    values, so an unsalted shuffle join lands the whole fact table on 3
+    reducers. Salting spreads each flag over 8; the oracle is the plain
+    join — salting must be invisible in the result."""
+    li = load_table(spark, "lineitem", sf_dir)
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_name", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    joined = salted_join(li, dim, "l_returnflag", salts=8, salt_source="l_orderkey")
+    return joined.groupBy("flag_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -60,3 +60,33 @@ def test_rollup_has_all_levels(spark, sf_dir):
     assert len(grand) == 1
     total = sum(r.n for r in rows if r.l_returnflag is not None and r.l_linestatus is not None)
     assert grand[0].n == total
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    """Salting is invisible in results: salted join == plain join."""
+    from structured_streaming_cassandra_sink_spark.operators.relational import salted_join
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_returnflag")
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "flag_name", F.concat(F.lit("flag_"), F.col("l_returnflag"))
+    )
+    salted = salted_join(li, dim, "l_returnflag", salts=4, salt_source="l_orderkey")
+    plain = li.join(dim, "l_returnflag")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert "__salt" not in salted.columns
+
+
+def test_connected_components_known_graph(spark):
+    """Two triangles + a bridge node + an isolated pair: min-label comps."""
+    from structured_streaming_cassandra_sink_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)],
+        ["src", "dst"],
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 20: 20, 21: 20}

@@ -133,3 +133,40 @@ def test_streaming_dedup_suppresses_duplicates(spark, sf_dir, tmp_path):
         q.stop()
     assert dupes == []
     assert total == events.count()
+
+
+def test_stateful_running_totals_converge_to_batch(spark, sf_dir, message_dir):
+    """applyInPandasWithState accumulator: after all micro-batches, the
+    last emitted row per user equals the batch groupBy aggregate."""
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import streaming_running_totals
+
+    q = streaming_running_totals(spark, message_dir, query_name="t_totals")
+    try:
+        q.processAllAvailable()
+        # update mode appends a row per (user, trigger); keep the final one
+        rows = spark.sql(
+            """
+            SELECT user_id, n_events, sum_value, last_ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM t_totals) WHERE rn = 1
+            """
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.user_id: (r.n_events, round(r.sum_value, 6), r.last_ts) for r in rows}
+    batch = (
+        _batch_parsed(spark, message_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n_events, round(r.sum_value, 6), r.last_ts) for r in batch}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert abs(got[u][1] - want[u][1]) < 1e-6, u
+        assert got[u][2] == want[u][2], u
