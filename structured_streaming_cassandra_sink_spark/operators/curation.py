@@ -1,0 +1,160 @@
+"""Training-data curation operators — deterministic splits, stratified
+sampling, and the end-to-end corpus-curation pipeline.
+
+The ops a 100 TB pretraining pipeline runs after per-doc analysis
+(operators/text.py) and dedup (operators/dedup.py):
+
+- ``train_val_split`` — content-hash bucketing into train/val/test. Hash
+  of the TEXT (not doc_id) so re-ingesting the same document under a new
+  id lands in the same split — no train/val leakage across snapshots.
+- ``stratified_sample`` — per-language sampling rates via the same hash
+  buckets: deterministic, reproducible, no RNG state anywhere (rand()
+  changes under retries/repartitioning; hash sampling never does).
+- ``curation_pipeline`` — quality gate -> exact dedup (keep lowest
+  doc_id) -> split assignment, composed from the same expressions the
+  standalone queries use. Everything is map-side except the dedup
+  shuffle on the 128-bit fingerprint.
+
+All hashes are md5-derived (portable, engine-stable) — xxhash64/murmur
+differ between engines, md5 is bit-identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import fingerprint, tokens
+from ..plans.registry import query
+from ..sources import load_table
+
+TRAIN_PCT = 90   # buckets [0,90) -> train
+VAL_PCT = 5      # [90,95) -> val, [95,100) -> test
+
+# per-language sampling rate in buckets-of-100 (languages not listed: 100%)
+SAMPLE_RATES = {"en": 50, "de": 80}
+
+MIN_QUALITY = 0.5
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of a column — the
+    first 8 hex chars as an integer, mod buckets. Engine-portable
+    (DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % buckets
+    ).cast("int")
+
+
+def _bucket_sql(col: str = "text") -> str:
+    return f"(('0x' || substr(md5({col}), 1, 8))::BIGINT % 100)::INT"
+
+
+def split_of(bucket: Column) -> Column:
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def _split_sql(bucket_sql: str) -> str:
+    return (
+        f"CASE WHEN {bucket_sql} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket_sql} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@query(
+    "train_val_split",
+    f"""
+    SELECT doc_id,
+           {_bucket_sql()} AS bucket,
+           {_split_sql(_bucket_sql())} AS split
+    FROM documents
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test assignment ({TRAIN_PCT}/{VAL_PCT}/
+    {100 - TRAIN_PCT - VAL_PCT}). Pure map — no shuffle, no RNG."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = hash_bucket(F.col("text"))
+    return d.select(
+        "doc_id", bucket.alias("bucket"), split_of(bucket).alias("split")
+    )
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{l}' THEN {r}" for l, r in SAMPLE_RATES.items()
+) + " ELSE 100 END"
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT lang, count(*) AS n_sampled
+    FROM documents
+    WHERE {_bucket_sql()} < {_RATE_SQL}
+    GROUP BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (en 50%, de 80%, rest
+    100%) via hash buckets — the mix-rebalancing op of a pretraining
+    corpus. Sampling is a sargable map-side predicate; only the tiny
+    per-language counts shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    rate = F.lit(100)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    sampled = d.filter(hash_bucket(F.col("text")) < rate)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             round(0.5 * (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+                   + 0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                            / len(string_split(text, ' '))), 4) AS quality
+      FROM documents),
+    gated AS (SELECT * FROM scored WHERE quality >= {MIN_QUALITY}),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1)
+    SELECT doc_id, lang, quality,
+           {_split_sql(_bucket_sql())} AS split
+    FROM deduped
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate -> exact dedup keep-lowest-id ->
+    content-hash split. The composed form of quality_score + dedup_exact
+    + train_val_split, as one lazy plan: Catalyst collapses the gate into
+    the scan (sargable), and only the dedup's fingerprint shuffle
+    remains."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+    uniq = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    len_ok = F.when(F.length("text").between(100, 2000), 1).otherwise(0)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        fingerprint(F.col("text")).alias("fp"),
+        F.round(0.5 * len_ok + 0.5 * uniq, 4).alias("quality"),
+    )
+    gated = scored.filter(F.col("quality") >= MIN_QUALITY)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bucket = hash_bucket(F.col("text"))
+    return deduped.select(
+        "doc_id", "lang", "quality", split_of(bucket).alias("split")
+    )

@@ -55,5 +55,6 @@ def load_all() -> None:
         similarity,
         text,
         multimodal,
+        curation,
     )
     from ..streaming import batch_equiv  # noqa: F401

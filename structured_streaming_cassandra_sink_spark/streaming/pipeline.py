@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.flagship import transform_events
-from .batch_equiv import tumbling_agg
+from .batch_equiv import session_agg, tumbling_agg
 from .sinks import parquet_upsert_sink, start_to_sink
 from .sources import file_message_stream, parse_message_stream
 
@@ -54,6 +54,48 @@ def streaming_tumbling(spark: SparkSession, source_dir: str, query_name: str = "
     return (
         agg.writeStream.queryName(query_name)
         .outputMode("complete")
+        .format("memory")
+        .start()
+    )
+
+
+def streaming_sliding(spark: SparkSession, source_dir: str, query_name: str = "SlidingAgg"):
+    """1-hour windows sliding every 30 min (each event in exactly 2
+    windows via Spark's Expand) — complete mode, same rationale as
+    streaming_tumbling."""
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.queryName(query_name)
+        .outputMode("complete")
+        .format("memory")
+        .start()
+    )
+
+
+def streaming_session(spark: SparkSession, source_dir: str, query_name: str = "SessionAgg"):
+    """Session windows (15-min gap) in APPEND mode: a session row emits
+    only once the watermark passes its end — the real late-data contract.
+    Tests close the final sessions by appending a far-future sentinel
+    event that advances the watermark (finite data never advances it past
+    its own tail otherwise)."""
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
+    agg = session_agg(events)
+    return (
+        agg.writeStream.queryName(query_name)
+        .outputMode("append")
         .format("memory")
         .start()
     )

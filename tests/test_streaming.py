@@ -170,3 +170,77 @@ def test_stateful_running_totals_converge_to_batch(spark, sf_dir, message_dir):
         assert got[u][0] == want[u][0], u
         assert abs(got[u][1] - want[u][1]) < 1e-6, u
         assert got[u][2] == want[u][2], u
+
+
+def test_streaming_sliding_equals_batch(spark, message_dir):
+    from structured_streaming_cassandra_sink_spark.streaming.pipeline import streaming_sliding
+
+    q = streaming_sliding(spark, message_dir, query_name="t_sliding")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM t_sliding").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        _batch_parsed(spark, message_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    want = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_append_with_watermark_close(spark, sf_dir, tmp_path):
+    """Append-mode session windows: rows emit only when the watermark
+    passes session end. A far-future sentinel event closes everything;
+    output (minus the sentinel's own session) must equal the batch
+    session aggregation."""
+    import datetime
+
+    from structured_streaming_cassandra_sink_spark.streaming.batch_equiv import session_agg
+    from structured_streaming_cassandra_sink_spark.streaming.pipeline import streaming_session
+    from structured_streaming_cassandra_sink_spark.streaming.sources import events_to_messages
+
+    src = str(tmp_path / "sess_messages")
+    events = load_table(spark, "events", sf_dir)
+    events_to_messages(events, records_per_message=3).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = streaming_session(spark, src, query_name="t_session")
+    try:
+        q.processAllAvailable()
+        max_ts = events.agg(F.max("ts")).first()[0]
+        # wire format requires an offset (TS_FORMAT ...SSSSSSXXX); without
+        # it from_json yields null ts and the watermark never advances
+        sentinel_ts = (max_ts + datetime.timedelta(days=2)).isoformat() + "Z"
+        sentinel = spark.createDataFrame(
+            [(
+                f'{{"event_id": 999999999, "ts": "{sentinel_ts}", "user_id": -1,'
+                f' "event_type": "sentinel", "value": 0.0, "props": null}}',
+            )],
+            ["value"],
+        )
+        sentinel.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM t_session WHERE user_id != -1").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in session_agg(events).collect()
+    }
+    assert got == want
