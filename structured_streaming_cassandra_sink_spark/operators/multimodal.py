@@ -114,6 +114,52 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SAMPLE_EVERY = 24  # keep one frame in 24 (~1 fps at 24 fps video)
+
+
+@query("multimodal_frame_sample")  # rows-only: pandas-UDF 1->N surface
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling via mapInPandas — the 1->N batch shape: each
+    video row explodes into one row per sampled frame (every
+    {FRAME_SAMPLE_EVERY}th). The stub synthesizes frame indices/offsets
+    from the decoded metadata; a real build decodes with pyav and emits
+    (frame_idx, jpeg_bytes). Output cardinality is data-dependent, which
+    is exactly what mapInPandas allows and a pandas_udf (1:1) does not.
+
+    Scale: pure map over payload partitions; downstream training-shard
+    writes repartition by hash(media_id, frame_idx) to spread hot videos.
+    """
+    import pandas as pd
+
+    media = make_media(load_table(spark, "documents", sf_dir)).filter(
+        F.col("kind") == "video"
+    )
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = decode_stub(payload, "video")
+                for idx in range(0, meta["n_frames"], FRAME_SAMPLE_EVERY):
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "n_frames": meta["n_frames"],
+                            # deterministic fake per-frame feature
+                            "frame_checksum": (sum(payload) + idx) % 997,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_frames", "frame_checksum"]
+            )
+
+    return media.mapInPandas(
+        sample_batches,
+        "media_id long, frame_idx int, n_frames int, frame_checksum int",
+    )
+
+
 @query(
     "multimodal_meta_agg",
     """

@@ -71,3 +71,30 @@ def test_whole_stage_codegen_on_agg(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "*(" in plan  # '*(n)' prefixes = whole-stage-codegen'd operators
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
+    """Same-key bucketed tables join with no Exchange on either side —
+    the ingest-time shuffle replaces every query-time shuffle."""
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+    from structured_streaming_cassandra_sink_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).selectExpr(
+        "o_orderkey AS l_orderkey", "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(li, "t_li_bucketed", "l_orderkey", buckets=8)
+        write_bucketed(o, "t_o_bucketed", "l_orderkey", buckets=8)
+        joined = bucketed_join(spark, "t_li_bucketed", "t_o_bucketed", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: same answer as the plain join
+        assert joined.count() == li.join(o, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
