@@ -62,6 +62,8 @@ def main() -> int:
     # JVM/codegen warm-up outside the timed region.
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
     for name in names:
@@ -69,6 +71,11 @@ def main() -> int:
         df = queries[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop DataFrame refs so the ContextCleaner can free localCheckpoint
+        # blocks between queries (otherwise they accumulate and late
+        # queries pay GC pressure for early ones).
+        df = None
+        gc.collect()
     total = round(time.perf_counter() - t_total, 3)
 
     print(

@@ -84,25 +84,60 @@ def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     return ex.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
 
 
+def _verify_candidates(
+    candidates: DataFrame, arr: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for (doc_a, doc_b) candidate pairs: join each pair to
+    its two shingle sets, intersect the arrays. O(|candidates| · |doc|)."""
+    inter = (
+        candidates.join(
+            arr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jacc, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = NGRAM_N, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold, exactly.
+    """All pairs with shingle-set Jaccard >= threshold, exactly, via the
+    inverted-index self-join: |A∩B| falls out of a count(*) over shared
+    shingles (distinct per doc); |A∪B| = |A|+|B|-|A∩B|. Only
+    (doc_id, sz, shingle) ships through the join.
 
-    |A∩B| falls out of a count(*) over the shingle-equality join (shingles
-    are distinct per doc); |A∪B| = |A|+|B|-|A∩B|. No arrays are shipped
-    through the join — only (doc_id, sz, shingle).
-
-    Scale: cost concentrates on high-document-frequency shingles
-    (Σ df²). At 100 TB, add prefix filtering — drop each doc's most
-    frequent ⌊(1-t)·|A|⌋ shingles from the index; any pair above t still
-    shares a surviving shingle — before the self-join. Not needed at
-    test scale; the hook is this function's `n`/`threshold` params.
-    """
+    Cost is Σ_shingle df². That is the right trade while document
+    frequencies stay moderate (this corpus: max df 25 on 27k distinct
+    shingles — the extra passes of prefix filtering measure SLOWER here).
+    When hot shingles dominate (boilerplate at crawl scale), switch to
+    :func:`ngram_jaccard_pairs_prefix`, which drops hot shingles from the
+    index entirely; both are exact, equality is pinned in tests."""
     sh = shingle_table(docs, n)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -117,6 +152,55 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame, n: int = NGRAM_N, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (the All-Pairs/PPJoin family,
+    Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06 — public literature,
+    no code reused).
+
+    Index only each doc's PREFIX: its |A| - ceil(t·|A|) + 1 rarest
+    shingles under a global (document-frequency, shingle) total order.
+    Theorem: J(A,B) >= t implies |A∩B| >= ceil(t·max(|A|,|B|)), and the
+    globally-smallest common shingle then sits within both prefixes — so
+    joining prefix-to-prefix finds every qualifying pair. Candidates are
+    verified exactly (array intersection), so output == brute force.
+
+    Scale: join cost drops from Σ df² to Σ df_prefix² — prefixes hold the
+    RAREST shingles, so hot boilerplate shingles (the Σ df² killers at
+    crawl scale) leave the index entirely. Price: a df-count groupBy and
+    a per-doc rank window, both linear — which is why the plain inverted
+    index wins below the hot-shingle regime."""
+    from pyspark.sql import Window
+
+    # Materialize the shingle arrays once: five downstream branches (df
+    # counts, rank, both verify sides) would otherwise each re-run the
+    # shingle transform. At cluster scale this is a persisted/checkpointed
+    # intermediate table by design, not an optimization.
+    arr = shingle_arrays(docs, n).localCheckpoint(eager=True)
+    sh = arr.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_tbl, "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_candidates(candidates, arr, threshold)
 
 
 @query(
@@ -204,36 +288,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verify on candidates ONLY: join each pair to its two shingle
-    # sets and intersect the arrays. Work is O(|candidates|·|doc|), never
-    # the Σ df² of the full inverted-index self-join — candidates are the
-    # tiny LSH-survivor set, which is the entire point of banding.
-    arr = shingle_arrays(docs, n)
-    inter = (
-        candidates.join(
-            arr.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("shingles").alias("sh_a"),
-                F.col("sz").alias("sz_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            arr.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("shingles").alias("sh_b"),
-                F.col("sz").alias("sz_b"),
-            ),
-            "doc_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-    )
-    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
-        inter.withColumn("jaccard", F.round(jacc, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # Exact verify on the tiny LSH-survivor candidate set — which is the
+    # entire point of banding (never the Σ df² full self-join).
+    return _verify_candidates(candidates, shingle_arrays(docs, n), threshold)
 
 
 @query("dedup_near_minhash")  # rows-only: LSH banding is probabilistic machinery;

@@ -56,3 +56,19 @@ def test_exact_dedup_collapses_duplicates(spark):
     groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).collect()
     # whitespace-normalized + lowercased: docs 1-3 share a fingerprint
     assert sorted(r.n for r in groups) == [1, 3]
+
+
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering is exact: identical pair set + jaccard values as
+    the plain inverted-index join."""
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plain = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs_prefix(docs).collect()}
+    assert plain == pref
+    assert len(plain) > 0
