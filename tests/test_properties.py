@@ -1,0 +1,166 @@
+"""Property-based tests (SURVEY.md §5.4) — hypothesis over small
+generated inputs, Spark invariants checked against pure-Python oracles.
+
+Spark jobs are ~100ms+ per example, so max_examples stays small; the
+point is shrinking counterexamples for semantic edge cases (empty
+strings, adversarial floats, duplicate keys), not volume.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPARK_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Wire-format constraint: records are '\n'-joined inside one message
+# (reference payload shape, cassandra_sink.scala:92-97), so field text
+# must not contain newlines. Everything else must round-trip.
+wire_text = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r", blacklist_categories=("Cs",)),
+    min_size=0,
+    max_size=40,
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),                      # event_id
+        st.datetimes(                                                    # ts (micros)
+            min_value=datetime.datetime(2000, 1, 1),
+            max_value=datetime.datetime(2100, 1, 1),
+        ),
+        st.integers(min_value=-100, max_value=100),                      # user_id
+        wire_text,                                                       # event_type
+        st.floats(allow_nan=False, allow_infinity=False, width=32),      # value
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+@SPARK_SETTINGS
+@given(rows=events_strategy)
+def test_wire_roundtrip_property(spark, rows):
+    """to_json -> '\\n'-pack -> explode/split -> from_json is lossless for
+    any newline-free content (including quotes, backslashes, unicode)."""
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        events_to_messages,
+        parse_message_stream,
+    )
+
+    data = [(e, ts, u, et, float(v), None) for e, ts, u, et, v in rows]
+    events = spark.createDataFrame(data, EVENT_SCHEMA)
+    parsed = parse_message_stream(events_to_messages(events, records_per_message=3))
+    got = {
+        r.event_id: (r.ts, r.user_id, r.event_type, r.value) for r in parsed.collect()
+    }
+    want = {e: (ts, u, et, float(v)) for e, ts, u, et, v, _ in data}
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(rows=events_strategy)
+def test_latest_per_key_idempotent_property(spark, rows):
+    """latest_per_key twice == once, and one row per key survives."""
+    from structured_streaming_cassandra_sink_spark.plans.flagship import latest_per_key
+
+    data = [(e, ts, u, et, float(v), None) for e, ts, u, et, v in rows]
+    events = spark.createDataFrame(data, EVENT_SCHEMA)
+    once = latest_per_key(events, "user_id", ["ts", "event_id"])
+    twice = latest_per_key(once, "user_id", ["ts", "event_id"])
+    got_once = sorted((r.user_id, r.event_id) for r in once.collect())
+    got_twice = sorted((r.user_id, r.event_id) for r in twice.collect())
+    assert got_once == got_twice
+    assert len(got_once) == len({u for _, _, u, _, _, _ in data})
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SPARK_SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_property(spark, edges):
+    """Distributed min-label propagation == driver-side union-find."""
+    from structured_streaming_cassandra_sink_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
+
+
+def test_topk_is_sort_prefix(spark, sf_dir):
+    """top-k rows == first k rows of the full sort (deterministic
+    tie-break included)."""
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    k = 10
+    topk = (
+        li.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+        .limit(k)
+        .collect()
+    )
+    full = li.orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    ).collect()
+    assert [r.l_orderkey for r in topk] == [r.l_orderkey for r in full[:k]]
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    """Deduping an already-deduped corpus is the identity."""
+    from structured_streaming_cassandra_sink_spark.functions.textfns import fingerprint
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    again = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    assert kept.count() == again.count()
+    assert kept.exceptAll(again).count() == 0
