@@ -158,3 +158,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.select(
         "doc_id", "lang", "quality", split_of(bucket).alias("split")
     )
+
+
+@query(
+    "dedup_incremental",
+    """
+    WITH hist AS (
+      SELECT DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 != 0),
+    batch AS (
+      SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 5 = 0),
+    fresh AS (
+      SELECT b.doc_id, b.fp FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp))
+    SELECT fp, min(doc_id) AS keep_doc_id
+    FROM fresh GROUP BY fp
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (doc_id % 5 == 0 stands in
+    for "today's crawl") is deduped against the historical fingerprint
+    set (anti-join) and then within itself (keep lowest doc_id) — the
+    daily-snapshot shape of a corpus pipeline. The historical side needs
+    only the 16-byte fingerprint column, so at 100 TB the anti-join
+    shuffles fingerprints, never text."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = fingerprint(F.col("text"))
+    hist = d.filter(F.col("doc_id") % 5 != 0).select(fp.alias("fp")).distinct()
+    batch = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("fp"))
+    fresh = batch.join(hist, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))

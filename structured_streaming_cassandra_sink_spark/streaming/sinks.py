@@ -29,8 +29,27 @@ from pyspark.sql import DataFrame
 
 
 def parquet_append_sink(path: str):
+    """Plain append — NOT replay-safe: a re-delivered epoch appends its
+    rows twice. Use only behind an idempotent downstream (dedup) or use
+    :func:`parquet_epoch_append_sink`."""
+
     def write(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("append").parquet(path)
+
+    return write
+
+
+def parquet_epoch_append_sink(path: str):
+    """Replay-idempotent append: each epoch writes to its own partition
+    directory (``epoch=<id>``) in OVERWRITE mode, so a re-delivered epoch
+    after checkpoint-restart rewrites the same directory instead of
+    duplicating rows — epoch-id tagging as the exactly-once mechanism
+    (SURVEY.md §4.3). Readers see one dataset via partition discovery;
+    at 100 TB this is the transaction-log pattern (Delta/Iceberg commit
+    by epoch) in plain-parquet form."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
 
     return write
 

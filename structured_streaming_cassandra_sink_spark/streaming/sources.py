@@ -78,6 +78,36 @@ def events_to_messages(events: DataFrame, records_per_message: int = 3) -> DataF
     )
 
 
+def parse_message_stream_with_quarantine(
+    messages: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse chain with an explicit bad-records policy — the semantic gap
+    the reference leaves open (its non-nullable StructFields are not
+    enforced; malformed JSON silently becomes nulls,
+    cassandra_sink.scala:105-110 / SURVEY.md §1.2).
+
+    Returns (good, quarantine): a line is quarantined when from_json
+    cannot produce the two NOT-NULL key fields (event_id, ts). The
+    quarantine side keeps the raw line for replay/debugging — route it to
+    a dead-letter sink in production. Both are lazy projections of one
+    parse; Catalyst computes from_json once per branch, map-side."""
+    lines = (
+        messages.select(F.col("value").cast("string").alias("value"))
+        .select(F.explode(F.split(F.col("value"), "\n")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    parsed = lines.select(
+        "line",
+        F.from_json(F.col("line"), EVENT_WIRE, {"timestampFormat": TS_FORMAT}).alias(
+            "data"
+        ),
+    )
+    ok = F.col("data.event_id").isNotNull() & F.col("data.ts").isNotNull()
+    good = parsed.filter(ok).select("data.*")
+    quarantine = parsed.filter(~ok).select(F.col("line").alias("raw"))
+    return good, quarantine
+
+
 def parse_message_stream(messages: DataFrame) -> DataFrame:
     """The reference's parse chain, PySpark-native (SURVEY.md §2.1 #2-#6):
     cast -> explode(split('\\n')) [NOT a lambda flatMap: stays in Catalyst,

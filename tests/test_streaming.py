@@ -244,3 +244,71 @@ def test_streaming_session_append_with_watermark_close(spark, sf_dir, tmp_path):
         for r in session_agg(events).collect()
     }
     assert got == want
+
+
+def test_quarantine_routes_bad_records(spark):
+    """Malformed / key-missing lines land in quarantine with the raw
+    line preserved; good lines parse fully."""
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        parse_message_stream_with_quarantine,
+    )
+
+    msgs = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "ts": "2024-01-01T00:00:00.000000Z", "user_id": 7,'
+             ' "event_type": "click", "value": 1.5, "props": null}\n'
+             'not json at all\n'
+             '{"event_id": null, "ts": "2024-01-01T00:00:00.000000Z"}',),
+            ('{"event_id": 2, "ts": "garbage-ts", "user_id": 8,'
+             ' "event_type": "view", "value": 2.0, "props": null}',),
+        ],
+        ["value"],
+    )
+    good, quarantine = parse_message_stream_with_quarantine(msgs)
+    assert [r.event_id for r in good.collect()] == [1]
+    raws = sorted(r.raw for r in quarantine.collect())
+    assert len(raws) == 3
+    assert "not json at all" in raws[1] or "not json at all" in raws[0] or "not json at all" in raws[2]
+
+
+def test_epoch_append_sink_replay_idempotent(spark, sf_dir, message_dir, tmp_path):
+    """Epoch-partitioned append: stop mid-stream, restart from the
+    checkpoint — total rows equal the input exactly (replays overwrite
+    their own epoch directory instead of duplicating)."""
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        parquet_epoch_append_sink,
+        start_to_sink,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        file_message_stream,
+        parse_message_stream,
+    )
+
+    sink_dir = str(tmp_path / "epoch_sink")
+    ckpt = str(tmp_path / "epoch_ckpt")
+
+    def run():
+        messages = file_message_stream(spark, message_dir, max_files_per_trigger=2)
+        parsed = parse_message_stream(messages)
+        return start_to_sink(
+            parsed,
+            parquet_epoch_append_sink(sink_dir),
+            ckpt,
+            query_name="t_epoch_append",
+            output_mode="append",
+        )
+
+    q = run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q2 = run()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    events = load_table(spark, "events", sf_dir)
+    got = spark.read.parquet(sink_dir)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
