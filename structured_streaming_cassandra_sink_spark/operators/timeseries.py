@@ -1,0 +1,107 @@
+"""Time-series operators — as-of join (point-in-time correctness).
+
+The as-of join — "for each left row, the latest right row at or before
+its timestamp, per key" — is the operator Spark's built-ins lack
+(SURVEY.md §4.3 class): the naive formulation is a range join whose
+worst case is O(|L|·|R|) per key. The scalable formulation here is the
+classic union + ordered-window trick:
+
+    tag both sides -> union -> per-key window ordered by
+    (ts, side) -> last(right_value, ignorenulls) -> keep left rows
+
+One shuffle on the key, one sort per partition — exactly the cost of a
+sort-merge join, independent of how many right rows precede each left
+row. Ties (left.ts == right.ts) resolve INCLUSIVELY (right row sorts
+first), matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every left row + the latest `value_cols` from the
+    right row with the greatest right_ts <= left_ts for the same key
+    (null when no such row). Output columns: all left columns + value_cols.
+    """
+    left_cols = left.columns
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != key],
+        *[F.col(c) for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal ts => inclusive (<=) match
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__filled_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"__filled_{c}").alias(c) for c in value_cols],
+    )
+
+
+@query(
+    "join_asof",
+    """
+    WITH rates AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS hour_ts,
+             round(avg(value), 4)               AS hourly_rate
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, r.hourly_rate
+    FROM events e ASOF LEFT JOIN rates r
+      ON e.event_type = r.event_type AND e.ts >= r.hour_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event picks up the most recent
+    hourly average rate for its event_type (the fx-rate-lookup shape of
+    the reference's currency domain, generalized). Oracle: DuckDB's
+    native ASOF JOIN — an independent implementation of the same
+    semantics."""
+    events = load_table(spark, "events", sf_dir)
+    rates = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("hourly_rate"))
+        .select("event_type", F.col("w.start").alias("hour_ts"), "hourly_rate")
+    )
+    joined = asof_join(
+        events.select("event_id", "ts", "event_type"),
+        rates,
+        key="event_type",
+        left_ts="ts",
+        right_ts="hour_ts",
+        value_cols=["hourly_rate"],
+    )
+    return joined.select("event_id", "event_type", "hourly_rate")

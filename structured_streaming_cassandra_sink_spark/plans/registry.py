@@ -56,5 +56,6 @@ def load_all() -> None:
         text,
         multimodal,
         curation,
+        timeseries,
     )
     from ..streaming import batch_equiv  # noqa: F401

@@ -90,3 +90,26 @@ def test_connected_components_known_graph(spark):
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 20: 20, 21: 20}
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive tie, no-match null, multiple priors -> latest wins."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, 1), ("a", 2, 2), ("a", 1, 3), ("b", 3, 4)],
+        ["k", "ts", "row_id"],
+    )
+    right = spark.createDataFrame(
+        [("a", 2, 100), ("a", 4, 200), ("b", 9, 300)],
+        ["k", "ts", "price"],
+    )
+    got = {
+        r.row_id: r.price
+        for r in asof_join(left, right, "k", "ts", "ts", ["price"]).collect()
+    }
+    #   row 1 (a,5): latest right <=5 is (a,4)->200
+    #   row 2 (a,2): tie with (a,2) -> inclusive -> 100
+    #   row 3 (a,1): nothing before -> null
+    #   row 4 (b,3): right (b,9) is after -> null
+    assert got == {1: 200, 2: 100, 3: None, 4: None}
