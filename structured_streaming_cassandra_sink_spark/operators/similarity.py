@@ -248,3 +248,74 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mapInPandas(
         best_query, "vec_id long, best_query_id long, best_cos double"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — KMeans-partitioned corpus, nprobe cell scan
+# ---------------------------------------------------------------------------
+IVF_NLIST = 16   # centroids / cells
+IVF_NPROBE = 4   # cells scanned per query
+
+
+@query("sim_search_ann_ivf")  # rows-only: index structure is probabilistic
+# machinery; recall vs brute force is pinned in tests/test_similarity.py
+def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded KMeans partitions the corpus into {IVF_NLIST}
+    cells; each query scans only its {IVF_NPROBE} nearest cells, exact
+    cosine re-ranks the survivors. The second standard ANN family next to
+    hyperplane LSH (`sim_search_ann_lsh`): LSH needs no training and
+    handles inserts trivially; IVF adapts to the data distribution and
+    scans a tunable fraction (nprobe/nlist) of the corpus.
+
+    Scale: the fitted centroids are a tiny broadcast model; the corpus is
+    written partitioned by cell id, so a probe is a partition-pruned scan
+    of nprobe/nlist of the data (here: a cell-id equi-join)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+    featurized = corpus.withColumn(
+        "features", array_to_vector(as_double(F.col("embedding")))
+    )
+    model = KMeans(k=IVF_NLIST, seed=42, maxIter=10).fit(featurized)
+    assigned = model.transform(featurized).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+
+    # Probe assignment: rank cells per query by centroid distance. The
+    # centroid table is IVF_NLIST driver-side rows — a broadcast literal.
+    centroids = [
+        (cid, [float(x) for x in c]) for cid, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    qc = queries_df.crossJoin(F.broadcast(cent_df))
+    # squared euclidean via the shared fold (argmin is the same for cosine
+    # on normalized data; distance choice only shifts recall, verified in tests)
+    diff_dot = dot(
+        F.zip_with(as_double(F.col("qvec")), F.col("centroid"), lambda a, b: a - b),
+        F.zip_with(as_double(F.col("qvec")), F.col("centroid"), lambda a, b: a - b),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("cell"))
+    probes = (
+        qc.select("query_id", "qvec", "cell", diff_dot.alias("dist2"))
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= IVF_NPROBE)
+        .select("query_id", "qvec", "cell")
+    )
+
+    candidates = assigned.join(F.broadcast(probes), "cell")
+    c_n = candidates.withColumn("cn", norm(as_double(F.col("embedding")))).withColumn(
+        "qn", norm(as_double(F.col("qvec")))
+    )
+    sim = F.round(
+        dot(as_double(F.col("qvec")), as_double(F.col("embedding")))
+        / (F.col("qn") * F.col("cn")),
+        6,
+    )
+    scored = c_n.select("query_id", "vec_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )

@@ -105,3 +105,58 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["hourly_rate"],
     )
     return joined.select("event_id", "event_type", "hourly_rate")
+
+
+FUNNEL_WINDOW_MIN = 10
+
+
+@query(
+    "join_interval_funnel",
+    f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           round(date_diff('microsecond', v.ts, c.ts) / 60000000.0, 4) AS minutes_between
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL '{FUNNEL_WINDOW_MIN} minutes'
+    """,
+)
+def join_interval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel pairs: a click within {FUNNEL_WINDOW_MIN} min after a view
+    by the same user. The equi part (user_id) drives the shuffle; the
+    interval condition is the bounded residual — the same condition that
+    makes the STREAMING twin's state finite (streaming/pipeline.py
+    stream-stream join; equality pinned in tests)."""
+    events = load_table(spark, "events", sf_dir)
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+        ),
+    )
+    # exact integer micros diff, then one division — matches the oracle's
+    # date_diff('microsecond')/60e6 bit-for-bit (double cast of seconds
+    # would diverge below the second)
+    minutes = (
+        F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))
+    ) / 60000000.0
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.round(minutes, 4).alias("minutes_between"),
+    )

@@ -84,17 +84,80 @@ def streaming_sliding(spark: SparkSession, source_dir: str, query_name: str = "S
     )
 
 
-def streaming_session(spark: SparkSession, source_dir: str, query_name: str = "SessionAgg"):
+def streaming_session(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "SessionAgg",
+    watermark: str = WATERMARK,
+):
     """Session windows (15-min gap) in APPEND mode: a session row emits
     only once the watermark passes its end — the real late-data contract.
     Tests close the final sessions by appending a far-future sentinel
     event that advances the watermark (finite data never advances it past
-    its own tail otherwise)."""
+    its own tail otherwise), and set ``watermark`` wider than the data's
+    time span because the file mirror doesn't replay in event-time order
+    (see streaming_funnel)."""
     messages = file_message_stream(spark, source_dir)
-    events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
+    events = parse_message_stream(messages).withWatermark("ts", watermark)
     agg = session_agg(events)
     return (
         agg.writeStream.queryName(query_name)
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+
+
+def streaming_funnel(
+    spark: SparkSession,
+    source_dir: str,
+    query_name: str = "Funnel",
+    watermark: str = WATERMARK,
+):
+    """Stream-stream interval join: clicks within 10 min after a view by
+    the same user (the batch twin is the oracle-checked
+    `join_interval_funnel` query). Both sides carry watermarks and the
+    join condition time-bounds the match window, so each side's state
+    store holds only watermark + 10 minutes of rows — the condition that
+    makes an unbounded stream-stream join finite.
+
+    ``watermark`` is a parameter because the equality TEST must set it
+    wider than the dataset's time span: the file mirror source does not
+    replay in event-time order, and any batch arriving behind the
+    advanced watermark would be (correctly!) evicted — that's late-data
+    semantics, not a bug, but it makes stream==batch comparison
+    nondeterministic under arbitrary file ordering."""
+    from ..operators.timeseries import FUNNEL_WINDOW_MIN
+
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+        ),
+    ).select("user_id", "view_id", "click_id")
+    return (
+        joined.writeStream.queryName(query_name)
         .outputMode("append")
         .format("memory")
         .start()

@@ -59,3 +59,23 @@ def test_udf_surface_agrees_with_expression_path(spark, sf_dir):
     assert set(best) == set(udf_out)
     for vid, (qid, cos) in best.items():
         assert abs(udf_out[vid][1] - cos) < 1e-6, vid
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must recover most of the exact top-10
+    (deterministic: seeded KMeans)."""
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        sim_search_ann_ivf,
+        sim_search_topk,
+    )
+
+    exact = {}
+    for r in sim_search_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in sim_search_ann_ivf(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

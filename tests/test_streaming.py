@@ -217,13 +217,16 @@ def test_streaming_session_append_with_watermark_close(spark, sf_dir, tmp_path):
     events_to_messages(events, records_per_message=3).coalesce(2).write.mode(
         "overwrite"
     ).parquet(src)
-    q = streaming_session(spark, src, query_name="t_session")
+    # watermark wider than the data span (file replay isn't time-ordered;
+    # see streaming_funnel docstring); the sentinel lands beyond
+    # watermark + every session end so append mode emits everything
+    q = streaming_session(spark, src, query_name="t_session", watermark="45 days")
     try:
         q.processAllAvailable()
         max_ts = events.agg(F.max("ts")).first()[0]
         # wire format requires an offset (TS_FORMAT ...SSSSSSXXX); without
         # it from_json yields null ts and the watermark never advances
-        sentinel_ts = (max_ts + datetime.timedelta(days=2)).isoformat() + "Z"
+        sentinel_ts = (max_ts + datetime.timedelta(days=50)).isoformat() + "Z"
         sentinel = spark.createDataFrame(
             [(
                 f'{{"event_id": 999999999, "ts": "{sentinel_ts}", "user_id": -1,'
@@ -312,3 +315,29 @@ def test_epoch_append_sink_replay_idempotent(spark, sf_dir, message_dir, tmp_pat
     got = spark.read.parquet(sink_dir)
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_streaming_funnel_equals_batch(spark, sf_dir, message_dir):
+    """Stream-stream interval join output == batch funnel pairs."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import join_interval_funnel
+    from structured_streaming_cassandra_sink_spark.streaming.pipeline import streaming_funnel
+
+    # watermark wider than the events table's full time span: the file
+    # mirror doesn't replay in event-time order, and a tight watermark
+    # would (correctly) evict out-of-order batches — late-data semantics,
+    # but fatal for a deterministic stream==batch equality check
+    q = streaming_funnel(spark, message_dir, query_name="t_funnel", watermark="60 days")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.view_id, r.click_id)
+            for r in spark.sql("SELECT * FROM t_funnel").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in join_interval_funnel(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(want) > 0
