@@ -176,3 +176,71 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for exact dedup and incremental-ingest dedup joins."""
     d = load_table(spark, "documents", sf_dir)
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+WINNOW_K = 5   # char k-gram size
+WINNOW_W = 8   # winnowing window (guarantee: any match >= w+k-1 chars shares a fingerprint)
+
+
+@query(
+    "doc_winnow_fingerprint",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - {WINNOW_K} + 2),
+                 i -> ('0x' || substr(md5(substring(t, i, {WINNOW_K})), 1, 8))::BIGINT) AS hs
+      FROM norm WHERE length(t) >= {WINNOW_K}),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                 j -> list_aggregate(hs[j:j+{WINNOW_W - 1}], 'min'))) AS fps
+      FROM grams WHERE len(hs) >= {WINNOW_W})
+    SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+    """,
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS local fingerprinting scheme; public literature, no code reused):
+    rolling char-{WINNOW_K}-gram hashes, minimum per sliding window of
+    {WINNOW_W}. Guarantee: any shared substring of length >=
+    {WINNOW_W + WINNOW_K - 1} chars yields a shared fingerprint — the
+    PARTIAL-overlap detector that whole-document md5 (doc_fingerprint)
+    cannot provide. Hashes are md5-prefix-derived so the DuckDB oracle is
+    bit-identical. Pure map + explode; the fingerprint inverted index
+    then powers copy-detection joins exactly like the shingle index."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    t = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm = d.select("doc_id", t.alias("t")).filter(F.length("t") >= WINNOW_K)
+    grams = norm.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length(t) - {WINNOW_K} + 1), "
+            f"i -> cast(conv(substring(md5(substring(t, i, {WINNOW_K})), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    # Relational winnowing: explode the gram hashes ONCE and take the
+    # sliding-window min as a window function. The nested-array form
+    # (transform over slice(hs, j, w)) re-evaluates the md5 transform per
+    # window position after projection collapse — O(len^2) md5 calls per
+    # document (measured: minutes vs seconds at sf0.01).
+    ex = grams.select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    mins = ex.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w_min).alias("fingerprint"),
+        F.count(F.lit(1)).over(w_doc).alias("n"),
+    )
+    return (
+        mins.filter(F.col("pos") <= F.col("n") - WINNOW_W)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

@@ -110,3 +110,32 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
         .limit(10)
     )
+
+
+@query(
+    "window_distribution",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per group: ntile buckets, percent_rank,
+    cume_dist — the quantile-bucketing shape (e.g. quality-score quartiles
+    per language when curating a corpus). One shuffle on the partition
+    key; ties broken by key so results are engine-portable."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

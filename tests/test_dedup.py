@@ -72,3 +72,38 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
     pref = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs_prefix(docs).collect()}
     assert plain == pref
     assert len(plain) > 0
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a substring of length >=
+    w + k - 1 share at least one fingerprint; unrelated docs don't."""
+    from structured_streaming_cassandra_sink_spark.operators.text import WINNOW_K, WINNOW_W
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha", "en", "s", 1),
+            (2, "totally different start " + shared + " and another end", "en", "s", 1),
+            (3, "zxqv wvut srqp onml kjih gfed cba nothing in common here", "en", "s", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.createOrReplaceTempView("t_winnow_docs")
+    import structured_streaming_cassandra_sink_spark.operators.text as textmod
+    from pyspark.sql import functions as F
+
+    # drive the registered query machinery on the in-memory docs
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    import unittest.mock as mock
+
+    with mock.patch(
+        "structured_streaming_cassandra_sink_spark.operators.text.load_table", return_value=docs
+    ):
+        fps = QUERIES["doc_winnow_fingerprint"](spark, "unused")
+        rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3]), "doc 3 unrelated"
