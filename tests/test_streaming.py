@@ -341,3 +341,34 @@ def test_streaming_funnel_equals_batch(spark, sf_dir, message_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_metrics_listener_captures_progress(spark, sf_dir, message_dir):
+    """The listener sees every micro-batch: total input rows across
+    batches == messages in the source, and state rows are reported for
+    the stateful aggregation."""
+    from structured_streaming_cassandra_sink_spark.streaming.monitor import MetricsCollector
+    from structured_streaming_cassandra_sink_spark.streaming.pipeline import streaming_tumbling
+
+    collector = MetricsCollector()
+    spark.streams.addListener(collector)
+    try:
+        q = streaming_tumbling(spark, message_dir, query_name="t_metrics")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener events are async — wait for the bus to drain
+        import time
+
+        deadline = time.time() + 30
+        n_msgs = spark.read.parquet(message_dir).count()
+        while time.time() < deadline:
+            if collector.total_input_rows("t_metrics") >= n_msgs:
+                break
+            time.sleep(0.5)
+        batches = [b for b in collector.batches if b.query_name == "t_metrics"]
+        assert collector.total_input_rows("t_metrics") == n_msgs
+        assert any(b.state_rows for b in batches), "stateful agg must report state size"
+    finally:
+        spark.streams.removeListener(collector)
