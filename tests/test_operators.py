@@ -113,3 +113,67 @@ def test_asof_join_semantics(spark):
     #   row 3 (a,1): nothing before -> null
     #   row 4 (b,3): right (b,9) is after -> null
     assert got == {1: 200, 2: 100, 3: None, 4: None}
+
+
+def test_custom_operators_handle_empty_inputs(spark):
+    """Empty frames flow through every custom operator without error."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from structured_streaming_cassandra_sink_spark.operators.relational import salted_join
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import asof_join
+    from structured_streaming_cassandra_sink_spark.plans.flagship import latest_per_key
+
+    empty_edges = spark.createDataFrame(
+        [], T.StructType([T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())])
+    )
+    assert connected_components(empty_edges).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())])
+    )
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert ngram_jaccard_pairs_prefix(empty_docs).count() == 0
+
+    left = spark.createDataFrame([("a", 1, 10)], ["k", "ts", "x"])
+    empty_right = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("p", T.LongType()),
+        ])
+    )
+    rows = asof_join(left, empty_right, "k", "ts", "ts", ["p"]).collect()
+    assert [(r.x, r.p) for r in rows] == [(10, None)]
+
+    dim = spark.createDataFrame([("a", "name_a")], ["k", "nm"])
+    empty_fact = spark.createDataFrame(
+        [], T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    )
+    assert salted_join(empty_fact, dim, "k", salts=2, salt_source="v").count() == 0
+
+    empty_events = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ])
+    )
+    assert latest_per_key(empty_events, "user_id", ["ts", "event_id"]).count() == 0
+
+
+def test_short_and_empty_documents(spark):
+    """Docs shorter than the shingle size produce no pairs but don't
+    break; cluster assignment still covers every doc (as singletons)."""
+    from structured_streaming_cassandra_sink_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "exactly three words here")],
+        ["doc_id", "text"],
+    )
+    assert ngram_jaccard_pairs(docs).count() == 0
