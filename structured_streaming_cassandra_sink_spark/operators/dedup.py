@@ -21,9 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textfns import fingerprint, tokens, word_shingles
+from ..functions.textfns import fingerprint, tokens
 from ..plans.registry import query
-from ..sources import load_table
+from ..sources import load_table, spread
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
@@ -49,7 +49,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized fingerprint: keep the lowest doc_id per
     identical text. groupBy on a 128-bit key — one shuffle, fully
     scalable (this exact shape dedups petabyte crawls)."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     return (
         d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
         .groupBy("fp")
@@ -60,28 +60,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. Exact n-gram Jaccard via inverted-index join
 # ---------------------------------------------------------------------------
+def shingle_rows(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle) distinct word n-gram rows.
+
+    CRITICAL plan shape: explode POSITIONS, then build each shingle per
+    exploded row. Exploding an inline-computed array
+    (``explode(transform(...))``) makes Generate re-evaluate the
+    producing expression per OUTPUT row — O(shingles²) work per document
+    (measured 40x on this path). Position-explode keeps it linear;
+    exploding a materialized attribute (post-aggregation/exchange) is
+    equally safe."""
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    ex = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(f"sequence(1, size(toks) - {n - 1})")).alias("i"),
+    )
+    return ex.select(
+        "doc_id", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("shingle")
+    ).distinct()
+
+
 def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, shingles array<string>, sz) — distinct word n-grams per doc."""
-    return docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
-    ).withColumn("sz", F.size("shingles"))
+    """(doc_id, shingles array<string>, sz) — distinct word n-grams per doc,
+    materialized through an aggregation (safe to explode downstream)."""
+    return (
+        shingle_rows(docs, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+        .withColumn("sz", F.size("shingles"))
+    )
 
 
 def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     """(doc_id, shingle, sz) exploded inverted index; sz = |shingle set|.
-
-    The shingle array is consumed by exactly one projection (the explode):
-    referencing it twice (size + explode in one select) makes Catalyst's
-    collapsed projection evaluate the transform() twice — measured 3x
-    slower. sz instead comes from a count window over the exploded rows
-    (shingles are distinct per doc), whose doc_id partitioning is then
-    reused by downstream groupBy(doc_id) consumers with no extra shuffle.
-    """
+    sz comes from a count window over the distinct shingle rows; the
+    window's doc_id partitioning is reused by downstream groupBy(doc_id)
+    consumers with no extra shuffle."""
     from pyspark.sql import Window
 
-    arr = docs.select("doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles"))
-    ex = arr.select("doc_id", F.explode("shingles").alias("shingle"))
-    return ex.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    sh = shingle_rows(docs, n)
+    return sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
 
 
 def _verify_candidates(
@@ -227,7 +247,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5). The
     oracle brute-forces all pairs; the Spark plan uses the inverted-index
     join — same answer, scalable shape."""
-    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir))
+    return ngram_jaccard_pairs(spread(load_table(spark, "documents", sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -238,10 +258,7 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, n: int = NGRAM_N) ->
     xxhash64 functions — the classic permutation-family approximation.
     Single explode + one groupBy with k min() aggregates (map-side
     partials make this one linear pass)."""
-    arr = docs.select("doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles"))
-    sh = arr.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
-        "h", F.xxhash64("shingle")
-    )
+    sh = shingle_rows(docs, n).withColumn("h", F.xxhash64("shingle"))
     # Seed family over the PRE-HASHED long: xxhash64(seed, h) mixes a long
     # pair — k cheap long hashes per shingle instead of k string
     # concat+hash passes (the string form measured ~10x the map time).
@@ -296,7 +313,7 @@ def minhash_lsh_pairs(
 @query("dedup_near_minhash")  # rows-only: LSH banding is probabilistic machinery;
 # exact-recall equivalence vs dedup_ngram_jaccard is pinned in tests/test_dedup.py
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir))
+    return minhash_lsh_pairs(spread(load_table(spark, "documents", sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -377,7 +394,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 @query("dedup_simhash")  # rows-only: sketch values are hash-function-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, "documents", sf_dir))
+    return simhash_pairs(spread(load_table(spark, "documents", sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -461,7 +478,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a crawl dedup pass: keep rows where doc_id == cluster_id.
 
     Oracle: DuckDB recursive CTE computes the same transitive closure."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     pairs = ngram_jaccard_pairs(docs)
     comp = connected_components(pairs, "doc_a", "doc_b")
     return docs.select("doc_id").join(

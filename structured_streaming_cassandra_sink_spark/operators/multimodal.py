@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectorfns import as_double, dot, norm
 from ..plans.registry import query
-from ..sources import load_table
+from ..sources import load_table, spread
 
 REAL_DECODERS_AVAILABLE = False  # flip when PIL/soundfile etc. are installed
 
@@ -96,7 +96,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.files.maxPartitionBytes."""
     import pandas as pd
 
-    media = make_media(load_table(spark, "documents", sf_dir))
+    media = make_media(spread(load_table(spark, "documents", sf_dir)))
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,7 +131,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    media = make_media(load_table(spark, "documents", sf_dir)).filter(
+    media = make_media(spread(load_table(spark, "documents", sf_dir))).filter(
         F.col("kind") == "video"
     )
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectorfns import as_double, cosine, dot, norm
 from ..plans.registry import query
-from ..sources import load_table
+from ..sources import load_table, spread
 
 N_QUERIES = 5      # vec_id < 5 are the probe vectors
 TOP_K = 10
@@ -35,7 +35,7 @@ COS_THRESHOLD = 0.4
 
 
 def _corpus_and_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = spread(load_table(spark, "embeddings", sf_dir))
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -137,18 +137,18 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_planes = [_planes(table=t) for t in range(LSH_TABLES)]
 
     def with_sigs(df: DataFrame, vec_col: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    hyperplane_signature(as_double(F.col(vec_col)), planes).alias("sig"),
-                )
-                for t, planes in enumerate(all_planes)
-            ]
+        # Explode the TABLE ID, then pick that table's signature with a
+        # lazy CASE — exploding an inline array of all L signature structs
+        # makes Generate re-evaluate every signature per output row (L×
+        # waste; see operators/dedup.py shingle_rows for the same rule).
+        ex = df.select(
+            "*", F.explode(F.array(*[F.lit(t) for t in range(len(all_planes))])).alias("t")
         )
-        return df.select("*", F.explode(sigs).alias("ts")).select(
-            *df.columns, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
-        )
+        sig = None
+        for t, planes in enumerate(all_planes):
+            s = hyperplane_signature(as_double(F.col(vec_col)), planes)
+            sig = F.when(F.col("t") == t, s) if sig is None else sig.when(F.col("t") == t, s)
+        return ex.select(*df.columns, "t", sig.alias("sig"))
 
     csig = with_sigs(corpus, "embedding")
     qsig = with_sigs(queries_df, "qvec")
@@ -182,7 +182,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join keys the shuffle, so the pairwise product happens only
     inside blocks — the blocked/banded pattern that replaces O(n²) at
     scale (with LSH signatures as blocks when no natural key exists)."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = spread(load_table(spark, "embeddings", sf_dir))
     # Per-row norm precompute: the pairwise stage does ONE dot fold per
     # pair instead of three (dot + both norms) — measured ~8x on the
     # blocked self-join. Same fold order, so values are bit-identical.

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import fingerprint, tokens
 from ..plans.registry import query
-from ..sources import load_table
+from ..sources import load_table, spread
 
 # Shared token regex for "BPE-ish" counting: letter runs, digit runs, or
 # single non-space symbols. ASCII-only so Java regex (Spark) and RE2
@@ -91,7 +91,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex tokenizer (BPE-ish pre-tokenization shape: letter runs /
     digit runs / single symbols) aggregated per source — the "how many
     tokens am I buying from this source" query."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     n = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
     return d.groupBy("source").agg(
         F.sum(n).alias("total_tokens"),
@@ -213,27 +213,32 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     then powers copy-detection joins exactly like the shingle index."""
     from pyspark.sql import Window
 
-    d = load_table(spark, "documents", sf_dir)
+    d = spread(load_table(spark, "documents", sf_dir))
     t = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     norm = d.select("doc_id", t.alias("t")).filter(F.length("t") >= WINNOW_K)
-    grams = norm.select(
+    # Position-explode, then hash per exploded row: exploding an
+    # inline-built hash ARRAY makes Generate re-evaluate the whole
+    # transform per output row — O(len^2) md5 calls per document
+    # (measured ~40x slower on this exact path).
+    ex = norm.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(1, length(t) - {WINNOW_K} + 1), "
-            f"i -> cast(conv(substring(md5(substring(t, i, {WINNOW_K})), 1, 8), 16, 10) AS BIGINT))"
-        ).alias("hs"),
+        "t",
+        F.posexplode(F.expr(f"sequence(1, length(t) - {WINNOW_K} + 1)")).alias(
+            "pos", "i"
+        ),
     )
-    # Relational winnowing: explode the gram hashes ONCE and take the
-    # sliding-window min as a window function. The nested-array form
-    # (transform over slice(hs, j, w)) re-evaluates the md5 transform per
-    # window position after projection collapse — O(len^2) md5 calls per
-    # document (measured: minutes vs seconds at sf0.01).
-    ex = grams.select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    grams = ex.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(substring(md5(substring(t, i, {WINNOW_K})), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
     w_min = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
     )
     w_doc = Window.partitionBy("doc_id")
-    mins = ex.select(
+    mins = grams.select(
         "doc_id",
         "pos",
         F.min("h").over(w_min).alias("fingerprint"),

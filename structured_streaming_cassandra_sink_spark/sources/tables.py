@@ -57,3 +57,21 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Restore parallelism for small single-file inputs feeding
+    compute-heavy per-row operators (shingling, per-gram hashing,
+    vector math, pandas-UDF decode).
+
+    A parquet file with one row group arrives as ONE partition no matter
+    what spark.sql.files.maxPartitionBytes says — so without this, a
+    32-core local run (or a 1000-core cluster reading a consolidated
+    small dimension) does all its per-row work on one core. No-op when
+    the input is already at least default-parallelism wide, so at real
+    scale (many files / row groups) it costs nothing; below that, one
+    tiny round-robin shuffle buys full fan-out."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
