@@ -438,3 +438,85 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): quantity by return flag x line status. Spark
+    plans pivot as a single aggregate with one conditional sum per pivot
+    value — explicit values list (no extra distinct-scan job) keeps it a
+    one-pass map-side partial agg at scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+    )
+
+
+@query(
+    "unpivot_melt",
+    """
+    SELECT o_orderkey, metric, round(val, 4) AS val
+    FROM (
+      SELECT o_orderkey,
+             round(o_totalprice, 4)          AS totalprice,
+             CAST(o_custkey AS DOUBLE)       AS custkey
+      FROM orders)
+    UNPIVOT (val FOR metric IN (totalprice, custkey))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long, a.k.a. melt): one row per (key, metric).
+    Spark plans this as Expand — each input row emits N output rows
+    map-side, no shuffle at all."""
+    o = load_table(spark, "orders", sf_dir)
+    wide = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 4).alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        "o_orderkey", ["totalprice", "custkey"], "metric", "val"
+    ).select("o_orderkey", "metric", F.round("val", 4).alias("val"))
+
+
+@query(
+    "map_ops",
+    """
+    SELECT user_id, event_type, n
+    FROM (SELECT user_id, event_type, count(*) AS n
+          FROM events GROUP BY user_id, event_type)
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user counts packed into a
+    map<event_type, n> (map_from_entries over collect_list) and exploded
+    back to rows. Exercises map build/explode machinery; the explode is
+    of a post-aggregation ATTRIBUTE, which is the safe explode shape
+    (see dedup.shingle_rows). Oracle is the flat GROUP BY the map
+    round-trips to."""
+    e = load_table(spark, "events", sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n")
+    )

@@ -117,3 +117,67 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
     )
+
+
+@query(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group (both engines use
+    the same type-7 interpolation). Exact percentile sorts each group's
+    values — use approx_quantiles at 100 TB unless the group count is
+    huge and groups small; kept for parity testing of the approx
+    variant."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_extendedprice, {q})"), 4
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+@query(
+    "conditional_agg",
+    """
+    SELECT o_orderpriority,
+           count(*)                                                  AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F')               AS n_finished,
+           round(sum(CASE WHEN o_totalprice > 200000
+                          THEN o_totalprice ELSE 0 END), 4)          AS big_rev,
+           round(avg(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice END), 4)                 AS avg_open_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation battery: count_if / filtered sums /
+    null-skipping conditional avg — one pass, all map-side partial."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("big_rev"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 4
+        ).alias("avg_open_price"),
+    )
