@@ -89,32 +89,30 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_signature(vec, planes: list[list[float]]):
+def hyperplane_signature(vec_col: str, planes: list[list[float]]):
     """Sign-bit signature: bit p = (vec . plane_p) >= 0. Planes are a
-    deterministic driver-side constant (seeded numpy), shipped as a
-    literal — at scale they'd be a broadcast variable; 12 planes = 4096
-    buckets."""
-    # Higher-order fold, NOT the unrolled form used elsewhere: unrolling
-    # n_tables x n_planes x dim literal terms into one projection makes
-    # codegen compile a multi-MB class and OOMs a default-heap driver.
-    # The fold keeps the expression tree O(planes), and signature cost is
-    # a one-off linear pass over the corpus anyway.
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    deterministic driver-side constant (seeded numpy), shipped as
+    literals — at scale they'd be a broadcast variable; 12 planes = 4096
+    buckets.
+
+    Two deliberate shape choices, both measured:
+    - the dot is a higher-order FOLD (unrolling tables x planes x dim
+      literal terms OOMs codegen under a default-heap driver);
+    - the whole signature is ONE SQL string handed to F.expr — building
+      it from per-literal Column objects costs thousands of py4j round
+      trips and dominated wall time as driver-side plan construction.
+    """
+    def plane_dot(p: list[float]) -> str:
+        arr = ",".join(f"{x!r}D" for x in p)
+        return (
+            f"aggregate(zip_with(cast({vec_col} AS array<double>), array({arr}), "
+            f"(a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+        )
+
+    bits = " + ".join(
+        f"IF({plane_dot(p)} >= 0, {1 << i}, 0)" for i, p in enumerate(planes)
+    )
+    return F.expr(bits)
 
 
 def _planes(dim: int = 64, n: int = LSH_PLANES, table: int = 0) -> list[list[float]]:
@@ -146,7 +144,7 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sig = None
         for t, planes in enumerate(all_planes):
-            s = hyperplane_signature(as_double(F.col(vec_col)), planes)
+            s = hyperplane_signature(vec_col, planes)
             sig = F.when(F.col("t") == t, s) if sig is None else sig.when(F.col("t") == t, s)
         return ex.select(*df.columns, "t", sig.alias("sig"))
 
