@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import fingerprint, tokens
 from ..plans.registry import query
-from ..sources import load_table
+from ..sources import load_table, spread
 
 TRAIN_PCT = 90   # buckets [0,90) -> train
 VAL_PCT = 5      # [90,95) -> val, [95,100) -> test
@@ -189,3 +189,97 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("fp"))
     fresh = batch.join(hist, "fp", "left_anti")
     return fresh.groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+
+
+CHUNK_TOKENS = 64     # tokens per training chunk
+CHUNK_OVERLAP = 16    # tokens shared between consecutive chunks
+PACK_BUDGET = 512     # tokens per packed training sequence
+
+
+@query(
+    "doc_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - {CHUNK_OVERLAP}, 1),
+                          {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+      FROM toks)
+    SELECT doc_id,
+           CAST(start / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_id,
+           len(t[start + 1 : least(start + {CHUNK_TOKENS}, len(t))]) AS n_tokens,
+           array_to_string(list_slice(t, start + 1,
+                     least(start + {CHUNK_TOKENS}, len(t))), ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping {CHUNK_TOKENS}-token windows
+    with stride {CHUNK_TOKENS - CHUNK_OVERLAP} — the doc->training-sample
+    op of a pretraining pipeline. Position-explode then slice per row
+    (the linear explode shape; see dedup.shingle_rows). Pure map, no
+    shuffle; at 100 TB this runs as fast as the text can be read."""
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    d = spread(load_table(spark, "documents", sf_dir))
+    base = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    ex = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr(f"sequence(0, greatest(size(t) - {CHUNK_OVERLAP} - 1, 0), {stride})")
+        ).alias("start"),
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("start") / stride).cast("bigint").alias("chunk_id"),
+        F.expr(
+            f"size(slice(t, start + 1, least({CHUNK_TOKENS}, size(t) - start)))"
+        ).alias("n_tokens"),
+        F.expr(
+            f"array_join(slice(t, start + 1, least({CHUNK_TOKENS}, size(t) - start)), ' ')"
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM sized)
+    SELECT pack_id,
+           count(*)      AS n_docs,
+           sum(n_tokens) AS pack_tokens
+    FROM packed GROUP BY pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: documents in doc_id order are
+    binned by running token count into ~{PACK_BUDGET}-token packs
+    (cumulative-sum div budget). Order-based packing is the
+    shuffle-friendly form — true first-fit-decreasing is sequential and
+    cannot scale-out; this form needs one global-ordered window, which at
+    100 TB becomes a range-partitioned prefix sum over per-partition
+    subtotals (same result, two passes)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    sized = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

@@ -115,14 +115,22 @@ def start_to_sink(
     checkpoint_dir: str,
     query_name: str = "KafkaToSinkForeachBatch",
     output_mode: str = "update",
+    available_now: bool = False,
 ):
     """writeStream wiring shared by all sinks — mirrors the reference's
     lifecycle (queryName/outputMode/start, cassandra_sink.scala:122-127)
-    with per-query checkpointing (modern form of the global conf at :50)."""
-    return (
+    with per-query checkpointing (modern form of the global conf at :50).
+
+    ``available_now=True`` runs in catch-up mode (Trigger.AvailableNow):
+    process everything currently available in rate-limited micro-batches,
+    then STOP — the backfill/cron form of the same pipeline, sharing the
+    checkpoint with the continuous form."""
+    writer = (
         transformed.writeStream.queryName(query_name)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(sink_fn)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

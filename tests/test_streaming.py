@@ -372,3 +372,47 @@ def test_metrics_listener_captures_progress(spark, sf_dir, message_dir):
         assert any(b.state_rows for b in batches), "stateful agg must report state size"
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_available_now_catchup_then_stop(spark, sf_dir, message_dir, tmp_path):
+    """Trigger.AvailableNow: drains everything present, terminates on its
+    own, and a later continuous run resumes from the same checkpoint
+    without reprocessing (end state == batch)."""
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        parquet_epoch_append_sink,
+        start_to_sink,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        file_message_stream,
+        parse_message_stream,
+    )
+
+    sink_dir = str(tmp_path / "an_sink")
+    ckpt = str(tmp_path / "an_ckpt")
+    messages = file_message_stream(spark, message_dir, max_files_per_trigger=2)
+    parsed = parse_message_stream(messages)
+    q = start_to_sink(
+        parsed,
+        parquet_epoch_append_sink(sink_dir),
+        ckpt,
+        query_name="t_available_now",
+        output_mode="append",
+        available_now=True,
+    )
+    assert q.awaitTermination(120), "AvailableNow query must self-terminate"
+    events = load_table(spark, "events", sf_dir)
+    assert spark.read.parquet(sink_dir).count() == events.count()
+    # resume continuously from the same checkpoint: nothing new to do,
+    # state unchanged
+    q2 = start_to_sink(
+        parsed,
+        parquet_epoch_append_sink(sink_dir),
+        ckpt,
+        query_name="t_available_now_resume",
+        output_mode="append",
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(sink_dir).count() == events.count()
