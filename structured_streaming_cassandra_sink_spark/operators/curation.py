@@ -265,19 +265,16 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned by running token count into ~{PACK_BUDGET}-token packs
     (cumulative-sum div budget). Order-based packing is the
     shuffle-friendly form — true first-fit-decreasing is sequential and
-    cannot scale-out; this form needs one global-ordered window, which at
-    100 TB becomes a range-partitioned prefix sum over per-partition
-    subtotals (same result, two passes)."""
-    from pyspark.sql import Window
+    cannot scale-out. The running sum is the DISTRIBUTED two-pass prefix
+    scan (operators/timeseries.py:running_total), not a single-partition
+    global window; equality between the two is pinned in tests."""
+    from .timeseries import running_total
 
     d = load_table(spark, "documents", sf_dir)
     sized = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = sized.withColumn(
+    packed = running_total(sized, "doc_id", "n_tokens", "rt").withColumn(
         "pack_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast(
-            "bigint"
-        ),
+        F.floor((F.col("rt") - F.col("n_tokens")) / PACK_BUDGET).cast("bigint"),
     )
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -160,3 +160,49 @@ def join_interval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.round(minutes, 4).alias("minutes_between"),
     )
+
+
+def running_total(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: running total of ``value_col`` in global
+    ``order_col`` order WITHOUT a single-partition window.
+
+    Classic two-pass scan: range-partition by the order column, cumsum
+    within each partition, then add each partition's broadcast offset
+    (the sum of all earlier partitions). Identical results to
+    ``Window.orderBy(order_col)`` — which Spark executes on ONE partition
+    and therefore cannot scale — at the cost of one range exchange and a
+    tiny driver collect of per-partition subtotals."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both passes
+    subtotals = (
+        ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum")).collect()
+    )
+    totals = sorted((r["__pid"], r["__psum"] or 0) for r in subtotals)
+    offsets, acc = {}, 0
+    for pid, psum in totals:
+        offsets[pid] = acc
+        acc += psum
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(out_col, F.sum(value_col).over(w) + offset_col)
+        .drop("__pid")
+    )

@@ -177,3 +177,24 @@ def test_short_and_empty_documents(spark):
         ["doc_id", "text"],
     )
     assert ngram_jaccard_pairs(docs).count() == 0
+
+
+def test_running_total_matches_global_window(spark, sf_dir):
+    """Two-pass distributed prefix sum == single-partition global window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import running_total
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    got = {
+        r.o_orderkey: round(r.rt, 2)
+        for r in running_total(o, "o_orderkey", "o_totalprice", "rt").collect()
+    }
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.o_orderkey: round(r.rt, 2)
+        for r in o.withColumn("rt", F.sum("o_totalprice").over(w)).collect()
+    }
+    assert got == want
