@@ -15,22 +15,6 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
-
-    Built with transform(sequence(...)) — a generator expression, not a
-    UDF. Docs shorter than n tokens yield an empty array (sequence() would
-    otherwise produce a DESCENDING range — guarded).
-    """
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(make)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. md5 is bit-identical across engines (unlike

@@ -15,7 +15,7 @@ Three shapes:
 All dot products are Catalyst higher-order functions in DOUBLE (see
 functions/vectorfns.py) — reproducible vs the oracle and JVM-side. A
 pandas-UDF batched-matmul variant exists for the genuinely compute-bound
-case (`cosine_topk_pandas`), used by the `udf_surface` query.
+case (the `udf_surface` query below).
 """
 
 from __future__ import annotations
@@ -92,8 +92,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hyperplane_signature(vec_col: str, planes: list[list[float]]):
     """Sign-bit signature: bit p = (vec . plane_p) >= 0. Planes are a
     deterministic driver-side constant (seeded numpy), shipped as
-    literals — at scale they'd be a broadcast variable; 12 planes = 4096
-    buckets.
+    literals — at scale they'd be a broadcast variable.
 
     Two deliberate shape choices, both measured:
     - the dot is a higher-order FOLD (unrolling tables x planes x dim
