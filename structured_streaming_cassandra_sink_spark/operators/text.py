@@ -249,3 +249,66 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
         .distinct()
     )
+
+
+@query(
+    "text_clean",
+    """
+    WITH dirty AS (
+      SELECT doc_id, text,
+             '<p id="' || doc_id || '">' || text ||
+             '</p>' || chr(10) || '&amp; <br/>&lt;tail&gt;' AS raw
+      FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(
+               regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '\\s+', ' ', 'g')) AS clean_text,
+           trim(regexp_replace(
+             replace(replace(replace(
+               regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '\\s+', ' ', 'g')) = (text || ' & <tail>') AS roundtrip_ok
+    FROM dirty
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup stripping — the first stage of any crawl-text
+    pipeline: tag removal, entity decoding, whitespace normalization.
+    The query deterministically WRAPS each doc in markup and then cleans
+    it, so the oracle verifies the cleaning logic itself (roundtrip_ok
+    must be true for every row). All regex/replace — map-side, no
+    shuffle, sargable."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    raw = F.concat(
+        F.lit('<p id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit("</p>\n&amp; <br/>&lt;tail&gt;"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.regexp_replace(raw, "<[^>]*>", " "),
+                        F.lit("&amp;"),
+                        F.lit("&"),
+                    ),
+                    F.lit("&lt;"),
+                    F.lit("<"),
+                ),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (cleaned == F.concat(F.col("text"), F.lit(" & <tail>"))).alias("roundtrip_ok"),
+    )

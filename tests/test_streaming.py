@@ -416,3 +416,36 @@ def test_available_now_catchup_then_stop(spark, sf_dir, message_dir, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(sink_dir).count() == events.count()
+
+
+def test_rocksdb_state_store_backend(spark, message_dir):
+    """The production state backend (RocksDB provider, bundled with
+    Spark) runs the watermarked tumbling aggregation and matches the
+    batch twin — state semantics are provider-independent."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = streaming_tumbling(spark, message_dir, query_name="t_rocksdb")
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+                for r in spark.sql("SELECT * FROM t_rocksdb").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    want = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_agg(_batch_parsed(spark, message_dir)).collect()
+    }
+    assert got == want
