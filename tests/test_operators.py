@@ -198,3 +198,34 @@ def test_running_total_matches_global_window(spark, sf_dir):
         for r in o.withColumn("rt", F.sum("o_totalprice").over(w)).collect()
     }
     assert got == want
+
+
+def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
+    """Shard writes: stable hash assignment (two writes identical),
+    content-complete, one file per shard dir, sorted within each file."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+    from structured_streaming_cassandra_sink_spark.sources.shards import write_training_shards
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, n_shards=4, key="doc_id")
+    write_training_shards(docs.orderBy(F.rand(7)), p2, n_shards=4, key="doc_id")
+
+    dirs1 = sorted(glob.glob(p1 + "/shard=*"))
+    assert [d.split("=")[-1] for d in dirs1] == ["0", "1", "2", "3"]
+    back = spark.read.parquet(p1)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    for d in dirs1:
+        files = glob.glob(d + "/part-*")
+        assert len(files) == 1, d
+        ids = [r.doc_id for r in spark.read.parquet(files[0]).collect()]
+        assert ids == sorted(ids), d
+        # determinism: same doc set in the same shard regardless of input order
+        twin = d.replace(p1, p2)
+        ids2 = {r.doc_id for r in spark.read.parquet(twin).collect()}
+        assert set(ids) == ids2, d
