@@ -312,3 +312,54 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned.alias("clean_text"),
         (cleaned == F.concat(F.col("text"), F.lit(" & <tail>"))).alias("roundtrip_ok"),
     )
+
+
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_URL_RE = "https?://[^ ]+"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH dirty AS (
+      SELECT doc_id, text,
+             text || ' contact user' || doc_id || '@example.com or http://site'
+                  || doc_id || '.example/page?id=' || doc_id AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{PII_URL_RE}', '<URL>', 'g'),
+                          '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed,
+           regexp_replace(regexp_replace(raw, '{PII_URL_RE}', '<URL>', 'g'),
+                          '{PII_EMAIL_RE}', '<EMAIL>', 'g')
+             = (text || ' contact <EMAIL> or <URL>') AS scrub_ok
+    FROM dirty
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — emails and URLs replaced with typed placeholders,
+    the compliance pass of a training-data pipeline. Deterministic
+    synthetic PII is appended per doc so the oracle verifies the
+    scrubbing logic itself (scrub_ok must be true everywhere). Patterns
+    are ASCII-only so Java regex (Spark) and RE2 (DuckDB) agree.
+    Map-side, no shuffle; real deployments chain more patterns (phone,
+    SSN, IP) through the same shape."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or http://site"),
+        F.col("doc_id").cast("string"),
+        F.lit(".example/page?id="),
+        F.col("doc_id").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, PII_URL_RE, "<URL>"), PII_EMAIL_RE, "<EMAIL>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (scrubbed == F.concat(F.col("text"), F.lit(" contact <EMAIL> or <URL>"))).alias(
+            "scrub_ok"
+        ),
+    )
