@@ -449,3 +449,36 @@ def test_rocksdb_state_store_backend(spark, message_dir):
         for r in tumbling_agg(_batch_parsed(spark, message_dir)).collect()
     }
     assert got == want
+
+
+def test_streaming_curation_converges_to_batch(spark, sf_dir, tmp_path):
+    """The streaming curation pipeline's corpus == the batch curation
+    expressions on the same documents (quality-gated, exact-deduped
+    keeping the lowest doc_id per fingerprint)."""
+    from structured_streaming_cassandra_sink_spark.streaming.curation_stream import (
+        curate,
+        docs_to_messages,
+        streaming_curation,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    src = str(tmp_path / "doc_messages")
+    docs_to_messages(docs).repartition(3).write.mode("overwrite").parquet(src)
+    sink_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "cur_ckpt")
+    q = streaming_curation(spark, src, sink_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.fp: (r.doc_id, r.quality)
+        for r in spark.read.parquet(sink_dir).collect()
+    }
+    batch = curate(docs.select("doc_id", "text", "lang", "source"))
+    want = {}
+    for r in batch.collect():
+        if r.fp not in want or r.doc_id < want[r.fp][0]:
+            want[r.fp] = (r.doc_id, r.quality)
+    assert got == want
+    assert len(want) > 0
