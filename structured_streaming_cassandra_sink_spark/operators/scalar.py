@@ -181,3 +181,31 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 4
         ).alias("avg_open_price"),
     )
+
+
+@query("groupwise_zscore_pandas")  # rows-only: pandas float accumulation
+# order differs from SQL engines below the rounding grid; Catalyst-window
+# equivalence (1e-9) is pinned in tests/test_operators.py
+def groupwise_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map) surface: per-event-type z-score of
+    `value`, each group normalized as one vectorized pandas frame. The
+    third pandas API next to mapInPandas (multimodal) and
+    applyInPandasWithState (streaming state): grouped-map reshuffles by
+    the key and hands each COMPLETE group to python — use only when the
+    group math genuinely needs a dataframe library (here it doesn't;
+    the window-function form is the production path, this pins the
+    plumbing)."""
+    import pandas as pd
+
+    events = load_table(spark, "events", sf_dir)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - pdf["value"].mean()) / std if std else 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z}
+        )
+
+    return events.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(zscore, "event_id long, event_type string, z double")

@@ -229,3 +229,26 @@ def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
         twin = d.replace(p1, p2)
         ids2 = {r.doc_id for r in spark.read.parquet(twin).collect()}
         assert set(ids) == ids2, d
+
+
+def test_applyinpandas_zscore_matches_window_form(spark, sf_dir):
+    """Grouped-map pandas z-score == Catalyst window z-score (1e-9)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    got = {r.event_id: r.z for r in QUERIES["groupwise_zscore_pandas"](spark, sf_dir).collect()}
+    w = Window.partitionBy("event_type")
+    events = load_table(spark, "events", sf_dir)
+    want_df = events.select(
+        "event_id",
+        (
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+        ).alias("z"),
+    )
+    want = {r.event_id: r.z for r in want_df.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k

@@ -482,3 +482,41 @@ def test_streaming_curation_converges_to_batch(spark, sf_dir, tmp_path):
             want[r.fp] = (r.doc_id, r.quality)
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_static_join(spark, sf_dir, message_dir):
+    """Stream-static join: the event stream enriched with a static
+    dimension (per-type average value, computed batch-side) — output
+    equals the batch join. The static side is re-read per micro-batch by
+    Structured Streaming; no watermark needed."""
+    events_static = load_table(spark, "events", sf_dir)
+    dim = events_static.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("type_avg")
+    )
+    messages = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 2
+    ).parquet(message_dir)
+    enriched = parse_message_stream(messages).join(dim, "event_type").select(
+        "event_id", "event_type", "type_avg"
+    )
+    q = (
+        enriched.writeStream.queryName("t_stream_static")
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_id, r.event_type): r.type_avg
+            for r in spark.sql("SELECT * FROM t_stream_static").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.event_id, r.event_type): r.type_avg
+        for r in events_static.join(dim, "event_type")
+        .select("event_id", "event_type", "type_avg")
+        .collect()
+    }
+    assert got == want
