@@ -520,3 +520,42 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "user_id", F.explode("type_counts").alias("event_type", "n")
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH e AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 7 = 0 THEN NULL
+                           ELSE event_type END AS et
+               FROM events),
+         d AS (SELECT DISTINCT CASE WHEN event_id % 7 = 0 THEN NULL
+                                    ELSE event_type END AS et,
+                      count(*) AS n
+               FROM events
+               GROUP BY 1)
+    SELECT e.event_id, e.et, d.n
+    FROM e JOIN d ON e.et IS NOT DISTINCT FROM d.et
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics dimension regular
+    equi-joins silently drop. Spark plans <=> as a hash join key (null
+    becomes an ordinary key value), so this costs the same as = at
+    scale; a synthetic NULL stripe (event_id % 7) exercises it."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+    )
+    d = (
+        e.groupBy("et")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("et").alias("det"), "n")
+    )
+    return e.join(d, F.col("et").eqNullSafe(F.col("det"))).select(
+        "event_id", "et", "n"
+    )

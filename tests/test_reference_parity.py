@@ -88,3 +88,37 @@ def test_latest_per_key_upsert_semantics(spark):
     )
     out = {r.k: r.v for r in latest_per_key(df, "k", ["ts"]).collect()}
     assert out == {"EUR/GBP": "c", "USD/CHF": "x"}
+
+
+def test_kafka_envelope_binary_value_parse(spark):
+    """The production parse path takes Kafka's BINARY value column
+    (cassandra_sink.scala:113 casts it to string). A batch frame with the
+    exact Kafka envelope schema runs the same chain end-to-end."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from structured_streaming_cassandra_sink_spark.streaming.sources import parse_message_stream
+
+    envelope = T.StructType(
+        [
+            T.StructField("key", T.BinaryType(), True),
+            T.StructField("value", T.BinaryType(), True),
+            T.StructField("topic", T.StringType(), True),
+            T.StructField("partition", T.IntegerType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("timestampType", T.IntegerType(), True),
+        ]
+    )
+    payload = (
+        '{"event_id": 1, "ts": "2024-01-01T00:00:00.000000Z", "user_id": 3,'
+        ' "event_type": "view", "value": 1.0, "props": null}\n'
+        '{"event_id": 2, "ts": "2024-01-01T00:01:00.000000Z", "user_id": 4,'
+        ' "event_type": "click", "value": 2.0, "props": null}'
+    )
+    kafka_like = spark.createDataFrame(
+        [(None, payload.encode("utf-8"), "events", 0, 42, None, 0)], envelope
+    )
+    parsed = parse_message_stream(kafka_like)
+    rows = sorted((r.event_id, r.event_type) for r in parsed.collect())
+    assert rows == [(1, "view"), (2, "click")]
