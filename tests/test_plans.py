@@ -98,3 +98,46 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_asof_join_no_range_explosion(spark, sf_dir):
+    """As-of join plans as union + single window — no BroadcastNestedLoop
+    or cartesian product anywhere."""
+    plan = _plan(spark, sf_dir, "join_asof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_interval_funnel_equi_join_drives_shuffle(spark, sf_dir):
+    """The funnel's time condition must be a residual on an EQUI join
+    (user_id), never a nested-loop over all pairs."""
+    plan = _plan(spark, sf_dir, "join_interval_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_unpivot_is_expand(spark, sf_dir):
+    """Unpivot plans as map-side Expand (N output rows per input row,
+    no shuffle)."""
+    plan = _plan(spark, sf_dir, "unpivot_melt")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """Pivot with an explicit values list is one aggregate — no extra
+    distinct-scan job, no join."""
+    plan = _plan(spark, sf_dir, "pivot_agg")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_salted_join_carries_salt_key(spark, sf_dir):
+    """The salted join's shuffle key includes the salt column."""
+    plan = _plan(spark, sf_dir, "join_skew_salted")
+    assert "__salt" in plan
