@@ -420,8 +420,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # pair-generation pipeline that produced `edges`.
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    # Min-propagation is monotone (labels only decrease), so the sum of
+    # labels is a fixpoint witness: unchanged sum == converged. One cheap
+    # aggregate per round instead of a join-based diff.
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
-        labels = labels.localCheckpoint(eager=True)
         prop = (
             sym.join(labels, "node")
             .select(F.col("nbr").alias("node"), "comp")
@@ -429,17 +433,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        prop = prop.localCheckpoint(eager=True)
-        changed = (
-            labels.alias("o")
-            .join(prop.alias("p"), "node")
-            .filter(F.col("o.comp") != F.col("p.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
-        if changed == 0:
+        labels = prop.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
