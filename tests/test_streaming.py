@@ -520,3 +520,55 @@ def test_stream_static_join(spark, sf_dir, message_dir):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The positive late-data contract: with a tight watermark, an event
+    older than (max seen - delay) arriving in a LATER batch is dropped
+    from append-mode aggregation output."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+
+    def write_batch(rows, mode):
+        pdf = pd.DataFrame({"value": rows})
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(src)
+
+    def ev(eid, ts, v):
+        return (
+            f'{{"event_id": {eid}, "ts": "{ts}", "user_id": 1,'
+            f' "event_type": "x", "value": {v}, "props": null}}'
+        )
+
+    # batch 1: events at 10:00 and 12:00 -> watermark advances to 11:50
+    write_batch([ev(1, "2024-01-01T10:00:00.000000Z", 1.0)
+                 + "\n" + ev(2, "2024-01-01T12:00:00.000000Z", 2.0)], "overwrite")
+    messages = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    events = parse_message_stream(messages).withWatermark("ts", "10 minutes")
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.queryName("t_late").outputMode("append").format("memory").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event at 10:30 (behind the 11:50 watermark) and a
+        # fresh one at 13:00 to advance time further
+        write_batch([ev(3, "2024-01-01T10:30:00.000000Z", 3.0)
+                     + "\n" + ev(4, "2024-01-01T13:00:00.000000Z", 4.0)], "append")
+        q.processAllAvailable()
+        # sentinel far ahead closes every window
+        write_batch([ev(5, "2024-01-02T00:00:00.000000Z", 5.0)], "append")
+        q.processAllAvailable()
+        got = {r.ws: r.n for r in spark.sql("SELECT * FROM t_late").collect()}
+    finally:
+        q.stop()
+    import datetime
+
+    # the 10:00 window holds ONLY event 1 — the late 10:30 event was dropped
+    assert got[datetime.datetime(2024, 1, 1, 10, 0)] == 1
+    assert got[datetime.datetime(2024, 1, 1, 12, 0)] == 1
+    assert got[datetime.datetime(2024, 1, 1, 13, 0)] == 1
