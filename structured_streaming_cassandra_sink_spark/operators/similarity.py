@@ -316,3 +316,61 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+@query("dedup_embedding_lsh")  # rows-only: LSH blocking is probabilistic;
+# recall vs driver-side exact ground truth is pinned in tests
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a natural blocking key — the
+    common case for real corpora. Random-hyperplane signatures become the
+    block key: vectors pair only within a (table, signature) bucket, so
+    the candidate count is Σ bucket² instead of n², then exact cosine
+    (precomputed norms) keeps pairs >= {COS_THRESHOLD}. Recall comes from
+    L independent tables, exactly like `sim_search_ann_lsh`; at 100 TB
+    the bucket id is the shuffle key."""
+    # Wider-recall parameters than the ANN query: pair recall at angle θ
+    # is 1-(1-(1-θ/π)^planes)^tables; the {COS_THRESHOLD} threshold
+    # (θ≈66°) needs SHORT signatures (4 bits) and more tables (8) to
+    # reach ~75% — the ANN setting (6×4) would catch only ~23% of pairs.
+    # Production dedup thresholds (~0.9, θ≈26°) tolerate longer
+    # signatures and fewer tables; tune per threshold with this formula.
+    planes_per_table, n_tables = 4, 8
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    e = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    all_planes = [
+        _planes(n=planes_per_table, table=100 + t) for t in range(n_tables)
+    ]
+    ex = e.select(
+        "*", F.explode(F.array(*[F.lit(t) for t in range(n_tables)])).alias("t")
+    )
+    sig = None
+    for t, planes in enumerate(all_planes):
+        s = hyperplane_signature("v", planes)
+        sig = F.when(F.col("t") == t, s) if sig is None else sig.when(F.col("t") == t, s)
+    buckets = ex.select("vec_id", "v", "nv", "t", sig.alias("sig"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nv").alias("na"),
+            F.col("b.nv").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -79,3 +79,34 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_embedding_lsh_dedup_recall(spark, sf_dir):
+    """Label-free LSH-blocked near-dup pairs: every emitted pair is a
+    true pair (exact verify), and recall vs the exact all-pairs ground
+    truth (numpy, driver-side) is high."""
+    import numpy as np
+
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        COS_THRESHOLD,
+        dedup_embedding_lsh,
+    )
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.array([r.embedding for r in emb], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if round(sims[i, j], 6) >= COS_THRESHOLD
+    }
+    got = {
+        (r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert got <= truth or not truth  # no false positives (exact verify)
+    if truth:
+        assert len(got & truth) / len(truth) >= 0.5, (len(got), len(truth))
