@@ -252,3 +252,28 @@ def test_applyinpandas_zscore_matches_window_form(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_sql_api_over_registered_views(spark, sf_dir):
+    """The SQL entry point: testdata registered as views, plain
+    spark.sql() answers match the DataFrame path."""
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+    from structured_streaming_cassandra_sink_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).collect()
+    want = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
