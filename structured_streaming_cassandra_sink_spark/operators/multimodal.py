@@ -183,3 +183,59 @@ def multimodal_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
         F.round(F.avg(F.octet_length("payload")), 4).alias("avg_payload_bytes"),
     )
+
+
+RESIZE_TARGET = (224, 224)  # the ubiquitous vision-model input size
+
+
+@query("multimodal_resize")  # rows-only: pandas-UDF transform surface
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize via mapInPandas — the 1:1 payload-transform shape
+    (decode is N metadata columns, frame-sample is 1->N rows; resize is
+    payload->payload). The stub scales the decoded dimensions to
+    {RESIZE_TARGET} and emits a deterministic fake of the resized bytes
+    (length ∝ target area); a real build calls PIL/torchvision on the
+    Arrow batch. Aspect-preserving letterboxing would live entirely in
+    this function — the Spark plumbing doesn't change."""
+    import pandas as pd
+
+    media = make_media(spread(load_table(spark, "documents", sf_dir))).filter(
+        F.col("kind") == "image"
+    )
+    tw, th = RESIZE_TARGET
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = decode_stub(payload, "image")
+                scale_x = tw / meta["width"]
+                scale_y = th / meta["height"]
+                # deterministic fake resized payload: checksum mixes the
+                # source bytes with the target geometry
+                resized_checksum = (sum(payload) * tw + th) % 100003
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "src_width": meta["width"],
+                        "src_height": meta["height"],
+                        "dst_width": tw,
+                        "dst_height": th,
+                        "scale_x": round(scale_x, 6),
+                        "scale_y": round(scale_y, 6),
+                        "resized_checksum": resized_checksum,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height", "dst_width",
+                    "dst_height", "scale_x", "scale_y", "resized_checksum",
+                ],
+            )
+
+    return media.mapInPandas(
+        resize_batches,
+        "media_id long, src_width int, src_height int, dst_width int, "
+        "dst_height int, scale_x double, scale_y double, resized_checksum long",
+    )
