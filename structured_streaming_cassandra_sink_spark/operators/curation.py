@@ -280,3 +280,32 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+SAMPLE_N = 100
+
+
+@query(
+    "fixed_size_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5(text), doc_id
+    LIMIT {SAMPLE_N}
+    """,
+)
+def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE sample (the reservoir-sampling use case,
+    RNG-free): order by content hash, keep the first {SAMPLE_N}. The
+    hash order is uniform and stable across runs/engines, and Spark
+    plans the hash-order limit as TakeOrderedAndProject — per-partition
+    top-N heaps, no global sort, so a 100-row sample of 100 TB costs one
+    scan. Complements `stratified_sample` (fixed RATE) for eval-set
+    construction."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select("doc_id", "lang", F.md5("text").alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(SAMPLE_N)
+        .select("doc_id", "lang")
+    )
