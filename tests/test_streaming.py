@@ -572,3 +572,61 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got[datetime.datetime(2024, 1, 1, 10, 0)] == 1
     assert got[datetime.datetime(2024, 1, 1, 12, 0)] == 1
     assert got[datetime.datetime(2024, 1, 1, 13, 0)] == 1
+
+
+def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulators restore from the checkpoint:
+    stop after phase 1, deliver phase 2, restart — totals equal the batch
+    aggregate over ALL events (a reset would restart phase-1 keys at 0)."""
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        events_to_messages,
+        file_message_stream,
+        parse_message_stream,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import running_totals
+
+    events = load_table(spark, "events", sf_dir)
+    half = events.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    phase1 = events.filter(F.col("event_id") <= half)
+    phase2 = events.filter(F.col("event_id") > half)
+    src = str(tmp_path / "st_src")
+    out = str(tmp_path / "st_out")
+    ckpt = str(tmp_path / "st_ckpt")
+    events_to_messages(phase1).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        messages = file_message_stream(spark, src, max_files_per_trigger=4)
+        totals = running_totals(parse_message_stream(messages))
+        return (
+            totals.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: df.write.mode("append").parquet(out))
+            .start()
+        )
+
+    q = run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    events_to_messages(phase2).coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # last emitted row per user (highest n_events) == batch aggregate
+    emitted = spark.read.parquet(out)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = emitted.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    got = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in final.collect()}
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    want = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert abs(got[u][1] - want[u][1]) < 1e-6, u
