@@ -256,7 +256,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sized)
     SELECT pack_id,
            count(*)      AS n_docs,
-           sum(n_tokens) AS pack_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed GROUP BY pack_id
     """,
 )

@@ -166,7 +166,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            count(*)                                  AS n_items,
-           sum(length(text))                         AS total_payload_bytes,
+           CAST(sum(length(text)) AS BIGINT)         AS total_payload_bytes,
            round(avg(length(text)), 4)               AS avg_payload_bytes
     FROM documents
     GROUP BY kind

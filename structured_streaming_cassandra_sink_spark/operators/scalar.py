@@ -32,8 +32,8 @@ from ..sources import load_table
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
            round(sqrt(p_size), 4)               AS size_sqrt,
            round(ln(p_retailprice), 4)          AS price_ln,
-           ceil(p_retailprice)                  AS price_ceil,
-           floor(p_retailprice / 100)           AS price_bucket
+           CAST(ceil(p_retailprice) AS BIGINT)  AS price_ceil,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket
     FROM part
     """,
 )

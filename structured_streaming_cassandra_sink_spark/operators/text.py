@@ -59,7 +59,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*)                                            AS n_docs,
            round(avg(len(string_split(text, ' '))), 4)         AS avg_tokens,
-           sum(n_chars)                                        AS total_chars,
+           CAST(sum(n_chars) AS BIGINT)                        AS total_chars,
            count(DISTINCT source)                              AS n_sources
     FROM documents
     GROUP BY lang
@@ -81,7 +81,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     f"""
     SELECT source,
-           sum(len(regexp_extract_all(text, '{TOKEN_RE}')))   AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS total_tokens,
            round(avg(len(regexp_extract_all(text, '{TOKEN_RE}'))), 4) AS avg_tokens_per_doc
     FROM documents
     GROUP BY source

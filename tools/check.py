@@ -5,15 +5,26 @@ Usage:
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
 
 For each registered query: run the Spark plan and the DuckDB oracle on the
-same parquet dir, compare row count, column names (sorted), and
-order-insensitive values (floats to 9 significant digits). Queries without
-an oracle get a rows-only report.
+same parquet dir and compare
+  1. row count,
+  2. column names (sorted),
+  3. declared result TYPES per column, mapped to a cross-engine class
+     lattice (all ints <=64 bits are one class; DuckDB HUGEINT/DECIMAL are
+     NOT in it — `sum(INTEGER)` returning HUGEINT must be CAST in the
+     oracle, see round-1 FAILs),
+  4. order-insensitive values with type-tagged cells — int 936 and float
+     936.0 DO NOT match (the driver's value hash is representation-
+     sensitive; round 1 proved 9-significant-digit float normalization
+     here predicted driver green wrongly).
+
+Queries without an oracle get a rows-only report.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 
@@ -26,21 +37,86 @@ from structured_streaming_cassandra_sink_spark.session import get_spark
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# ---------------------------------------------------------------- type lattice
+
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+
+
+def _duck_class(t: str) -> str:
+    """Map a DuckDB type string to a cross-engine class."""
+    t = str(t).upper()
+    if t.endswith("[]"):
+        return f"list<{_duck_class(t[:-2])}>"
+    if t in _DUCK_INT:
+        return "int"
+    if t in {"UBIGINT", "HUGEINT", "UHUGEINT"}:
+        return "int128"  # no Spark equivalent — CAST the oracle side
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BLOB":
+        return "bin"
+    return t.lower()
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_class(dt.elementType)}>"
+    return type(dt).__name__.lower()
+
+
+# ---------------------------------------------------------------- value compare
+
 
 def _norm(v):
+    """Type-tagged cell normalization: ints and floats never compare equal."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return ("f", "nan")
         if v == 0:
-            return 0.0
-        return float(f"{v:.9g}")
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
+            v = 0.0  # -0.0 == 0.0 across engines
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+        return ("t", v.isoformat())
+    return (type(v).__name__, str(v))
 
 
 def _rows_to_set(rows, colnames):
@@ -73,6 +149,7 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
             srows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
@@ -82,9 +159,10 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s) [rows-only]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = {c: _duck_class(t) for c, t in zip(rel.columns, rel.types)}
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
             failures += 1
@@ -97,13 +175,22 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            tdiff = {
+                c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]
+            }
+            if tdiff:
+                ok = False
+                msgs.append(f"type classes differ (spark, oracle): {tdiff}")
         if ok:
             sset = _rows_to_set([tuple(r) for r in srows], scols)
             oset = _rows_to_set(orows, ocols)
             if sset != oset:
                 ok = False
-                diff_s = [r for r in sset if r not in set(oset)][:3]
-                diff_o = [r for r in oset if r not in set(sset)][:3]
+                oonly = set(map(repr, sset))
+                sonly = set(map(repr, oset))
+                diff_s = [r for r in sset if repr(r) not in sonly][:3]
+                diff_o = [r for r in oset if repr(r) not in oonly][:3]
                 msgs.append(f"values differ; spark-only={diff_s} oracle-only={diff_o}")
         status = "ok   " if ok else "FAIL "
         if not ok:
