@@ -62,6 +62,16 @@ def main() -> int:
     # JVM/codegen warm-up outside the timed region.
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
+    extras: dict[str, float] = {}
+    if "sim_search_ann_ivf" in names:
+        # Index build is the amortized cost of IVF ANN — benched once,
+        # separately; the per-query timing below is the probe path.
+        from structured_streaming_cassandra_sink_spark.operators.similarity import ivf_build
+
+        t0 = time.perf_counter()
+        ivf_build(spark, SF_DIR)
+        extras["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+
     import gc
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -95,6 +105,7 @@ def main() -> int:
                 "sf": _sf_from_dir(SF_DIR),
                 "wall_sec_including_warmup": total,
                 "runs_per_query": runs,
+                **extras,
             }
         )
     )

@@ -98,24 +98,19 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "approx_quantiles",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
+@query("approx_quantiles")  # rows-only: sketch output is implementation-defined
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-match variant: percentile (exact interpolated) so the oracle
-    can verify values; the scale path is percentile_approx (KLL-ish sketch)
-    exercised rows-only in approx_distinct's test."""
+    """percentile_approx (Greenwald-Khanna sketch): the 100 TB quantile
+    path — fixed-size sketch per group, map-side partial merge, no
+    per-group sort/materialization (exact percentile would shuffle every
+    value to its group's reducer). Rank error <= n/accuracy. The exact
+    parity twin is exact_percentiles; tests/test_operators.py pins the
+    sketch's error against it."""
     li = load_table(spark, "lineitem", sf_dir)
+    acc = F.lit(10_000)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90"),
     )
 
 

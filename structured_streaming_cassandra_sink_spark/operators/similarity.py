@@ -248,78 +248,160 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — KMeans-partitioned corpus, nprobe cell scan
+# IVF (inverted-file) ANN — KMeans-partitioned corpus, nprobe cell scan.
+# Build and probe are SEPARATE: the index (cell-partitioned corpus with
+# precomputed norms + centroid table) is persisted once and amortized over
+# every probe, exactly like a production vector index. `ivf_build` /
+# `ivf_probe` are the public pair; the registered query is probe-only
+# (building lazily on first touch of a dataset).
 # ---------------------------------------------------------------------------
 IVF_NLIST = 16   # centroids / cells
 IVF_NPROBE = 4   # cells scanned per query
 
 
-@query("sim_search_ann_ivf")  # rows-only: index structure is probabilistic
-# machinery; recall vs brute force is pinned in tests/test_similarity.py
-def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded KMeans partitions the corpus into {IVF_NLIST}
-    cells; each query scans only its {IVF_NPROBE} nearest cells, exact
-    cosine re-ranks the survivors. The second standard ANN family next to
-    hyperplane LSH (`sim_search_ann_lsh`): LSH needs no training and
-    handles inserts trivially; IVF adapts to the data distribution and
-    scans a tunable fraction (nprobe/nlist) of the corpus.
+# Collected centroid tables per index dir — immutable once built (a tiny
+# <=nlist-row array; rebuilt indexes invalidate their entry in ivf_build).
+_CENTROID_CACHE: dict[str, tuple] = {}
 
-    Scale: the fitted centroids are a tiny broadcast model; the corpus is
-    written partitioned by cell id, so a probe is a partition-pruned scan
-    of nprobe/nlist of the data (here: a cell-id equi-join)."""
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Per-dataset index location under the repo's warehouse dir
+    (anchored at the package root so the driver's cwd doesn't matter)."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(repo_root, "spark-warehouse", "ivf_index", base)
+
+
+def ivf_build(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None, nlist: int = IVF_NLIST
+) -> str:
+    """IVF index build (the amortized cost): fit seeded KMeans, then persist
+    (a) the corpus parquet PARTITIONED BY cell id, with each vector's norm
+        precomputed — a probe reads only nprobe/nlist of the files and
+        never re-folds corpus norms;
+    (b) the nlist-row centroid table.
+    At 100 TB this is the once-per-snapshot indexing job; probes are
+    partition-pruned scans. maxIter=5: centroid quality barely moves after
+    a few Lloyd rounds for bucketing purposes (recall pinned in tests)."""
+    import os
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+    index_dir = index_dir or _ivf_index_dir(sf_dir)
+    corpus, _ = _corpus_and_queries(spark, sf_dir)
     featurized = corpus.withColumn(
         "features", array_to_vector(as_double(F.col("embedding")))
     )
-    # maxIter=5: centroid QUALITY barely moves after a few Lloyd rounds
-    # for bucketing purposes (recall is pinned in tests) and the fit is
-    # this query's dominant cost — index build time, amortized over every
-    # probe in production, paid per call here.
-    model = KMeans(k=IVF_NLIST, seed=42, maxIter=5).fit(featurized)
-    assigned = model.transform(featurized).select(
-        "vec_id", "embedding", F.col("prediction").alias("cell")
+    model = KMeans(k=nlist, seed=42, maxIter=5).fit(featurized)
+    assigned = (
+        model.transform(featurized)
+        .select(
+            "vec_id",
+            as_double(F.col("embedding")).alias("v"),
+            F.col("prediction").alias("cell"),
+        )
+        .withColumn("nv", norm(F.col("v")))
     )
-
-    # Probe assignment: rank cells per query by centroid distance. The
-    # centroid table is IVF_NLIST driver-side rows — a broadcast literal.
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "corpus")
+    )
     centroids = [
         (cid, [float(x) for x in c]) for cid, c in enumerate(model.clusterCenters())
     ]
-    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
-    qc = queries_df.crossJoin(F.broadcast(cent_df))
-    # squared euclidean via the shared fold (argmin is the same for cosine
-    # on normalized data; distance choice only shifts recall, verified in tests)
-    diff_dot = dot(
-        F.zip_with(as_double(F.col("qvec")), F.col("centroid"), lambda a, b: a - b),
-        F.zip_with(as_double(F.col("qvec")), F.col("centroid"), lambda a, b: a - b),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("cell"))
-    probes = (
-        qc.select("query_id", "qvec", "cell", diff_dot.alias("dist2"))
-        .withColumn("prk", F.row_number().over(wq))
-        .filter(F.col("prk") <= IVF_NPROBE)
-        .select("query_id", "qvec", "cell")
-    )
+    spark.createDataFrame(centroids, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    _CENTROID_CACHE.pop(index_dir, None)
+    return index_dir
 
-    candidates = assigned.join(F.broadcast(probes), "cell")
-    c_n = candidates.withColumn("cn", norm(as_double(F.col("embedding")))).withColumn(
-        "qn", norm(as_double(F.col("qvec")))
+
+def ivf_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str | None = None,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF probe (the per-query-batch cost): rank cells per query against
+    the broadcast centroid table, statically prune the corpus scan to the
+    probed cells (a tiny <=nlist-value IN-list collected from the ranked
+    cells — partition pruning at the parquet scan, visible as
+    PartitionFilters), then exact-cosine re-rank using the precomputed
+    corpus norms."""
+    import os
+
+    import numpy as np
+
+    index_dir = index_dir or _ivf_index_dir(sf_dir)
+    _, queries_df = _corpus_and_queries(spark, sf_dir)
+    # Cell ranking happens DRIVER-side, like a production IVF client: the
+    # centroid table is <= nlist rows BY CONSTRUCTION (that is the IVF
+    # contract) and the probe batch is small, so ranking is an
+    # O(batch x nlist x dim) matvec — not worth a distributed job. Only
+    # the corpus scan is data-sized and it stays distributed. (For a huge
+    # offline query batch, broadcast the centroids and rank with the
+    # zip_with fold + window instead.)
+    qrows = queries_df.collect()
+    cached = _CENTROID_CACHE.get(index_dir)
+    if cached is None:
+        crows = sorted(
+            spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+            key=lambda r: r.cell,
+        )
+        cached = (
+            np.array([r.centroid for r in crows], dtype=np.float64),
+            np.array([r.cell for r in crows]),
+        )
+        _CENTROID_CACHE[index_dir] = cached
+    cmat, cell_ids = cached
+    probe_rows = []
+    for r in qrows:
+        d2 = ((cmat - np.asarray(r.qvec, dtype=np.float64)) ** 2).sum(axis=1)
+        # argmin of euclidean == argmax of cosine on normalized data;
+        # (dist2, cell) lexsort matches the old window tie-break.
+        for c in cell_ids[np.lexsort((cell_ids, d2))[:nprobe]]:
+            probe_rows.append((r.query_id, [float(x) for x in r.qvec], int(c)))
+    cells = sorted({c for _, _, c in probe_rows})
+    # qn via the SAME Catalyst fold as the corpus norms, so cos_sim is
+    # bit-identical to the brute-force path (no numpy/JVM ulp skew).
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, cell int"
+    ).withColumn("qn", norm(as_double(F.col("qvec"))))
+    idx = spark.read.parquet(os.path.join(index_dir, "corpus")).filter(
+        F.col("cell").isin(cells)
     )
+    candidates = idx.join(F.broadcast(probes), "cell")
     sim = F.round(
-        dot(as_double(F.col("qvec")), as_double(F.col("embedding")))
-        / (F.col("qn") * F.col("cn")),
-        6,
+        dot(as_double(F.col("qvec")), F.col("v")) / (F.col("qn") * F.col("nv")), 6
     )
-    scored = c_n.select("query_id", "vec_id", sim.alias("cos_sim"))
+    scored = candidates.select("query_id", "vec_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+@query("sim_search_ann_ivf")  # rows-only: index structure is probabilistic
+# machinery; recall vs brute force is pinned in tests/test_similarity.py
+def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, probe path: scans only the {IVF_NPROBE}/{IVF_NLIST}
+    nearest cells of the persisted index and exact-cosine re-ranks. The
+    second standard ANN family next to hyperplane LSH
+    (`sim_search_ann_lsh`): LSH needs no training and handles inserts
+    trivially; IVF adapts to the data distribution and scans a tunable
+    fraction of the corpus. The index is built lazily once per dataset
+    (`ivf_build`) and reused — the amortization a production ANN service
+    relies on; `bench.py` reports build and probe separately."""
+    import os
+
+    index_dir = _ivf_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "centroids")):
+        ivf_build(spark, sf_dir, index_dir)
+    return ivf_probe(spark, sf_dir, index_dir)
 
 
 @query("dedup_embedding_lsh")  # rows-only: LSH blocking is probabilistic;
@@ -332,13 +414,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (precomputed norms) keeps pairs >= {COS_THRESHOLD}. Recall comes from
     L independent tables, exactly like `sim_search_ann_lsh`; at 100 TB
     the bucket id is the shuffle key."""
-    # Wider-recall parameters than the ANN query: pair recall at angle θ
-    # is 1-(1-(1-θ/π)^planes)^tables; the {COS_THRESHOLD} threshold
-    # (θ≈66°) needs SHORT signatures (4 bits) and more tables (8) to
-    # reach ~75% — the ANN setting (6×4) would catch only ~23% of pairs.
-    # Production dedup thresholds (~0.9, θ≈26°) tolerate longer
-    # signatures and fewer tables; tune per threshold with this formula.
-    planes_per_table, n_tables = 4, 8
+    # Recall math (random-hyperplane LSH): a pair at angle θ collides on
+    # one plane w.p. p = 1-θ/π; on a whole B-bit signature w.p. p^B; with
+    # Hamming<=1 MULTI-PROBE (query the bucket plus its B one-bit flips)
+    # w.p. m = p^B + B·p^(B-1)(1-p); across L tables recall = 1-(1-m)^L.
+    # At the registered {COS_THRESHOLD} threshold (θ≈66°, p≈0.631) the
+    # round-1 setting 4 bits × 8 tables gave ≈0.75 — too lossy for dedup.
+    # 4 bits × 4 tables + multi-probe gives m≈0.529, recall≈0.95 with
+    # HALF the signature computation; candidate volume ≈ L(B+1)/2^B of
+    # all pairs on random data (1.25 here). tests/test_similarity.py pins
+    # measured recall >= 0.9. Production thresholds (~0.9, θ≈26°)
+    # tolerate longer signatures / fewer probes — tune with the formula.
+    planes_per_table, n_tables = 4, 4
     emb = spread(load_table(spark, "embeddings", sf_dir))
     e = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -354,12 +441,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = hyperplane_signature("v", planes)
         sig = F.when(F.col("t") == t, s) if sig is None else sig.when(F.col("t") == t, s)
     buckets = ex.select("vec_id", "v", "nv", "t", sig.alias("sig"))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # Multi-probe side: each vector also probes the B buckets one bit-flip
+    # away. Only ONE side expands (pairs at Hamming<=1 are found when the
+    # smaller vec_id probes the larger's home bucket) — candidate growth
+    # is (B+1)x on the probe side, not (B+1)² .
+    probe_sigs = F.array(
+        F.col("sig"),
+        *[
+            F.col("sig").bitwiseXOR(F.lit(1 << i))
+            for i in range(planes_per_table)
+        ],
+    )
+    a = buckets.withColumn("psig", F.explode(probe_sigs)).alias("a")
+    b = buckets.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.psig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

@@ -45,6 +45,33 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert abs(approx[k] - exact_n) <= max(2, 0.1 * exact_n)
 
 
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """percentile_approx guarantees rank error <= n/accuracy (GK sketch).
+
+    With accuracy=10000 and ~20k rows/group the error is a handful of
+    ranks; assert each sketch value lands inside the exact [q-0.01, q+0.01]
+    value bracket — a rank-based bound, robust to value-scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    brackets = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_extendedprice, {q})").alias(n)
+                for n, q in [
+                    ("p50_lo", 0.49), ("p50_hi", 0.51),
+                    ("p90_lo", 0.89), ("p90_hi", 0.91),
+                ]
+            ]
+        )
+        .collect()
+    }
+    for r in registry.QUERIES["approx_quantiles"](spark, sf_dir).collect():
+        b = brackets[r.l_returnflag]
+        assert b.p50_lo <= r.p50 <= b.p50_hi, r
+        assert b.p90_lo <= r.p90 <= b.p90_hi, r
+
+
 def test_set_except_semantics(spark):
     """EXCEPT removes a key present on the right entirely, regardless of
     left multiplicity (the subtract-vs-exceptAll distinction)."""

@@ -109,4 +109,6 @@ def test_embedding_lsh_dedup_recall(spark, sf_dir):
     }
     assert got <= truth or not truth  # no false positives (exact verify)
     if truth:
-        assert len(got & truth) / len(truth) >= 0.5, (len(got), len(truth))
+        # Multi-probe LSH (4 bits x 4 tables, Hamming<=1): theoretical
+        # recall ~0.95 at the registered threshold — pin >= 0.9.
+        assert len(got & truth) / len(truth) >= 0.9, (len(got), len(truth))
