@@ -83,10 +83,23 @@ def shingle_rows(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
 
 
 def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, shingles array<string>, sz) — distinct word n-grams per doc,
-    materialized through an aggregation (safe to explode downstream)."""
+    """(doc_id, shingles array<string>, sz) — distinct word n-grams per doc.
+
+    collect_set both aggregates AND dedups, so this is ONE shuffle keyed
+    by doc_id straight off the position-explode (a separate distinct
+    first would add a second, wider shuffle keyed by (doc_id, shingle)
+    for nothing — map-side partial collect_set already dedups locally)."""
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    ex = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(f"sequence(1, size(toks) - {n - 1})")).alias("i"),
+    )
     return (
-        shingle_rows(docs, n)
+        ex.select(
+            "doc_id", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("shingle")
+        )
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"))
         .withColumn("sz", F.size("shingles"))
@@ -95,13 +108,13 @@ def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
 
 def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     """(doc_id, shingle, sz) exploded inverted index; sz = |shingle set|.
-    sz comes from a count window over the distinct shingle rows; the
-    window's doc_id partitioning is reused by downstream groupBy(doc_id)
-    consumers with no extra shuffle."""
-    from pyspark.sql import Window
-
-    sh = shingle_rows(docs, n)
-    return sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    Derived from the one-shuffle shingle_arrays by re-exploding — the
+    array is a materialized aggregation output, so the explode is safe
+    (no per-output-row re-evaluation) and adds NO shuffle. Replaces the
+    round-1 distinct + count-window shape (two shuffles)."""
+    return shingle_arrays(docs, n).select(
+        "doc_id", "sz", F.explode("shingles").alias("shingle")
+    )
 
 
 def _verify_candidates(
@@ -149,29 +162,45 @@ def ngram_jaccard_pairs(
     shingles — the extra passes of prefix filtering measure SLOWER here).
     When hot shingles dominate (boilerplate at crawl scale), switch to
     :func:`ngram_jaccard_pairs_prefix`, which drops hot shingles from the
-    index entirely; both are exact, equality is pinned in tests."""
-    sh = shingle_table(docs, n)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    index entirely; both are exact, equality is pinned in tests.
+
+    The inverted index carries xxhash64(shingle), not the string: the
+    join/shuffle key drops from ~25 B to 8 B. Hash collisions can only
+    RAISE the candidate Jaccard (cross-doc collisions inflate the
+    intersection, within-doc collisions shrink the union), never lower
+    it — so hash-candidates are a superset of true pairs and the exact
+    string-array verify of survivors makes the output identical to the
+    all-string join."""
+    arr = shingle_arrays(docs, n).localCheckpoint(eager=True)
+    hashed = arr.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    ).withColumn("szh", F.size("hs"))
+    inv = hashed.select("doc_id", "szh", F.explode("hs").alias("h"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
+            F.col("a.szh").alias("sz_a"),
+            F.col("b.szh").alias("sz_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
     )
-    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
-        inter.withColumn("jaccard", F.round(jacc, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_candidates(cand, arr, threshold)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -419,21 +448,36 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # without this each round would re-run the (possibly expensive)
     # pair-generation pipeline that produced `edges`.
     sym = sym.localCheckpoint(eager=True)
-    labels = sym.select("node").distinct().withColumn("comp", F.col("node"))
+    # Fused init + first hop: label(node) = min(node, min(nbr)) is ONE
+    # shuffle — replaces the separate distinct-node round plus a join.
+    labels = sym.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("comp")
+    )
     labels = labels.localCheckpoint(eager=True)
     # Min-propagation is monotone (labels only decrease), so the sum of
     # labels is a fixpoint witness: unchanged sum == converged. One cheap
     # aggregate per round instead of a join-based diff.
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
-        prop = (
+        # Hop: neighbor-min propagation (one edge of reach).
+        hop = (
             sym.join(labels, "node")
             .select(F.col("nbr").alias("node"), "comp")
             .unionAll(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        labels = prop.localCheckpoint(eager=True)
+        # Jump: pointer-doubling comp <- comp(comp). Every comp value is
+        # itself a node id (min-reachable-so-far), so the self-join is
+        # total; reach doubles per round => O(log diameter) rounds
+        # instead of O(diameter). Per-round cost: 2 shuffles instead of
+        # 1, but each round replaces two — and the fixed per-round price
+        # (checkpoint + fixpoint aggregate + scheduling) halves.
+        left, right = hop.alias("l"), hop.alias("r")
+        jumped = left.join(right, F.col("l.comp") == F.col("r.node")).select(
+            F.col("l.node").alias("node"), F.col("r.comp").alias("comp")
+        )
+        labels = jumped.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break

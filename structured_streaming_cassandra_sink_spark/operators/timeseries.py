@@ -31,16 +31,26 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    right_tie: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the latest `value_cols` from the
     right row with the greatest right_ts <= left_ts for the same key
     (null when no such row). Output columns: all left columns + value_cols.
+
+    Determinism: when several RIGHT rows share the same (key, right_ts),
+    pass ``right_tie`` (a right-side column, e.g. a unique id) — the
+    greatest tie value wins, deterministically. Without it the caller
+    must guarantee (key, right_ts) is unique on the right (true for the
+    registered join_asof query: rates are one row per (event_type,
+    hour)); otherwise which duplicate wins depends on partitioning.
     """
     left_cols = left.columns
+    tie_type = right.schema[right_tie].dataType if right_tie else None
     l_tagged = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
+        *([F.lit(None).cast(tie_type).alias("__tie")] if right_tie else []),
         *[F.col(c) for c in left_cols if c != key],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
     )
@@ -48,14 +58,18 @@ def asof_join(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
+        *([F.col(right_tie).alias("__tie")] if right_tie else []),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != key],
         *[F.col(c) for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows sort before left rows at equal ts => inclusive (<=) match
+    # right rows sort before left rows at equal ts => inclusive (<=) match;
+    # among tied right rows the greatest __tie sorts last, so
+    # last(ignorenulls) picks it deterministically.
+    order = ["__ts", "__is_left"] + (["__tie"] if right_tie else [])
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__is_left")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

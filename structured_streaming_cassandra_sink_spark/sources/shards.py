@@ -25,17 +25,21 @@ def write_training_shards(
 
     Shard assignment is ``pmod(xxhash64(key), n_shards)`` — stable across
     retries and re-runs (repartition(n) round-robin is NOT: it depends on
-    input partition order). Layout is hive-partitioned ``shard=K/`` dirs
-    (NOT repartition(n, col): that hashes the shard id again, so two
-    shards can collide onto one task and leave empty partitions), one
-    file per shard, rows sorted by ``sort_within`` (default: the key)
-    for stable reader order.
+    input partition order). The exchange is repartitionByRange on the
+    shard id: contiguous shard ranges map to distinct tasks, so write
+    parallelism tracks n_shards (hash-repartition(n, col) re-hashes the
+    id and can collide two shards onto one task, leaving empty tasks).
+    Range bounds come from sampling, so a rare boundary tie can still
+    co-locate two shards — the hive ``shard=K/`` partitionBy is what
+    GUARANTEES the one-dir-per-shard layout and per-shard file content
+    regardless of task mapping; rows are sorted by ``sort_within``
+    (default: the key) for stable reader order.
     """
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
     )
     (
-        sharded.repartition(n_shards, "shard")
+        sharded.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", *(sort_within or [key]))
         .write.partitionBy("shard")
         .mode("overwrite")

@@ -54,11 +54,49 @@ def parquet_epoch_append_sink(path: str):
     return write
 
 
+def _upsert_state_complete(d: str) -> bool:
+    """A state dir is adoptable only when Spark finished writing it
+    (the _SUCCESS job marker) — a crash mid-write leaves no marker."""
+    return os.path.isdir(d) and os.path.isfile(os.path.join(d, "_SUCCESS"))
+
+
+def _recover_upsert_dir(path: str) -> None:
+    """Repair any crash window of the rename-swap below (idempotent;
+    safe to re-crash at any point in here too).
+
+    Invariant: a COMPLETE ``__next`` always supersedes ``path`` — it is
+    exactly (old state ⊎ some epoch's batch), and re-merging a replayed
+    epoch into it converges to the same rows (latest-per-key is
+    idempotent). An INCOMPLETE ``__next`` is discarded; ``__old`` is a
+    superseded state and always discarded."""
+    nxt, old = path + "__next", path + "__old"
+    if _upsert_state_complete(nxt):
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(nxt, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(nxt):  # incomplete leftover write
+        shutil.rmtree(nxt)
+
+
 def parquet_upsert_sink(path: str, key: str, order: list[str]):
     """Upsert-by-key into a parquet dir: the reference sink's end-state
     semantics, locally testable and restart-idempotent (re-running an
     epoch converges to the same state — same guarantee the reference gets
     from Cassandra PK upserts on replay, :19-23).
+
+    Crash safety: the merged state is written ONCE to ``path__next``
+    (the lazy read of the current state is safe — ``path`` is untouched
+    until that write completes), then swapped in by renames:
+    current → ``__old``, ``__next`` → current, delete ``__old``. Every
+    crash window leaves either the old state, or a complete ``__next``
+    that :func:`_recover_upsert_dir` adopts on the next epoch — the
+    accumulated table is never the casualty (the round-1 rmtree-then-
+    rename swap could drop ALL prior state if the process died between
+    the two calls).
 
     Scale note: at 100 TB this becomes Delta/Iceberg MERGE INTO or the
     Cassandra connector below — the read-union-rewrite here is the
@@ -67,8 +105,8 @@ def parquet_upsert_sink(path: str, key: str, order: list[str]):
 
     def write(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        _recover_upsert_dir(path)
         batch = latest_per_key(df, key, order)
-        tmp = f"{path}__epoch_{epoch_id}_tmp"
         if os.path.isdir(path):
             existing = spark.read.parquet(path)
             merged = latest_per_key(
@@ -76,14 +114,12 @@ def parquet_upsert_sink(path: str, key: str, order: list[str]):
             )
         else:
             merged = batch
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path + "__next")
-        # atomic-ish swap (single filesystem): replace current with next
+        nxt, old = path + "__next", path + "__old"
+        merged.write.mode("overwrite").parquet(nxt)
         if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(path + "__next", path)
-        shutil.rmtree(tmp, ignore_errors=True)
+            os.rename(path, old)
+        os.rename(nxt, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return write
 

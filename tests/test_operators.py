@@ -304,3 +304,20 @@ def test_sql_api_over_registered_views(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_asof_join_right_tie_break_deterministic(spark):
+    """Multiple RIGHT rows at the same (key, ts): with right_tie the
+    greatest tie value wins, independent of partitioning/run."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, 1), (1, 5, 200.0, 3), (1, 5, 150.0, 2)],
+        "k int, ts int, price double, rid int",
+    )
+    for _ in range(3):  # repartition shuffles row order between runs
+        rows = asof_join(
+            left, right.repartition(8), "k", "ts", "ts", ["price"], right_tie="rid"
+        ).collect()
+        assert len(rows) == 1 and rows[0].price == 200.0

@@ -630,3 +630,215 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
     for u in want:
         assert got[u][0] == want[u][0], u
         assert abs(got[u][1] - want[u][1]) < 1e-6, u
+
+
+def test_stateful_kill_mid_batch_replay(spark, sf_dir, tmp_path):
+    """CHAOS: an epoch that crashes AFTER its tasks ran (output partially
+    written, state-store deltas on disk) but BEFORE the batch commit is
+    replayed on restart against the PRE-batch state version — per-key
+    accumulators neither lose the batch nor double-count it."""
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        events_to_messages,
+        file_message_stream,
+        parse_message_stream,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import running_totals
+
+    events = load_table(spark, "events", sf_dir)
+    half = events.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    src = str(tmp_path / "kb_src")
+    out = str(tmp_path / "kb_out")
+    ckpt = str(tmp_path / "kb_ckpt")
+    crash_marker = tmp_path / "kb_crashed_once"
+    # two files + maxFilesPerTrigger=1 => two deterministic epochs
+    events_to_messages(events.filter(F.col("event_id") <= half)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    events_to_messages(events.filter(F.col("event_id") > half)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def sink(df, epoch_id):
+        # materialize the batch FIRST (tasks run, state deltas written),
+        # then die before Structured Streaming can commit the epoch
+        df.write.mode("append").parquet(out)
+        if epoch_id >= 1 and not crash_marker.exists():
+            crash_marker.touch()
+            raise RuntimeError("injected crash mid-epoch")
+
+    def run():
+        messages = file_message_stream(spark, src, max_files_per_trigger=1)
+        totals = running_totals(parse_message_stream(messages))
+        return (
+            totals.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    q = run()
+    with pytest.raises(Exception, match="injected crash"):
+        try:
+            q.processAllAvailable()
+            q.awaitTermination()
+        finally:
+            err = q.exception()
+            q.stop()
+            if err is not None:
+                raise err
+    assert crash_marker.exists()
+
+    q2 = run()
+    try:
+        q2.processAllAvailable()
+        assert q2.exception() is None
+    finally:
+        q2.stop()
+
+    from pyspark.sql import Window
+
+    emitted = spark.read.parquet(out)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = emitted.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    got = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in final.collect()}
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    want = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        # double-count => n too high; lost replay => n too low
+        assert got[u][0] == want[u][0], u
+        assert abs(got[u][1] - want[u][1]) < 1e-6, u
+
+
+def test_session_append_evicts_late_data(spark, tmp_path):
+    """CHAOS: session_window + watermark in APPEND mode — once the
+    watermark passes a session's end the session is emitted and its state
+    evicted; a late event inside that session's time range arriving
+    afterwards must NOT reopen or grow it."""
+    import pandas as pd
+
+    src = str(tmp_path / "sess_src")
+
+    def write_batch(rows, mode):
+        pdf = pd.DataFrame({"value": rows})
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(src)
+
+    def ev(eid, ts, uid, v):
+        return (
+            f'{{"event_id": {eid}, "ts": "{ts}", "user_id": {uid},'
+            f' "event_type": "x", "value": {v}, "props": null}}'
+        )
+
+    from structured_streaming_cassandra_sink_spark.streaming.batch_equiv import (
+        SESSION_GAP_MIN,
+        session_agg,
+    )
+
+    # batch 1: user 1 session {10:00, 10:05} (ends 10:20); fresh event at
+    # 12:00 advances the watermark (10 min delay) to 11:50 > 10:20
+    write_batch(
+        [
+            ev(1, "2024-01-01T10:00:00.000000Z", 1, 1.0)
+            + "\n"
+            + ev(2, "2024-01-01T10:05:00.000000Z", 1, 2.0)
+            + "\n"
+            + ev(3, "2024-01-01T12:00:00.000000Z", 2, 3.0)
+        ],
+        "overwrite",
+    )
+    messages = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    events = parse_message_stream(messages).withWatermark("ts", "10 minutes")
+    q = (
+        session_agg(events)
+        .writeStream.queryName("t_sess_evict")
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: LATE event at 10:07 for user 1 — inside the already
+        # closed session, behind the watermark => dropped; sentinel at
+        # 2024-01-02 closes everything else
+        write_batch(
+            [
+                ev(4, "2024-01-01T10:07:00.000000Z", 1, 100.0)
+                + "\n"
+                + ev(5, "2024-01-02T00:00:00.000000Z", 2, 4.0)
+            ],
+            "append",
+        )
+        q.processAllAvailable()
+        write_batch([ev(6, "2024-01-03T00:00:00.000000Z", 2, 5.0)], "append")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_sess_evict").collect()
+    finally:
+        q.stop()
+
+    import datetime
+
+    sessions_u1 = [r for r in rows if r.user_id == 1]
+    assert len(sessions_u1) == 1
+    s = sessions_u1[0]
+    # the late event neither reopened the session nor joined it
+    assert s.session_start == datetime.datetime(2024, 1, 1, 10, 0)
+    assert s.session_end == datetime.datetime(2024, 1, 1, 10, 5) + datetime.timedelta(
+        minutes=SESSION_GAP_MIN
+    )
+    assert s.n_events == 2
+    assert abs(s.sum_value - 3.0) < 1e-9
+
+
+def test_upsert_sink_crash_recovery(spark, tmp_path):
+    """CHAOS: every crash window of parquet_upsert_sink's rename-swap is
+    recoverable — the accumulated table survives; a complete __next is
+    adopted, an incomplete one discarded."""
+    import pathlib
+
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        _recover_upsert_dir,
+        parquet_upsert_sink,
+    )
+
+    path = str(tmp_path / "state")
+    sink = parquet_upsert_sink(path, key="k", order=["v"])
+    sink(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), 0)
+    sink(spark.createDataFrame([(2, 25)], "k int, v int"), 1)
+    snap = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert snap == {1: 10, 2: 25}
+
+    # window A: complete __next exists (crash before any rename) — the
+    # next epoch must adopt it, not lose it
+    spark.read.parquet(path).withColumn(
+        "v", F.col("v") + 1
+    ).write.mode("overwrite").parquet(path + "__next")
+    _recover_upsert_dir(path)
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == {1: 11, 2: 26}
+    assert not pathlib.Path(path + "__next").exists()
+
+    # window B: crash between the two renames (old moved aside, next not
+    # yet in place) — recovery must restore a current state
+    spark.read.parquet(path).write.mode("overwrite").parquet(path + "__next")
+    import os as _os
+    _os.rename(path, path + "__old")
+    _recover_upsert_dir(path)
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == {1: 11, 2: 26}
+    assert not pathlib.Path(path + "__old").exists()
+
+    # window C: INCOMPLETE __next (crash mid-write: no _SUCCESS) — must be
+    # discarded, current state untouched
+    pathlib.Path(path + "__next").mkdir()
+    (pathlib.Path(path + "__next") / "part-garbage.parquet").write_bytes(b"xx")
+    _recover_upsert_dir(path)
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == {1: 11, 2: 26}
+    assert not pathlib.Path(path + "__next").exists()
+
+    # and the sink keeps working after recovery
+    sink(spark.createDataFrame([(3, 30)], "k int, v int"), 2)
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == {
+        1: 11, 2: 26, 3: 30,
+    }
