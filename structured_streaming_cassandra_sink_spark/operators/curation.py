@@ -309,3 +309,51 @@ def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SAMPLE_N)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "quality_quantile_filter",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(0.5 * (CASE WHEN length(text) BETWEEN 100 AND 2000
+                          THEN 1 ELSE 0 END)
+                   + 0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                            / len(string_split(text, ' '))), 4) AS quality
+      FROM documents),
+    thresh AS (
+      SELECT lang, round(quantile_cont(quality, 0.25), 4) AS q25
+      FROM scored GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.quality
+    FROM scored s JOIN thresh t USING (lang)
+    WHERE s.quality >= t.q25
+    """,
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated quality filter: keep each language's top 75% by
+    quality score — thresholding RELATIVE to the stratum, the standard
+    curation move when absolute score cut-offs would starve low-resource
+    languages.
+
+    Scale shape: score is a pure map (same expression as quality_score);
+    the per-language threshold table is n_langs rows — computed with
+    exact interpolated percentile here (oracle-checkable; swap in
+    percentile_approx at 100 TB exactly like approx_quantiles) and
+    broadcast back, so the filter costs one corpus scan + a broadcast
+    join. Score and threshold are rounded to the same grid on both
+    engines so the >= boundary is portable."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    toks = tokens(F.col("text"))
+    uniq = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    len_ok = F.when(F.length("text").between(100, 2000), 1).otherwise(0)
+    scored = d.select(
+        "doc_id", "lang", F.round(0.5 * len_ok + 0.5 * uniq, 4).alias("quality")
+    )
+    thresh = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 4).alias("q25")
+    )
+    return (
+        scored.join(F.broadcast(thresh), "lang")
+        .filter(F.col("quality") >= F.col("q25"))
+        .select("doc_id", "lang", "quality")
+    )

@@ -477,3 +477,44 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= COS_THRESHOLD)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@query(
+    "embedding_centroid",
+    """
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS e
+      FROM embeddings),
+    per_dim AS (
+      SELECT label, i, round(avg(e), 6) AS avg_e, count(*) AS n
+      FROM ex GROUP BY label, i)
+    SELECT label,
+           list(avg_e ORDER BY i) AS centroid,
+           CAST(max(n) AS BIGINT) AS n_vecs
+    FROM per_dim GROUP BY label
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the class-centroid / cluster-summary
+    primitive (seed centroids, drift monitoring, nearest-class baselines).
+
+    Scale shape: posexplode to (label, dim, value) and aggregate per
+    (label, dim) — dimension-wise partial aggregation, fully map-side
+    combinable, shuffling only n_labels x dim tiny rows; the final
+    collect_list/array_sort reassembles each centroid from its own
+    group. No vector ever needs a single reducer."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    per_dim = (
+        emb.select(
+            "label", F.posexplode(as_double(F.col("embedding"))).alias("i", "e")
+        )
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("e"), 6).alias("avg_e"), F.count(F.lit(1)).alias("n"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "avg_e"))),
+            lambda s: s["avg_e"],
+        ).alias("centroid"),
+        F.max("n").alias("n_vecs"),
+    )

@@ -363,3 +363,94 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrub_ok"
         ),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf t JOIN df d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    the scikit-learn convention) — the classic keyword/feature extraction
+    pass of a text pipeline.
+
+    Scale shape: tf is a (doc_id, term) groupBy off one explode; the df
+    table is term-keyed (vocabulary-sized, zipf-bounded) and joins back
+    by term; the corpus-count scalar rides along as a broadcast 1-row
+    crossJoin, NOT a driver collect. Ranking uses the ROUNDED score with
+    a term tie-break so top-3 is engine-portable."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+TOP_NGRAMS = 20
+
+
+@query(
+    "ngram_counts",
+    f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(len(t) - 2),
+                 i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+      FROM toks WHERE len(t) >= 3)
+    SELECT gram, count(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT {TOP_NGRAMS}
+    """,
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level trigram counts, top-{TOP_NGRAMS} — the n-gram LM /
+    boilerplate-detection statistic. Unlike dedup shingles these count
+    OCCURRENCES (no per-doc distinct). Position-explode keeps the gram
+    build linear (see shingle_rows); the count is one map-side-combined
+    groupBy and the top-k is TakeOrderedAndProject (no global sort);
+    (n DESC, gram) is a total order so the cut is engine-portable."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    base = d.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 3)
+    ex = base.select("t", F.explode(F.expr("sequence(1, size(t) - 2)")).alias("i"))
+    grams = ex.select(F.expr("array_join(slice(t, i, 3), ' ')").alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(TOP_NGRAMS)
+    )

@@ -78,6 +78,11 @@ _PRIORITY_THIS_ROUND = [
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
+    # new in round 2 — no driver row yet
+    "tfidf_top_terms",
+    "ngram_counts",
+    "embedding_centroid",
+    "quality_quantile_filter",
 ]
 
 
