@@ -141,3 +141,42 @@ def test_salted_join_carries_salt_key(spark, sf_dir):
     """The salted join's shuffle key includes the salt column."""
     plan = _plan(spark, sf_dir, "join_skew_salted")
     assert "__salt" in plan
+
+
+def test_ngram_counts_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ngram_counts")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_filter_threshold_is_broadcast(spark, sf_dir):
+    """The per-language threshold table joins back by broadcast — the
+    corpus side must not shuffle for the join."""
+    plan = _plan(spark, sf_dir, "quality_quantile_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_corpus_count_is_broadcast(spark, sf_dir):
+    """The 1-row corpus count rides as BroadcastNestedLoopJoin; the df
+    join is by term (either side may shuffle) but no Python anywhere."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_centroid_partial_agg(spark, sf_dir):
+    """Dimension-wise centroid must partial-aggregate map-side (two
+    HashAggregates around the exchange) and never ship vectors to a
+    single reducer (no single-partition exchange)."""
+    plan = _plan(spark, sf_dir, "embedding_centroid")
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+    assert "SinglePartition" not in plan
+
+
+def test_ivf_probe_prunes_cells(spark, sf_dir):
+    """The IVF probe scan must carry the static cell IN-list so the
+    cell-partitioned index is partition-pruned, and the probe relation
+    must broadcast."""
+    plan = _plan(spark, sf_dir, "sim_search_ann_ivf")
+    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
+    assert "BroadcastHashJoin" in plan
