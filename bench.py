@@ -71,6 +71,12 @@ def main() -> int:
         t0 = time.perf_counter()
         ivf_build(spark, SF_DIR)
         extras["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+    if "sim_search_ann_lsh" in names:
+        from structured_streaming_cassandra_sink_spark.operators.similarity import lsh_build
+
+        t0 = time.perf_counter()
+        lsh_build(spark, SF_DIR)
+        extras["lsh_build_sec"] = round(time.perf_counter() - t0, 3)
 
     import gc
 

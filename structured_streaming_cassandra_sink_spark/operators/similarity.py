@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectorfns import as_double, cosine, dot, norm
+from ..functions.vectorfns import as_double, dot, norm
 from ..plans.registry import query
 from ..sources import load_table, spread
 
@@ -121,40 +121,105 @@ def _planes(dim: int = 64, n: int = LSH_PLANES, table: int = 0) -> list[list[flo
     return rng.standard_normal((n, dim)).astype(float).tolist()
 
 
-@query("sim_search_ann_lsh")  # rows-only: bucketing is probabilistic machinery;
-# recall vs sim_search_topk is pinned in tests/test_similarity.py
-def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via multi-table random-hyperplane LSH: L independent signatures
-    bucket the corpus; a query's candidates are the union of its L bucket
-    hits; exact cosine re-ranks candidates. Touches ~L/2^bits of the
-    corpus instead of all of it. At 100 TB the bucketed corpus is written
-    partitioned by (table, signature) so a probe is a partition-pruned
-    scan, not a full pass."""
-    corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+def with_hyperplane_sigs(df: DataFrame, vec_col: str, all_planes) -> DataFrame:
+    """Add (t, sig) rows per input row — one row per hash table.
+
+    Explode the TABLE ID, then pick that table's signature with a lazy
+    CASE — exploding an inline array of all L signature structs makes
+    Generate re-evaluate every signature per output row (L× waste; see
+    operators/dedup.py shingle_rows for the same rule)."""
+    ex = df.select(
+        "*", F.explode(F.array(*[F.lit(t) for t in range(len(all_planes))])).alias("t")
+    )
+    sig = None
+    for t, planes in enumerate(all_planes):
+        s = hyperplane_signature(vec_col, planes)
+        sig = F.when(F.col("t") == t, s) if sig is None else sig.when(F.col("t") == t, s)
+    return ex.select(*df.columns, "t", sig.alias("sig"))
+
+
+def _lsh_index_dir(sf_dir: str) -> str:
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(
+        os.path.join(repo_root, "spark-warehouse", "lsh_index"),
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
+    """LSH index build: signature every corpus vector for all
+    {LSH_TABLES} tables and persist parquet PARTITIONED BY (t, sig) with
+    precomputed norms — the once-per-snapshot job that turns a probe
+    into a partition-pruned scan of ~L/2^bits of the data."""
+    import os
+
+    index_dir = index_dir or _lsh_index_dir(sf_dir)
+    corpus, _ = _corpus_and_queries(spark, sf_dir)
     all_planes = [_planes(table=t) for t in range(LSH_TABLES)]
+    csig = with_hyperplane_sigs(corpus, "embedding", all_planes).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        "t",
+        "sig",
+    ).withColumn("nv", norm(F.col("v")))
+    # Cluster rows by bucket BEFORE the partitioned write: without it
+    # every input task writes a sliver into every (t, sig) dir it
+    # touches — tasks x buckets tiny files whose listing/open cost
+    # dominates the probe (measured 5000 files -> 2.8 s probe at sf0.1).
+    # After: one file per bucket. At 100 TB add maxRecordsPerFile.
+    csig.repartition(LSH_TABLES * (1 << LSH_PLANES), "t", "sig").write.mode(
+        "overwrite"
+    ).partitionBy("t", "sig").parquet(os.path.join(index_dir, "corpus"))
+    return index_dir
 
-    def with_sigs(df: DataFrame, vec_col: str) -> DataFrame:
-        # Explode the TABLE ID, then pick that table's signature with a
-        # lazy CASE — exploding an inline array of all L signature structs
-        # makes Generate re-evaluate every signature per output row (L×
-        # waste; see operators/dedup.py shingle_rows for the same rule).
-        ex = df.select(
-            "*", F.explode(F.array(*[F.lit(t) for t in range(len(all_planes))])).alias("t")
-        )
-        sig = None
-        for t, planes in enumerate(all_planes):
-            s = hyperplane_signature(vec_col, planes)
-            sig = F.when(F.col("t") == t, s) if sig is None else sig.when(F.col("t") == t, s)
-        return ex.select(*df.columns, "t", sig.alias("sig"))
 
-    csig = with_sigs(corpus, "embedding")
-    qsig = with_sigs(queries_df, "qvec")
+def lsh_probe(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """LSH probe: signature the (small) query batch, statically prune
+    the bucketed index to the probed (t, sig) partitions, exact-cosine
+    re-rank the bucket union."""
+    import os
+
+    import numpy as np
+
+    index_dir = index_dir or _lsh_index_dir(sf_dir)
+    _, queries_df = _corpus_and_queries(spark, sf_dir)
+    # Query signatures are computed DRIVER-side (numpy sign bits): the
+    # probe batch is small and the giant literal signature expression is
+    # worth planning only for the corpus-sized build. A sign flip at the
+    # |dot| ~ ulp boundary vs the Catalyst fold would merely move that
+    # query's probe bucket (one table of recall), never correctness —
+    # survivors are exact re-ranked.
+    qrows = queries_df.collect()
+    plane_mats = [np.array(_planes(table=t), dtype=np.float64) for t in range(LSH_TABLES)]
+    qsig_rows = []
+    for r in qrows:
+        qv = np.asarray(r.qvec, dtype=np.float64)
+        for t, pm in enumerate(plane_mats):
+            bits = (pm @ qv) >= 0
+            sig = int(sum(1 << i for i, b in enumerate(bits) if b))
+            qsig_rows.append((r.query_id, [float(x) for x in r.qvec], t, sig))
+    qsig = spark.createDataFrame(
+        qsig_rows, "query_id long, qvec array<double>, t int, sig int"
+    ).withColumn("qn", norm(as_double(F.col("qvec"))))
+    # Static (t, sig) partition filter: queries x tables pairs — tiny.
+    pairs = {(t, s) for _, _, t, s in qsig_rows}
+    pair_filter = None
+    for t, s in sorted(pairs):
+        cond = (F.col("t") == t) & (F.col("sig") == s)
+        pair_filter = cond if pair_filter is None else (pair_filter | cond)
+    idx = spark.read.parquet(os.path.join(index_dir, "corpus")).filter(pair_filter)
     candidates = (
-        csig.join(F.broadcast(qsig), ["t", "sig"])
-        .select("query_id", "vec_id", "qvec", "embedding")
+        idx.join(F.broadcast(qsig), ["t", "sig"])
+        .select("query_id", "vec_id", "qvec", "qn", "v", "nv")
         .dropDuplicates(["query_id", "vec_id"])  # a pair may collide in several tables
     )
-    sim = F.round(cosine(as_double(F.col("qvec")), as_double(F.col("embedding"))), 6)
+    sim = F.round(
+        dot(as_double(F.col("qvec")), F.col("v")) / (F.col("qn") * F.col("nv")), 6
+    )
     scored = candidates.select("query_id", "vec_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -162,6 +227,25 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+@query("sim_search_ann_lsh")  # rows-only: bucketing is probabilistic machinery;
+# recall vs sim_search_topk is pinned in tests/test_similarity.py
+def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH, probe path: L
+    independent signatures bucket the corpus; a query's candidates are
+    the union of its L bucket hits; exact cosine re-ranks. Touches
+    ~L/2^bits of the corpus instead of all of it. Like IVF, the index is
+    a build/probe split: `lsh_build` persists the corpus PARTITIONED BY
+    (t, sig) once per snapshot (lazy here), and the probe is a
+    statically partition-pruned scan — the plan shows the (t, sig)
+    PartitionFilters."""
+    import os
+
+    index_dir = _lsh_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "corpus")):
+        lsh_build(spark, sf_dir, index_dir)
+    return lsh_probe(spark, sf_dir, index_dir)
 
 
 @query(
@@ -305,9 +389,11 @@ def ivf_build(
         )
         .withColumn("nv", norm(F.col("v")))
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "corpus")
-    )
+    # One file per cell (see lsh_build: unclustered partitioned writes
+    # leave tasks x cells tiny files; at 100 TB add maxRecordsPerFile).
+    assigned.repartition(nlist, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "corpus"))
     centroids = [
         (cid, [float(x) for x in c]) for cid, c in enumerate(model.clusterCenters())
     ]

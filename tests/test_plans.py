@@ -180,3 +180,11 @@ def test_ivf_probe_prunes_cells(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_search_ann_ivf")
     assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_probe_prunes_buckets(spark, sf_dir):
+    """The LSH probe must statically prune the (t, sig)-partitioned
+    index to the probed buckets."""
+    plan = _plan(spark, sf_dir, "sim_search_ann_lsh")
+    assert re.search(r"PartitionFilters: \[.*\(t#\d+ = \d+\) AND \(sig#\d+ = \d+\)", plan), plan
+    assert "BroadcastHashJoin" in plan
