@@ -133,13 +133,18 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge and groups small; kept for parity testing of the approx
     variant."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
+    qs = (0.25, 0.50, 0.75, 0.99)
+    # ONE percentile(col, array(...)) aggregate: a single sorted buffer
+    # per group serves all four quantiles — four scalar percentile()
+    # calls would each buffer every group's values separately.
+    pcts = F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, qs))}))")
+    agged = li.groupBy("l_returnflag").agg(pcts.alias("pcts"))
+    return agged.select(
+        "l_returnflag",
         *[
-            F.round(
-                F.expr(f"percentile(l_extendedprice, {q})"), 4
-            ).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75, 0.99)
-        ]
+            F.round(F.col("pcts").getItem(i), 4).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
     )
 
 
