@@ -239,3 +239,37 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, src_width int, src_height int, dst_width int, "
         "dst_height int, scale_x double, scale_y double, resized_checksum long",
     )
+
+
+@query(
+    "multimodal_dedup",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             md5(text) AS payload_fp
+      FROM documents)
+    SELECT kind, payload_fp,
+           min(media_id) AS keep_media_id,
+           count(*)      AS n_copies
+    FROM media GROUP BY kind, payload_fp
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary assets by payload fingerprint — the
+    "same image uploaded a million times" pass of a multimodal corpus.
+    md5 runs directly on the binary column; the shuffle carries only
+    (kind, 16-byte hash, id) — never payload bytes — so at 100 TB the
+    exchange is ~thousandths of the input. Oracle parity: payload is
+    the utf-8 encoding of text, and DuckDB's md5(text) hashes the same
+    bytes."""
+    media = make_media(spread(load_table(spark, "documents", sf_dir)))
+    return (
+        media.select("kind", F.md5("payload").alias("payload_fp"), "media_id")
+        .groupBy("kind", "payload_fp")
+        .agg(
+            F.min("media_id").alias("keep_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -83,6 +83,7 @@ _PRIORITY_THIS_ROUND = [
     "ngram_counts",
     "embedding_centroid",
     "quality_quantile_filter",
+    "multimodal_dedup",
 ]
 
 
