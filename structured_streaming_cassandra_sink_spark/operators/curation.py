@@ -311,6 +311,72 @@ def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_N = 4       # tokens per contamination shingle
+EVAL_MOD = 50      # doc_id % EVAL_MOD == 0 -> held-out eval doc
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {CONTAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3],
+                                toks[i+4]))) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= {CONTAM_N}),
+    ev AS (
+      SELECT list_distinct(flatten(list(shingles))) AS evs
+      FROM sh WHERE doc_id % {EVAL_MOD} = 0)
+    SELECT t.doc_id,
+           len(list_intersect(t.shingles, ev.evs))        AS n_overlap,
+           len(t.shingles)                                AS n_shingles,
+           round(len(list_intersect(t.shingles, ev.evs))::DOUBLE
+                 / len(t.shingles), 4)                    AS contam_frac
+    FROM sh t CROSS JOIN ev
+    WHERE t.doc_id % {EVAL_MOD} != 0
+      AND len(list_intersect(t.shingles, ev.evs)) > 0
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: which training documents share a
+    {CONTAM_N}-token shingle with the held-out eval set (doc_id %
+    {EVAL_MOD} == 0 stands in for "the benchmark suite"). The standard
+    pre-training hygiene pass (n-gram-overlap decontamination).
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    thousands of docs, not billions), so its distinct-shingle set is
+    BROADCAST and the training corpus is ONE scan — shingle, hash-join
+    against the broadcast set map-side, then a per-doc count aggregate.
+    No shuffle ever carries eval×train pairs; the only exchange is the
+    per-doc hit counts. At 100 TB the broadcast set would be a Bloom
+    filter over the same shingles — identical plan shape.
+    """
+    from .dedup import shingle_rows, shingle_table
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    ev_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr_docs = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev_sh = shingle_rows(ev_docs, CONTAM_N).select("shingle").distinct()
+    tr_sh = shingle_table(tr_docs, CONTAM_N)  # (doc_id, sz, shingle)
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.max("sz").cast("bigint").alias("n_shingles"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_overlap",
+        "n_shingles",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 4).alias(
+            "contam_frac"
+        ),
+    )
+
+
 @query(
     "quality_quantile_filter",
     """
@@ -356,4 +422,73 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(F.broadcast(thresh), "lang")
         .filter(F.col("quality") >= F.col("q25"))
         .select("doc_id", "lang", "quality")
+    )
+
+
+SOURCE_TOKEN_BUDGET = 500   # target token cap per source after sampling
+
+
+@query(
+    "source_budget_sample",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    tot AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM sized GROUP BY source),
+    rated AS (
+      SELECT source, total_tokens,
+             least(CAST(10000 AS BIGINT),
+                   CAST(floor(10000.0 * {SOURCE_TOKEN_BUDGET} / total_tokens)
+                        AS BIGINT)) AS rate_permyriad
+      FROM tot),
+    kept AS (
+      SELECT s.source, s.n_tokens, r.rate_permyriad, r.total_tokens
+      FROM sized s JOIN rated r USING (source)
+      WHERE (('0x' || substr(md5(s.text), 1, 8))::BIGINT % 10000)
+            < r.rate_permyriad)
+    SELECT source, rate_permyriad, total_tokens,
+           count(*)                      AS n_sampled,
+           CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens
+    FROM kept GROUP BY source, rate_permyriad, total_tokens
+    """,
+)
+def source_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture control by token budget: cap every source at
+    ~{SOURCE_TOKEN_BUDGET} tokens by computing a per-source sampling rate
+    = budget / current-tokens, then applying it with the same
+    deterministic content-hash buckets as stratified_sample (finer
+    1/10000 grid). This is the "rebalance the pretraining mix" op —
+    rates are DERIVED FROM THE DATA (two-pass), not config like
+    stratified_sample's.
+
+    Scale shape: pass 1 is a per-source token-count aggregate (tiny
+    result: one row per source); the rate table is broadcast back and
+    pass 2 is a map-side hash filter + final per-source rollup. Two
+    corpus scans, no wide shuffle — at 100 TB the scans dominate and
+    both parallelize perfectly; Catalyst reuses the cached scan if the
+    source is persisted."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    sized = d.select(
+        "doc_id", "source", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    tot = sized.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    rated = tot.select(
+        "source",
+        "total_tokens",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.floor(10000.0 * SOURCE_TOKEN_BUDGET / F.col("total_tokens")).cast(
+                "bigint"
+            ),
+        ).alias("rate_permyriad"),
+    )
+    kept = sized.join(F.broadcast(rated), "source").filter(
+        hash_bucket(F.col("text"), 10000).cast("bigint") < F.col("rate_permyriad")
+    )
+    return kept.groupBy("source", "rate_permyriad", "total_tokens").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_tokens").alias("sampled_tokens"),
     )

@@ -454,3 +454,85 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "gram")
         .limit(TOP_NGRAMS)
     )
+
+
+MAX_DUP_TOKEN_FRAC = 0.6   # Gopher-style: drop if too few distinct tokens
+MAX_TOP_BIGRAM_FRAC = 0.1  # drop if one bigram dominates the doc
+
+
+@query(
+    "repetition_filter",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+             unnest(list_transform(range(len(tk) - 1),
+                 i -> concat_ws(' ', tk[i+1], tk[i+2]))) AS bigram
+      FROM t WHERE len(tk) >= 2),
+    c AS (
+      SELECT doc_id, n_tokens, n_distinct, bigram, count(*) AS c
+      FROM bg GROUP BY doc_id, n_tokens, n_distinct, bigram),
+    m AS (
+      SELECT doc_id, n_tokens, n_distinct, max(c) AS top_bigram_count
+      FROM c GROUP BY doc_id, n_tokens, n_distinct)
+    SELECT doc_id,
+           round(1 - n_distinct::DOUBLE / n_tokens, 4)          AS dup_token_frac,
+           CAST(top_bigram_count AS BIGINT)                     AS top_bigram_count,
+           round(2.0 * top_bigram_count / n_tokens, 4)          AS top_bigram_frac,
+           CASE WHEN round(1 - n_distinct::DOUBLE / n_tokens, 4)
+                     <= {MAX_DUP_TOKEN_FRAC}
+                 AND round(2.0 * top_bigram_count / n_tokens, 4)
+                     <= {MAX_TOP_BIGRAM_FRAC}
+                THEN 'keep' ELSE 'drop' END                     AS verdict
+    FROM m
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rules,
+    token-level): flag documents that are internally repetitive —
+    low distinct-token fraction, or one bigram covering too much of the
+    text. Catches boilerplate, keyword stuffing, and template spam that
+    a length/diversity score alone misses.
+
+    Scale shape: the top-bigram mode is a grouped count, not a per-doc
+    quadratic HOF — position-explode bigrams (linear; see
+    dedup.shingle_rows on why explode-the-positions matters), count per
+    (doc, bigram) with map-side partial aggregation, then max per doc.
+    Two shuffles, both keyed by doc_id and carrying only small ints.
+    Both fractions are rounded to the same 4-decimal grid on both
+    engines before the threshold compare, so the keep/drop boundary is
+    portable."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    base = d.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    ex = base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        "t",
+        F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"),
+    )
+    bg = ex.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.expr("concat_ws(' ', t[i-1], t[i])").alias("bigram"),
+    )
+    counts = bg.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = counts.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.max("c").alias("top_bigram_count")
+    )
+    dup = F.round(1 - F.col("n_distinct").cast("double") / F.col("n_tokens"), 4)
+    tbf = F.round(2.0 * F.col("top_bigram_count") / F.col("n_tokens"), 4)
+    return m.select(
+        "doc_id",
+        dup.alias("dup_token_frac"),
+        F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
+        tbf.alias("top_bigram_frac"),
+        F.when(
+            (dup <= MAX_DUP_TOKEN_FRAC) & (tbf <= MAX_TOP_BIGRAM_FRAC), "keep"
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )

@@ -84,6 +84,9 @@ _PRIORITY_THIS_ROUND = [
     "embedding_centroid",
     "quality_quantile_filter",
     "multimodal_dedup",
+    "contamination_check",
+    "repetition_filter",
+    "source_budget_sample",
 ]
 
 

@@ -321,3 +321,54 @@ def test_asof_join_right_tie_break_deterministic(spark):
             left, right.repartition(8), "k", "ts", "ts", ["price"], right_tie="rid"
         ).collect()
         assert len(rows) == 1 and rows[0].price == 200.0
+
+
+def test_contamination_excludes_eval_docs(spark, sf_dir):
+    """Output lists only TRAINING docs; fractions are sane; every listed
+    doc genuinely overlaps (n_overlap >= 1)."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import EVAL_MOD
+
+    rows = registry.QUERIES["contamination_check"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_id % EVAL_MOD != 0
+        assert 1 <= r.n_overlap <= r.n_shingles
+        assert 0.0 < r.contam_frac <= 1.0
+
+
+def test_repetition_filter_verdict_consistent(spark, sf_dir):
+    """Verdict is exactly the thresholded fractions (same rounding grid),
+    and a fully-repetitive doc ("a a a ... a") must be dropped."""
+    from structured_streaming_cassandra_sink_spark.operators.text import (
+        MAX_DUP_TOKEN_FRAC,
+        MAX_TOP_BIGRAM_FRAC,
+    )
+
+    rows = registry.QUERIES["repetition_filter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            "keep"
+            if r.dup_token_frac <= MAX_DUP_TOKEN_FRAC
+            and r.top_bigram_frac <= MAX_TOP_BIGRAM_FRAC
+            else "drop"
+        )
+        assert r.verdict == expect, r
+        assert 0.0 <= r.dup_token_frac < 1.0
+        assert r.top_bigram_frac > 0.0
+
+
+def test_source_budget_sample_caps_rates(spark, sf_dir):
+    """Rates derived from data: capped at 10000 permyriad, and any source
+    sampled below 100% must actually exceed the token budget."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import (
+        SOURCE_TOKEN_BUDGET,
+    )
+
+    rows = registry.QUERIES["source_budget_sample"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.rate_permyriad <= 10000
+        if r.rate_permyriad < 10000:
+            assert r.total_tokens > SOURCE_TOKEN_BUDGET
+        assert r.sampled_tokens <= r.total_tokens
+        assert r.n_sampled >= 1
