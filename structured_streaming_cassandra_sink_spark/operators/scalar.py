@@ -183,9 +183,15 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("groupwise_zscore_pandas")  # rows-only: pandas float accumulation
-# order differs from SQL engines below the rounding grid; Catalyst-window
-# equivalence (1e-9) is pinned in tests/test_operators.py
+@query(
+    "groupwise_zscore_pandas",
+    """
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
 def groupwise_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (grouped-map) surface: per-event-type z-score of
     `value`, each group normalized as one vectorized pandas frame. The
@@ -194,7 +200,13 @@ def groupwise_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key and hands each COMPLETE group to python — use only when the
     group math genuinely needs a dataframe library (here it doesn't;
     the window-function form is the production path, this pins the
-    plumbing)."""
+    plumbing).
+
+    Oracle parity: pandas ``std(ddof=1)`` == SQL ``stddev_samp``; both
+    sides round z to the 4-decimal grid so pandas pairwise-summation
+    vs DuckDB streaming-aggregation float order can't flip the compare
+    (Catalyst-window equivalence at 1e-9 is separately pinned in
+    tests/test_operators.py)."""
     import pandas as pd
 
     events = load_table(spark, "events", sf_dir)
@@ -202,9 +214,11 @@ def groupwise_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["value"].std(ddof=1)
         z = (pdf["value"] - pdf["value"].mean()) / std if std else 0.0
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z}
         )
+        out["z"] = out["z"].round(4)
+        return out
 
     return events.select("event_id", "event_type", "value").groupBy(
         "event_type"

@@ -87,6 +87,8 @@ _PRIORITY_THIS_ROUND = [
     "contamination_check",
     "repetition_filter",
     "source_budget_sample",
+    # upgraded rows-only -> oracle in round 2; needs a green oracle row
+    "groupwise_zscore_pandas",
 ]
 
 

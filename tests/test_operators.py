@@ -259,7 +259,9 @@ def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
 
 
 def test_applyinpandas_zscore_matches_window_form(spark, sf_dir):
-    """Grouped-map pandas z-score == Catalyst window z-score (1e-9)."""
+    """Grouped-map pandas z-score == Catalyst window z-score. The query
+    output is rounded to 4 decimals (oracle grid), so the tolerance is
+    half an ulp of that grid plus float-order noise."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -278,7 +280,7 @@ def test_applyinpandas_zscore_matches_window_form(spark, sf_dir):
     want = {r.event_id: r.z for r in want_df.collect()}
     assert set(got) == set(want)
     for k in want:
-        assert abs(got[k] - want[k]) < 1e-9, k
+        assert abs(got[k] - want[k]) <= 5e-5 + 1e-9, k
 
 
 def test_sql_api_over_registered_views(spark, sf_dir):
