@@ -842,3 +842,76 @@ def test_upsert_sink_crash_recovery(spark, tmp_path):
     assert {r.k: r.v for r in spark.read.parquet(path).collect()} == {
         1: 11, 2: 26, 3: 30,
     }
+
+
+def test_rate_limit_bounds_micro_batches(spark, message_dir):
+    """Backpressure contract: maxFilesPerTrigger=1 caps every micro-batch
+    at one source file's rows — ingest is bounded no matter how large the
+    backlog — while the final answer still converges to the batch twin.
+    (This is the knob that keeps a restarted stream with days of backlog
+    from OOMing its first micro-batch.)"""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from structured_streaming_cassandra_sink_spark.streaming.monitor import MetricsCollector
+    from structured_streaming_cassandra_sink_spark.streaming.pipeline import WATERMARK
+    from structured_streaming_cassandra_sink_spark.streaming.sources import file_message_stream
+
+    per_file = [
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(message_dir, "*.parquet"))
+    ]
+    assert len(per_file) == 4
+    max_file_rows = max(per_file)
+
+    collector = MetricsCollector()
+    spark.streams.addListener(collector)
+    try:
+        messages = file_message_stream(spark, message_dir, max_files_per_trigger=1)
+        events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
+        q = (
+            tumbling_agg(events)
+            .writeStream.queryName("t_rate_limit")
+            .outputMode("complete")
+            .format("memory")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+                for r in spark.sql("SELECT * FROM t_rate_limit").collect()
+            }
+        finally:
+            q.stop()
+
+        # listener events are async — wait until all input is accounted for
+        import time
+
+        total = sum(per_file)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if collector.total_input_rows("t_rate_limit") >= total:
+                break
+            time.sleep(0.5)
+        fed = [
+            b
+            for b in collector.batches
+            if b.query_name == "t_rate_limit" and b.num_input_rows > 0
+        ]
+        assert collector.total_input_rows("t_rate_limit") == total
+        # one file per trigger: every micro-batch bounded by the largest
+        # file, and it takes at least as many batches as files
+        assert all(b.num_input_rows <= max_file_rows for b in fed), [
+            b.num_input_rows for b in fed
+        ]
+        assert len(fed) >= len(per_file)
+    finally:
+        spark.streams.removeListener(collector)
+
+    want = {
+        (r.window_start, r.window_end, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_agg(_batch_parsed(spark, message_dir)).collect()
+    }
+    assert got == want
