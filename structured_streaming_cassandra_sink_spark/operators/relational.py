@@ -559,3 +559,62 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(d, F.col("et").eqNullSafe(F.col("det"))).select(
         "event_id", "et", "n"
     )
+
+
+@query(
+    "join_multiway_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*)                                          AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table star-ish join (local supplier volume per
+    nation) — THE join-reordering / broadcast showcase. Declared as plain
+    equi-joins and left to Catalyst + AQE: region/nation/supplier/customer
+    are dimension-sized and broadcast, so the only wide exchange is
+    orders⋈lineitem on orderkey; the date filter is pushed into the
+    orders scan (sargable) before that shuffle. The c_nationkey =
+    s_nationkey residual ("customer and supplier in the same nation") is
+    what makes the ordering non-trivial — a bad plan shuffles lineitem
+    twice; the broadcast plan never reshuffles the fact table."""
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, "nation", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    dims = (
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    )
+    sup = F.broadcast(s.join(dims, s.s_nationkey == n.n_nationkey))
+    cust = F.broadcast(c)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(sup, li.l_suppkey == s.s_suppkey)
+        .join(
+            cust,
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )

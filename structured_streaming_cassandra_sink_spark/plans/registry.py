@@ -89,6 +89,7 @@ _PRIORITY_THIS_ROUND = [
     "source_budget_sample",
     # upgraded rows-only -> oracle in round 2; needs a green oracle row
     "groupwise_zscore_pandas",
+    "join_multiway_revenue",
 ]
 
 

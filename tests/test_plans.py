@@ -188,3 +188,39 @@ def test_lsh_probe_prunes_buckets(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_search_ann_lsh")
     assert re.search(r"PartitionFilters: \[.*\(t#\d+ = \d+\) AND \(sig#\d+ = \d+\)", plan), plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_eval_set_is_broadcast(spark, sf_dir):
+    """The eval shingle set must broadcast: the training corpus is one
+    scan, never shuffled against eval (the 100 TB decontamination shape)."""
+    plan = _plan(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_budget_rates_are_broadcast(spark, sf_dir):
+    """The per-source rate table (one row per source) must broadcast back
+    onto the corpus — pass 2 is a map-side filter, not a wide shuffle."""
+    plan = _plan(spark, sf_dir, "source_budget_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_partial_agg(spark, sf_dir):
+    """Bigram counts must partial-aggregate map-side before the doc_id
+    exchange, and stay Python-free (Catalyst only)."""
+    plan = _plan(spark, sf_dir, "repetition_filter")
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    """Q5 shape: every dimension (region/nation/supplier/customer) joins
+    by broadcast; the fact table shuffles at most once (orders⋈lineitem).
+    A plan that SortMergeJoins a dimension re-shuffles 100 TB of lineitem
+    for a 25-row table."""
+    plan = _plan(spark, sf_dir, "join_multiway_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    # the date filter must reach the orders scan, before any join
+    assert re.search(r"PushedFilters: \[.*o_orderdate", plan), plan
