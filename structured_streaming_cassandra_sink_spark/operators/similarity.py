@@ -540,7 +540,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = buckets.withColumn("psig", F.explode(probe_sigs)).alias("a")
     b = buckets.alias("b")
-    cand = (
+    # Verify-then-dedup, NOT dedup-then-verify: a candidate pair's cosine
+    # is identical whichever probe found it, so the exact check runs
+    # inline in the join's codegen and the >= threshold filter kills
+    # ~everything BEFORE any exchange. The old order dropDuplicates'd
+    # first — shuffling both 64-dim vectors for every candidate pair
+    # (at sf0.1: ~15M pairs x 128 doubles); this order shuffles only the
+    # few surviving (id, id, cos) rows. A pair is rediscovered <= L times
+    # (once per table), so the duplicated dot products are bounded and
+    # map-side — far cheaper than a wide exchange.
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 6
+    )
+    return (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -550,18 +562,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.nv").alias("na"),
-            F.col("b.nv").alias("nb"),
+            sim.alias("cos_sim"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        cand.withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= COS_THRESHOLD)
-        .select("vec_a", "vec_b", "cos_sim")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
@@ -588,14 +592,21 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, dim) — dimension-wise partial aggregation, fully map-side
     combinable, shuffling only n_labels x dim tiny rows; the final
     collect_list/array_sort reassembles each centroid from its own
-    group. No vector ever needs a single reducer."""
+    group. No vector ever needs a single reducer.
+
+    posexplode runs on the RAW embedding attribute — exploding an
+    inline-computed array (posexplode(transform(...))) makes Generate
+    re-evaluate the transform per OUTPUT row, O(dim²) casts per vector
+    (measured ~5x on this query); the scalar cast after the explode is
+    linear."""
     emb = spread(load_table(spark, "embeddings", sf_dir))
     per_dim = (
-        emb.select(
-            "label", F.posexplode(as_double(F.col("embedding"))).alias("i", "e")
-        )
+        emb.select("label", F.posexplode(F.col("embedding")).alias("i", "e"))
         .groupBy("label", "i")
-        .agg(F.round(F.avg("e"), 6).alias("avg_e"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.round(F.avg(F.col("e").cast("double")), 6).alias("avg_e"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     return per_dim.groupBy("label").agg(
         F.transform(
