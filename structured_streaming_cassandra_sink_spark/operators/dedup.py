@@ -528,3 +528,80 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id")
     )
+
+
+OVERLAP_N = 4  # tokens per cross-source overlap shingle
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(len(tk) - {OVERLAP_N - 1}),
+                 i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4])))) AS shingle
+      FROM (SELECT source, string_split(text, ' ') AS tk FROM documents)
+      WHERE len(tk) >= {OVERLAP_N}),
+    sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT p.source_a, p.source_b, p.n_shared,
+           round(p.n_shared::DOUBLE / least(za.n, zb.n), 4) AS overlap
+    FROM pair p
+    JOIN sz za ON za.source = p.source_a
+    JOIN sz zb ON zb.source = p.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content overlap matrix: for every source pair, how
+    many distinct {OVERLAP_N}-gram shingles they share and the overlap
+    coefficient |A∩B| / min(|A|,|B|) — the "which feeds mirror each
+    other" observability query that decides whether two crawls should be
+    deduped jointly before mixing.
+
+    Scale shape: the inverted-index self-join from ngram_jaccard_pairs,
+    but at SOURCE granularity — the distinct (source, shingle) relation
+    is a per-source set union (one shuffle with map-side collect-set
+    semantics), and the self-join fan-out per shingle is bounded by the
+    number of sources carrying it (<= n_sources, hundreds at most —
+    never documents). Output is n_sources² rows max: tiny at any SF."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    toks = tokens(F.col("text"))
+    base = d.select("source", toks.alias("tk")).filter(F.size("tk") >= OVERLAP_N)
+    ex = base.select(
+        "source",
+        "tk",
+        F.explode(F.expr(f"sequence(1, size(tk) - {OVERLAP_N - 1})")).alias("i"),
+    )
+    sh = ex.select(
+        "source", F.expr(f"array_join(slice(tk, i, {OVERLAP_N}), ' ')").alias("shingle")
+    ).distinct()
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("na", "nb"), 4
+            ).alias("overlap"),
+        )
+    )

@@ -615,3 +615,58 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.max("n").alias("n_vecs"),
     )
+
+
+@query(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings)
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           list_transform(v, x -> CAST(least(127, greatest(-127,
+               floor(x / scale + 0.5))) AS INTEGER))            AS qvec,
+           round(list_aggregate(list_transform(v, x ->
+               pow(x - scale * least(127, greatest(-127,
+                   floor(x / scale + 0.5))), 2)), 'sum')
+               / len(v), 8)                                     AS mse
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (the ANN-index compression
+    step: 4x smaller than float32, dot products in integer SIMD):
+    scale = max|x|/127, q_i = clamp(round(x_i/scale)), plus the
+    reconstruction MSE that tells you whether the index can afford it.
+
+    Pure map, zero shuffle — at 100 TB this is a rewrite pass limited by
+    scan+write bandwidth. Rounding is floor(x+0.5) on BOTH engines
+    (engine round() half-rules differ: Spark HALF_UP vs DuckDB's
+    banker-ish variants); all math is double with the same sequential
+    fold order, so q vectors and MSE are bit-identical cross-engine
+    before the final display rounding."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    v = as_double(F.col("embedding"))
+    s = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0
+    )
+    qof = lambda x: F.least(  # noqa: E731
+        F.lit(127.0), F.greatest(F.lit(-127.0), F.floor(x / F.col("scale") + 0.5))
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.transform("v", lambda x: qof(x).cast("int")).alias("qvec"),
+        F.round(
+            F.aggregate(
+                F.transform("v", lambda x: F.pow(x - F.col("scale") * qof(x), 2)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("v"),
+            8,
+        ).alias("mse"),
+    )

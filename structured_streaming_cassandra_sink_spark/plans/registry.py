@@ -90,6 +90,8 @@ _PRIORITY_THIS_ROUND = [
     # upgraded rows-only -> oracle in round 2; needs a green oracle row
     "groupwise_zscore_pandas",
     "join_multiway_revenue",
+    "embedding_quantize",
+    "source_overlap_matrix",
 ]
 
 
