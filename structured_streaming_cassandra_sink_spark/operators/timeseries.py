@@ -220,3 +220,55 @@ def running_total(
         ranged.withColumn(out_col, F.sum(value_col).over(w) + offset_col)
         .drop("__pid")
     )
+
+
+SESSION_GAP_US = 15 * 60 * 1_000_000  # 15 min, matching stream_session
+
+
+@query(
+    "sessionize_assign",
+    f"""
+    WITH o AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+    m AS (
+      SELECT event_id, user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM m
+    """,
+)
+def sessionize_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment: a session break is a >15-min gap to
+    the previous event of the same user; the running count of breaks is
+    the session number. This is the batch complement of `stream_session`
+    (which emits per-SESSION aggregates): training pipelines need the
+    session id ON each event (sequence construction, per-session
+    sampling), not just the rollup.
+
+    Shape: two windows over the SAME (user_id, ts, event_id) ordering —
+    Catalyst computes both in one sort within one shuffle (no second
+    exchange; lag and the running sum share the partitioning). Gap math
+    is integer microseconds, exact on both engines. Works at 100 TB
+    because state per user is one row (the previous timestamp), exactly
+    like the streaming twin's session store."""
+    e = load_table(spark, "events", sf_dir)
+    tus = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    is_new = F.when(
+        F.lag(tus).over(w).isNull() | ((tus - F.lag(tus).over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(tus, F.col("event_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(run).cast("bigint").alias("session_seq"),
+    )

@@ -139,3 +139,44 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour trailing, in microseconds
+
+
+@query(
+    "window_range_interval",
+    f"""
+    SELECT event_id, user_id,
+           count(*) OVER w                   AS n_1h,
+           round(sum(value) OVER w, 4)       AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {RANGE_WINDOW_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, each event sees the trailing
+    1 hour of events by VALUE distance on the time axis — not a fixed
+    row count (ROWS frames, `window_frame`) and not a fixed grid
+    (tumbling windows): the frame slides per row and rows with equal
+    timestamps are peers. The rolling-feature op of a behavioral
+    pipeline ("events/spend in the last hour at every event").
+
+    Ordering is integer epoch MICROSECONDS on both engines (exact; see
+    the asof/date conventions — second-granularity casts truncate
+    differently cross-engine). One shuffle on user_id; the frame scan is
+    linear per partition (Spark keeps a sliding aggregate, not
+    re-summing each frame)."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-RANGE_WINDOW_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )

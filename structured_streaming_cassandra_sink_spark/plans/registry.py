@@ -92,6 +92,8 @@ _PRIORITY_THIS_ROUND = [
     "join_multiway_revenue",
     "embedding_quantize",
     "source_overlap_matrix",
+    "window_range_interval",
+    "sessionize_assign",
 ]
 
 

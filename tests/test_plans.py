@@ -224,3 +224,15 @@ def test_multiway_join_broadcasts_dims(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 1, plan
     # the date filter must reach the orders scan, before any join
     assert re.search(r"PushedFilters: \[.*o_orderdate", plan), plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag + running-sum share (user_id, ts, event_id): one Exchange only
+    — the second window must not re-shuffle."""
+    plan = _plan(spark, sf_dir, "sessionize_assign")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_range_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_range_interval")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
