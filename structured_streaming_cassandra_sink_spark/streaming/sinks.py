@@ -170,3 +170,100 @@ def start_to_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Manifest-log MERGE sink — the transaction-log commit protocol
+# (Delta/Iceberg idiom) in dependency-free form.
+# ---------------------------------------------------------------------------
+def _manifest_log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _manifest_latest(path: str) -> dict | None:
+    """Highest committed manifest, or None. Only ``<int>.json`` names are
+    commits — tmp files from a crashed commit are invisible here."""
+    import json
+
+    log = _manifest_log_dir(path)
+    if not os.path.isdir(log):
+        return None
+    versions = [
+        int(f[: -len(".json")])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    ]
+    if not versions:
+        return None
+    with open(os.path.join(log, f"{max(versions)}.json")) as fh:
+        return json.load(fh)
+
+
+def read_manifest_table(spark, path: str):
+    """Snapshot read: resolve the CURRENT committed version from the log
+    and read exactly its file set. Uncommitted/orphaned data dirs are
+    invisible — this is what makes the sink's crash window harmless."""
+    m = _manifest_latest(path)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    return spark.read.parquet(os.path.join(path, m["data_dir"]))
+
+
+def manifest_merge_sink(path: str, key: str, order: list[str]):
+    """MERGE-by-key sink committed through a transaction log — the
+    production idiom (Delta/Iceberg MERGE INTO) expressed with plain
+    parquet + an atomic manifest rename, no library needed:
+
+    1. resolve current version V from ``_log/`` (highest ``N.json``);
+    2. replay guard: if V's manifest already records this epoch, the
+       epoch was fully committed before a restart — skip (exactly-once);
+    3. write the merged table to a fresh IMMUTABLE data dir
+       ``data/v{V+1}-e{epoch}`` (never mutates the current version);
+    4. COMMIT = write ``_log/.tmp-*`` then os.rename to
+       ``_log/{V+1}.json`` — one atomic filesystem op is the only
+       publish point;
+    5. GC superseded data dirs (single-writer local twin; a production
+       log keeps history for snapshot isolation / time travel).
+
+    Every crash window is safe: die before the rename and readers still
+    see version V (the orphan data dir is invisible and re-used by the
+    replay); die after and the epoch is committed, so the replay hits
+    the guard in step 2. Unlike ``parquet_upsert_sink`` the current
+    state is NEVER renamed away — readers can run concurrently with a
+    commit."""
+    import json
+
+    from ..plans.flagship import latest_per_key
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        m = _manifest_latest(path)
+        if m is not None and int(m["epoch_id"]) == int(epoch_id):
+            return  # replayed epoch already fully committed
+        version = 0 if m is None else int(m["version"]) + 1
+        batch = latest_per_key(df, key, order)
+        if m is not None:
+            existing = spark.read.parquet(os.path.join(path, m["data_dir"]))
+            merged = latest_per_key(
+                existing.unionByName(batch.select(*existing.columns)), key, order
+            )
+        else:
+            merged = batch
+        data_dir = os.path.join("data", f"v{version}-e{epoch_id}")
+        merged.write.mode("overwrite").parquet(os.path.join(path, data_dir))
+        log = _manifest_log_dir(path)
+        os.makedirs(log, exist_ok=True)
+        tmp = os.path.join(log, f".tmp-{version}-{epoch_id}.json")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version, "epoch_id": int(epoch_id), "data_dir": data_dir},
+                fh,
+            )
+        os.rename(tmp, os.path.join(log, f"{version}.json"))  # the commit
+        # GC superseded versions (kept: the just-committed data dir)
+        droot = os.path.join(path, "data")
+        for d in os.listdir(droot):
+            if os.path.join("data", d) != data_dir:
+                shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
+
+    return write

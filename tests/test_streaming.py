@@ -915,3 +915,92 @@ def test_rate_limit_bounds_micro_batches(spark, message_dir):
         for r in tumbling_agg(_batch_parsed(spark, message_dir)).collect()
     }
     assert got == want
+
+
+def test_manifest_merge_sink_converges_and_replays(spark, sf_dir, message_dir, tmp_path):
+    """Log-committed MERGE sink: streaming end state == batch latest-per-
+    key; re-delivering the last epoch hits the replay guard (version
+    count unchanged, state unchanged)."""
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        manifest_merge_sink,
+        read_manifest_table,
+        start_to_sink,
+        _manifest_latest,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        file_message_stream,
+        parse_message_stream,
+    )
+
+    table = str(tmp_path / "mm_table")
+    ckpt = str(tmp_path / "mm_ckpt")
+    sink = manifest_merge_sink(table, "user_id", ["ts", "event_id"])
+    parsed = parse_message_stream(
+        file_message_stream(spark, message_dir, max_files_per_trigger=1)
+    ).select("user_id", "ts", "event_id")
+    q = start_to_sink(parsed, sink, ckpt, query_name="t_manifest")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: (r.ts, r.event_id) for r in read_manifest_table(spark, table).collect()
+    }
+    batch = latest_per_key(
+        _batch_parsed(spark, message_dir).select("user_id", "ts", "event_id"),
+        "user_id",
+        ["ts", "event_id"],
+    )
+    want = {r.user_id: (r.ts, r.event_id) for r in batch.collect()}
+    assert got == want
+
+    # replay the last committed epoch by hand: guard must no-op
+    m_before = _manifest_latest(table)
+    last_batch = read_manifest_table(spark, table).limit(5)
+    sink(last_batch, m_before["epoch_id"])
+    m_after = _manifest_latest(table)
+    assert m_after["version"] == m_before["version"]
+    assert {
+        r.user_id: (r.ts, r.event_id) for r in read_manifest_table(spark, table).collect()
+    } == want
+
+
+def test_manifest_merge_sink_crash_before_commit(spark, sf_dir, tmp_path):
+    """Die AFTER the data write but BEFORE the manifest rename: readers
+    still see the previous version (orphan dir invisible); replaying the
+    epoch completes the commit and converges."""
+    import json
+    import os
+
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        manifest_merge_sink,
+        read_manifest_table,
+        _manifest_latest,
+    )
+
+    table = str(tmp_path / "mc_table")
+    sink = manifest_merge_sink(table, "k", ["v"])
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    sink(df1, 0)
+    assert {r.k: r.v for r in read_manifest_table(spark, table).collect()} == {1: 10, 2: 20}
+
+    # epoch 1 "crashes": data dir + tmp manifest exist, no commit
+    df2 = spark.createDataFrame([(2, 21), (3, 30)], "k int, v int")
+    orphan = os.path.join(table, "data", "v1-e1")
+    df2.write.mode("overwrite").parquet(orphan)
+    with open(os.path.join(table, "_log", ".tmp-1-1.json"), "w") as fh:
+        json.dump({"version": 1, "epoch_id": 1, "data_dir": "data/v1-e1"}, fh)
+
+    # reader is oblivious to the crash leftovers
+    assert _manifest_latest(table)["version"] == 0
+    assert {r.k: r.v for r in read_manifest_table(spark, table).collect()} == {1: 10, 2: 20}
+
+    # replay epoch 1: overwrites the orphan, commits, merges correctly
+    sink(df2, 1)
+    assert _manifest_latest(table)["version"] == 1
+    assert {r.k: r.v for r in read_manifest_table(spark, table).collect()} == {
+        1: 10,
+        2: 21,
+        3: 30,
+    }
