@@ -178,7 +178,9 @@ def test_ivf_probe_prunes_cells(spark, sf_dir):
     cell-partitioned index is partition-pruned, and the probe relation
     must broadcast."""
     plan = _plan(spark, sf_dir, "sim_search_ann_ivf")
-    assert re.search(r"PartitionFilters: \[cell#\d+ IN \(", plan), plan
+    # Spark renders the static cell list as `IN (..)` below 10 values and
+    # `INSET ..` at or above (OptimizeIn) — both are partition pruning.
+    assert re.search(r"PartitionFilters: \[cell#\d+ (IN \(|INSET )", plan), plan
     assert "BroadcastHashJoin" in plan
 
 
