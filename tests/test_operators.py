@@ -374,3 +374,35 @@ def test_source_budget_sample_caps_rates(spark, sf_dir):
             assert r.total_tokens > SOURCE_TOKEN_BUDGET
         assert r.sampled_tokens <= r.total_tokens
         assert r.n_sampled >= 1
+
+
+def test_embedding_quantize_error_bound(spark, sf_dir):
+    """Symmetric int8 guarantee: per-element error <= scale/2, so
+    mse <= (scale/2)^2; scale is max|x|/127 so qvec uses the full range
+    and never exceeds it."""
+    rows = registry.QUERIES["embedding_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mse <= (r.scale_r / 2) ** 2 + 1e-9, r.vec_id
+        assert max(abs(q) for q in r.qvec) == 127, r.vec_id  # full range
+
+
+def test_sessionize_monotone_per_user(spark, sf_dir):
+    """Session ids start at 1 and increase by at most 1 between
+    consecutive events of a user (ordered by ts, event_id)."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import SESSION_GAP_US
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    assigned = registry.QUERIES["sessionize_assign"](spark, sf_dir)
+    joined = assigned.join(events, ["event_id", "user_id"]).collect()
+    by_user = {}
+    for r in joined:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.session_seq))
+    for user, rows in by_user.items():
+        rows.sort()
+        assert rows[0][2] == 1, user
+        for (t0, _, s0), (t1, _, s1) in zip(rows, rows[1:]):
+            assert s1 - s0 in (0, 1), user
+            gap_us = (t1 - t0).total_seconds() * 1e6
+            # break exactly when the gap exceeds the threshold
+            assert (s1 - s0 == 1) == (gap_us > SESSION_GAP_US), (user, gap_us)
