@@ -536,3 +536,79 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop")
         .alias("verdict"),
     )
+
+
+HH_SUPPORT = 0.00005  # report trigrams with frequency > HH_SUPPORT of all
+
+
+@query(
+    "heavy_hitters",
+    f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(len(t) - 2),
+                 i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+      FROM toks WHERE len(t) >= 3)
+    SELECT gram, count(*) AS n
+    FROM grams GROUP BY gram
+    HAVING count(*) > (SELECT count(*) FROM grams) * {HH_SUPPORT}
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent trigrams (> {HH_SUPPORT:.1%} of all gram
+    occurrences) via a two-pass Misra-Gries sketch — the
+    boilerplate/template detector that does NOT shuffle the full gram
+    population like `ngram_counts` does:
+
+    pass 1: every partition runs a Misra-Gries summary with capacity
+    1/support. Pigeonhole guarantees any GLOBALLY heavy gram is LOCALLY
+    heavy in at least one partition, so the union of per-partition
+    survivors is a complete candidate set (at most partitions/support
+    strings — a bounded driver-side constant), no matter how many
+    trillions of grams flow by.
+    pass 2: exact counts for candidates only (broadcast-joined against
+    the gram stream — NOT an isin literal, which at sketch capacity
+    would bloat the plan), strict > threshold — output identical to the
+    full groupBy, which is what the oracle runs.
+
+    The sketch is the MERGEABLE-SUMMARIES shape (Agarwal et al., TODS'13)
+    next to HLL (`approx_distinct`) and GK (`approx_quantiles`) — here
+    used for candidate pruning so the final answer stays exact."""
+    import pandas as pd
+
+    cap = int(1 / HH_SUPPORT)
+    d = spread(load_table(spark, "documents", sf_dir))
+
+    def mg_partial(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                t = text.split(" ")
+                for i in range(len(t) - 2):
+                    g = f"{t[i]} {t[i+1]} {t[i+2]}"
+                    if g in counters:
+                        counters[g] += 1
+                    elif len(counters) < cap:
+                        counters[g] = 1
+                    else:  # decrement-all step
+                        for k in list(counters):
+                            counters[k] -= 1
+                            if not counters[k]:
+                                del counters[k]
+        yield pd.DataFrame({"gram": list(counters)})
+
+    cands = (
+        d.select("text").mapInPandas(mg_partial, "gram string").distinct()
+    )
+    base = d.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 3)
+    total = base.select(
+        F.sum(F.size("t") - 2).alias("n")
+    ).collect()[0].n
+    ex = base.select("t", F.explode(F.expr("sequence(1, size(t) - 2)")).alias("i"))
+    grams = ex.select(F.expr("array_join(slice(t, i, 3), ' ')").alias("gram"))
+    return (
+        grams.join(F.broadcast(cands), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total * HH_SUPPORT)
+    )

@@ -94,6 +94,7 @@ _PRIORITY_THIS_ROUND = [
     "source_overlap_matrix",
     "window_range_interval",
     "sessionize_assign",
+    "heavy_hitters",
 ]
 
 
