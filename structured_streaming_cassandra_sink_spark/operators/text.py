@@ -612,3 +612,158 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > total * HH_SUPPORT)
     )
+
+
+# BM25 retrieval constants (Robertson/Sparck Jones defaults) and a fixed
+# demo query over the synthetic vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["spark", "stream", "join"]
+BM25_TOPK = 20
+
+_BM25_Q_SQL = ", ".join(f"'{w}'" for w in BM25_QUERY)
+
+
+@query(
+    "bm25_score",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM t),
+    tok AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM t),
+    q AS (SELECT * FROM tok WHERE term IN ({_BM25_Q_SQL})),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q GROUP BY 1, 2, 3),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY 1)
+    SELECT doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * ({BM25_K1} + 1)
+                     / (tf + {BM25_K1} * (1 - {BM25_B}
+                                          + {BM25_B} * dl / avgdl))), 4) AS bm25
+    FROM tf JOIN df USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} retrieval for a fixed term query — the
+    lexical-retrieval scorer of a dedup/decontamination pipeline (and the
+    standard baseline next to embedding search `sim_search_topk`).
+    idf = ln(1 + (N - df + .5)/(df + .5)), k1={BM25_K1}, b={BM25_B}.
+
+    Scale shape: the corpus-wide stats (N, avgdl) are ONE aggregate row
+    broadcast via crossJoin, not a driver collect; tokens are filtered to
+    the query vocabulary BEFORE any shuffle, so tf/df aggregate only the
+    matching (doc, term) pairs (query-sized, not corpus-sized); df is a
+    |Q|-row broadcast join; the top-k is TakeOrderedAndProject on the
+    ROUNDED score with doc_id tie-break (engine-portable cut, no global
+    sort, no single-partition window)."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    base = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    )
+    tok = base.select(
+        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+    )
+    q = tok.filter(F.col("term").isin(BM25_QUERY))
+    tf = q.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+PMI_MIN_FRAC = 1e-4  # keep pairs covering > this fraction of all bigrams
+PMI_TOPK = 30
+
+
+@query(
+    "word_pmi",
+    f"""
+    WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    tot AS (SELECT CAST(sum(len(tk)) AS BIGINT)     AS tu,
+                   CAST(sum(len(tk) - 1) AS BIGINT) AS tb FROM t),
+    uni AS (SELECT unnest(tk) AS w FROM t),
+    cu  AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+    bg AS (
+      SELECT unnest(list_transform(range(len(tk) - 1),
+                 i -> [tk[i+1], tk[i+2]])) AS pair
+      FROM t),
+    cb AS (SELECT pair[1] AS x, pair[2] AS y, count(*) AS c_xy
+           FROM bg GROUP BY 1, 2)
+    SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+           round(ln((CAST(c_xy AS DOUBLE) * tu * tu)
+                    / (CAST(cx.c_w AS DOUBLE) * cy.c_w * tb)), 4) AS pmi
+    FROM cb JOIN cu cx ON cb.x = cx.w
+            JOIN cu cy ON cb.y = cy.w
+            CROSS JOIN tot
+    WHERE c_xy >= tb * {PMI_MIN_FRAC}
+    ORDER BY pmi DESC, x, y LIMIT {PMI_TOPK}
+    """,
+)
+def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} bigram collocations by pointwise mutual information
+    (Church & Hanks, CL'90): pmi = ln(p(x,y) / (p(x) p(y))) with unigram
+    and bigram MLE probabilities — the phrase-mining / tokenizer-merge
+    statistic of a corpus analysis pass, restricted to pairs covering
+    > {PMI_MIN_FRAC:.2%} of all bigram occurrences.
+
+    Scale shape: unigram counts are a vocabulary-sized (zipf-bounded)
+    table joined by word — twice, once per side of the pair; corpus
+    totals ride along as a broadcast one-row crossJoin. The support
+    filter applies BEFORE the joins feed the sort, and the top-k is
+    TakeOrderedAndProject on the rounded score with (x, y) tie-break.
+    The pmi expression keeps the exact same operation order on both
+    engines so the double math agrees before rounding."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    base = d.select(tokens(F.col("text")).alias("tk")).filter(F.size("tk") >= 2)
+    tot = base.agg(
+        F.sum(F.size("tk")).cast("bigint").alias("tu"),
+        F.sum(F.size("tk") - 1).cast("bigint").alias("tb"),
+    )
+    cu = (
+        base.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    ex = base.select("tk", F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"))
+    cb = (
+        ex.select(
+            F.expr("tk[i-1]").alias("x"), F.expr("tk[i]").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    cx = cu.select(F.col("w").alias("x"), F.col("c_w").alias("cx_c"))
+    cy = cu.select(F.col("w").alias("y"), F.col("c_w").alias("cy_c"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("tu") * F.col("tu"))
+            / (F.col("cx_c").cast("double") * F.col("cy_c") * F.col("tb"))
+        ),
+        4,
+    )
+    return (
+        cb.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_xy") >= F.col("tb") * PMI_MIN_FRAC)
+        .select("x", "y", F.col("c_xy").cast("bigint").alias("c_xy"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "x", "y")
+        .limit(PMI_TOPK)
+    )

@@ -95,6 +95,8 @@ _PRIORITY_THIS_ROUND = [
     "window_range_interval",
     "sessionize_assign",
     "heavy_hitters",
+    "bm25_score",
+    "word_pmi",
 ]
 
 
