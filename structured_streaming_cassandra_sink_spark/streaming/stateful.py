@@ -76,3 +76,79 @@ def streaming_running_totals(spark, source_dir: str, query_name: str = "RunningT
         .format("memory")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionizer — the per-EVENT twin of operators/timeseries.py's
+# batch `sessionize_assign` (same 15-min gap rule, same (ts, event_id)
+# ordering). `stream_session` (session_window) emits per-SESSION rollups;
+# this op assigns the session SEQUENCE NUMBER on each event as it flows —
+# the id a sequence-construction pipeline stamps on training examples.
+#
+# State per user is (last event micros, sessions so far): two bigints,
+# regardless of history length — the same O(1)-per-key bound as the batch
+# twin's lag() window. Single-pass assignment is order-sensitive by
+# construction: within a micro-batch rows are sorted by (ts, event_id);
+# across micro-batches correctness requires the source to deliver a key's
+# events in event-time order (true for Kafka per-partition keyed producers
+# and the file mirror's time-sliced files). For out-of-order streams use
+# `stream_session`'s watermarked session_window, which buffers and merges.
+
+SESSIONIZE_OUTPUT = "event_id bigint, user_id bigint, session_seq bigint"
+SESSIONIZE_STATE = "last_us bigint, seq bigint"
+SESSION_GAP_US = 15 * 60 * 1_000_000  # == operators/timeseries.SESSION_GAP_US
+
+
+def _sessionize(key, pdf_iter, state):
+    import pandas as pd
+
+    last_us, seq = state.get if state.exists else (-1, 0)
+    df = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    ts_us = (df["ts"].astype("int64") // 1000).tolist()
+    ids, seqs = [], []
+    for t, eid in zip(ts_us, df["event_id"].tolist()):
+        if last_us < 0 or t - last_us > SESSION_GAP_US:
+            seq += 1
+        last_us = t
+        ids.append(int(eid))
+        seqs.append(seq)
+    state.update((int(last_us), int(seq)))
+    yield pd.DataFrame(
+        {"event_id": ids, "user_id": int(key[0]), "session_seq": seqs}
+    )
+
+
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """Streaming per-event session assignment over the parsed event
+    stream; end-to-end equality with the batch `sessionize_assign` is
+    pinned in tests/test_streaming.py (time-ordered micro-batches)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("event_id", "ts", "user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSIONIZE_OUTPUT,
+            stateStructType=SESSIONIZE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_sessionize(spark, source_dir: str, query_name: str = "Sessionize"):
+    """File-mirror wiring: one file per micro-batch (time-sliced by the
+    caller), append-mode memory sink — every event appears exactly once
+    with its assigned session id."""
+    from .sources import file_message_stream, parse_message_stream
+
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages)
+    return (
+        sessionize_events(events)
+        .writeStream.queryName(query_name)
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )

@@ -1004,3 +1004,54 @@ def test_manifest_merge_sink_crash_before_commit(spark, sf_dir, tmp_path):
         2: 21,
         3: 30,
     }
+
+
+@pytest.fixture(scope="module")
+def timesliced_message_dir(spark, sf_dir, tmp_path_factory):
+    """Messages split into 4 files of CONTIGUOUS (ts, event_id) ranges,
+    mtime-ordered — the file source replays them as 4 in-order
+    micro-batches (the per-partition ordering a keyed Kafka producer
+    guarantees), which single-pass sessionization requires."""
+    import glob
+    import time
+
+    from pyspark.sql import Window
+
+    out = str(tmp_path_factory.mktemp("ts_messages"))
+    events = load_table(spark, "events", sf_dir)
+    sliced = events.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        part = str(tmp_path_factory.mktemp(f"slice{i}"))
+        events_to_messages(sliced.filter(F.col("slice") == i).drop("slice")) \
+            .coalesce(1).write.mode("overwrite").parquet(part)
+        src = glob.glob(os.path.join(part, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"{i:02d}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    return out
+
+
+def test_streaming_sessionize_equals_batch(spark, sf_dir, timesliced_message_dir):
+    """applyInPandasWithState sessionizer: every event gets the SAME
+    session_seq the batch lag()-window twin assigns — state (last ts,
+    seq) carries across micro-batch boundaries."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import sessionize_assign
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import streaming_sessionize
+
+    q = streaming_sessionize(spark, timesliced_message_dir, query_name="t_sess")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.user_id, r.session_seq)
+            for r in spark.sql("SELECT * FROM t_sess").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.event_id: (r.user_id, r.session_seq)
+        for r in sessionize_assign(spark, sf_dir).collect()
+    }
+    assert len(got) == len(want)  # append mode: exactly one row per event
+    assert got == want
