@@ -723,3 +723,68 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("mse"),
     )
+
+
+@query(
+    "embedding_cluster_assign",
+    """
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS e
+      FROM embeddings),
+    cents AS (
+      SELECT label, list(avg_e ORDER BY i) AS cvec
+      FROM (SELECT label, i, round(avg(e), 6) AS avg_e FROM ex GROUP BY label, i)
+      GROUP BY label),
+    sims AS (
+      SELECT v.vec_id, c.label,
+             round(list_cosine_similarity(v.embedding::DOUBLE[], c.cvec), 6) AS cos_sim
+      FROM embeddings v CROSS JOIN cents c)
+    SELECT vec_id, label AS cluster, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos_sim DESC, label) AS rnk
+          FROM sims)
+    WHERE rnk = 1
+    """,
+)
+def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid cluster assignment: every vector joins the
+    per-label mean centroid it is most cosine-similar to — the
+    domain-classification / data-mixing primitive (assign documents to
+    clusters, then weight clusters in the training mix). One k-means
+    Lloyd HALF-step, deterministic and fully oracle-checked — the
+    exact complement of the rows-only IVF machinery (`ivf_build` runs
+    the full iterative fit; this op IS its assignment pass).
+
+    Scale shape: centroids are a K-row aggregate (dimension-wise
+    partial agg, same plan as `embedding_centroid`) broadcast against
+    one corpus scan — corpus-linear, no shuffle of vectors; the
+    per-vector argmax is a K-row window. Centroid dims and cosines
+    round to the same grid on both engines; argmax ties break by label."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    per_dim = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("i", "e"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg(F.col("e").cast("double")), 6).alias("avg_e"))
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "avg_e"))),
+            lambda s: s["avg_e"],
+        ).alias("cvec")
+    ).withColumn("cn", norm(F.col("cvec")))
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "vn", norm(F.col("v"))
+    )
+    sims = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        F.round(dot(F.col("v"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "label")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("label").alias("cluster"), "cos_sim")
+    )

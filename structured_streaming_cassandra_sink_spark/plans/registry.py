@@ -97,6 +97,7 @@ _PRIORITY_THIS_ROUND = [
     "heavy_hitters",
     "bm25_score",
     "word_pmi",
+    "embedding_cluster_assign",
 ]
 
 

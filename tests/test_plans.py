@@ -238,3 +238,27 @@ def test_sessionize_single_shuffle(spark, sf_dir):
 def test_range_window_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_range_interval")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_bm25_topk_and_broadcast_stats(spark, sf_dir):
+    """BM25: corpus stats and df table broadcast (no fact shuffle for
+    them); the final cut is TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "bm25_score")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_word_pmi_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "word_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cluster_assign_centroids_broadcast(spark, sf_dir):
+    """Nearest-centroid assign: the K-row centroid table must broadcast
+    against the corpus scan — a corpus shuffle here would be the 100 TB
+    bottleneck."""
+    plan = _plan(spark, sf_dir, "embedding_cluster_assign")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
