@@ -618,3 +618,43 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000),
+         o AS (SELECT o_custkey, count(*) AS n_orders,
+                      round(sum(o_totalprice), 4) AS total_spend
+               FROM orders GROUP BY o_custkey)
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c_name, n_orders, total_spend
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER completes the join matrix (inner/left/semi/anti/range/
+    null-safe/full): high-balance customers vs per-customer order
+    rollups — unmatched rows survive on BOTH sides (rich customers who
+    never ordered; orders whose customer fails the balance gate).
+    Full outer cannot broadcast (both sides must surface unmatched
+    rows) — Spark correctly plans a SortMergeJoin on the key; at scale
+    this is the one join type where co-partitioned bucketing
+    (sources/bucketed.py) is the only shuffle-elimination option."""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name"
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        "c_name",
+        "n_orders",
+        "total_spend",
+    )

@@ -272,3 +272,39 @@ def sessionize_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(is_new).over(run).cast("bigint").alias("session_seq"),
     )
+
+
+@query(
+    "time_rollup",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             date_trunc('hour', ts) AS hour_ts,
+             value
+      FROM events)
+    SELECT event_type, day_ts, hour_ts,
+           count(*)             AS n,
+           round(sum(value), 4) AS total_value
+    FROM e GROUP BY ROLLUP (event_type, day_ts, hour_ts)
+    """,
+)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: every aggregate from
+    (type, day, hour) up through (type, day), (type), and the grand
+    total — the materialized-rollup shape of a time-series store,
+    expressed as ONE pass: Spark plans ROLLUP as a single Expand +
+    partially-aggregated hash agg, so the fact table is scanned once
+    and the shuffle carries only (type, day, hour)-level partials.
+    At 100 TB the same query IS the incremental refresh: run it per
+    ingest partition and MERGE the partials."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "value",
+    )
+    return e.rollup("event_type", "day_ts", "hour_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -98,6 +98,8 @@ _PRIORITY_THIS_ROUND = [
     "bm25_score",
     "word_pmi",
     "embedding_cluster_assign",
+    "time_rollup",
+    "join_full_outer",
 ]
 
 
