@@ -406,3 +406,32 @@ def test_sessionize_monotone_per_user(spark, sf_dir):
             gap_us = (t1 - t0).total_seconds() * 1e6
             # break exactly when the gap exceeds the threshold
             assert (s1 - s0 == 1) == (gap_us > SESSION_GAP_US), (user, gap_us)
+
+
+def test_jsonl_roundtrip_documents_and_events(spark, sf_dir, tmp_path):
+    """JSONL edge format: write + schema-declared read is lossless for
+    both text (documents) and micros-precision timestamps (events)."""
+    from structured_streaming_cassandra_sink_spark.schemas import TABLES
+    from structured_streaming_cassandra_sink_spark.sources import read_jsonl, write_jsonl
+
+    docs = load_table(spark, "documents", sf_dir)
+    write_jsonl(docs, str(tmp_path / "docs"))
+    back = read_jsonl(spark, str(tmp_path / "docs"), TABLES["documents"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    events = load_table(spark, "events", sf_dir)
+    write_jsonl(events, str(tmp_path / "events"))
+    eback = read_jsonl(spark, str(tmp_path / "events"), TABLES["events"])
+    assert sorted(map(tuple, eback.collect())) == sorted(map(tuple, events.collect()))
+
+
+def test_csv_roundtrip_events(spark, sf_dir, tmp_path):
+    """CSV edge format: quoting protects the embedded-JSON props column;
+    declared schema + FAILFAST means a mistyped row raises, not nulls."""
+    from structured_streaming_cassandra_sink_spark.schemas import TABLES
+    from structured_streaming_cassandra_sink_spark.sources import read_csv, write_csv
+
+    events = load_table(spark, "events", sf_dir)
+    write_csv(events, str(tmp_path / "events_csv"))
+    back = read_csv(spark, str(tmp_path / "events_csv"), TABLES["events"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, events.collect()))
