@@ -658,3 +658,50 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_spend",
     )
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@query(
+    "table_profile",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           count(*)                    AS n_rows,
+           count(*) - count({c})      AS n_nulls,
+           count(DISTINCT {c})        AS n_distinct
+    FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column row/null/distinct counts —
+    the schema-drift and ingest-health monitor every pipeline runs on
+    arrival (a null-rate jump or distinct-count collapse is the first
+    symptom of an upstream break).
+
+    Scale shape: ONE scan. The multi-column count(DISTINCT) aggregate
+    plans as a single Expand (rows x n_cols) + partial aggs — Spark's
+    standard multi-distinct strategy — NOT one scan per column like the
+    naive UNION ALL the oracle runs; at 100 TB swap the exact distincts
+    for approx_count_distinct and the Expand collapses to one pass of
+    HLL sketches. The profile row set is n_cols wide — driver-tiny."""
+    e = load_table(spark, "events", sf_dir)
+    agged = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nn_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in _PROFILE_COLS],
+    )
+    stacked = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return agged.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) AS (column_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")

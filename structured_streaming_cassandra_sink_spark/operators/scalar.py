@@ -223,3 +223,61 @@ def groupwise_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", "event_type", "value").groupBy(
         "event_type"
     ).applyInPandas(zscore, "event_id long, event_type string, z double")
+
+
+MAD_K = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normal data
+MAD_THRESH = 3.0
+
+
+@query(
+    "outlier_mad",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           round(d.absdev / ({MAD_K} * m.mad), 4) AS robust_z,
+           round(d.absdev, 6) > round({MAD_THRESH} * {MAD_K} * m.mad, 6)
+             AS is_outlier
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median/MAD (median absolute
+    deviation) instead of mean/stddev, so the detector's own threshold
+    is not dragged by the outliers it hunts — the data-quality gate for
+    a metrics/telemetry ingest. Flags rows with robust z > {MAD_THRESH}.
+
+    Scale shape: two tiny group-level aggregates (median, then MAD —
+    each a per-group exact percentile; swap in percentile_approx at
+    100 TB exactly like approx_quantiles) broadcast back against one
+    fact scan each. The flag compares 6-dp-rounded values on both
+    engines so the boundary is portable."""
+    e = load_table(spark, "events", sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("absdev") / (MAD_K * F.col("mad")), 4).alias("robust_z"),
+        (
+            F.round(F.col("absdev"), 6)
+            > F.round(MAD_THRESH * MAD_K * F.col("mad"), 6)
+        ).alias("is_outlier"),
+    )

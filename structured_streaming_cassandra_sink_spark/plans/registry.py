@@ -100,6 +100,8 @@ _PRIORITY_THIS_ROUND = [
     "embedding_cluster_assign",
     "time_rollup",
     "join_full_outer",
+    "outlier_mad",
+    "table_profile",
 ]
 
 
