@@ -788,3 +788,37 @@ def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("vec_id", F.col("label").alias("cluster"), "cos_sim")
     )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS e
+      FROM embeddings)
+    SELECT dim,
+           round(avg(e), 6)         AS mean_e,
+           round(stddev_samp(e), 6) AS std_e,
+           round(min(e), 6)         AS min_e,
+           round(max(e), 6)         AS max_e
+    FROM (SELECT dim, CAST(e AS DOUBLE) AS e FROM ex)
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — the dead/collapsed-dimension
+    detector (std ~ 0 means the encoder wasted a dimension; a shifted
+    mean flags normalization drift). Same dimension-wise partial-agg
+    shape as `embedding_centroid`: posexplode the raw attribute, ONE
+    map-side-combinable groupBy over (dim) — shuffles 64 tiny rows no
+    matter how many billions of vectors flow by."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    ex = emb.select(F.posexplode(F.col("embedding")).alias("i", "e")).select(
+        (F.col("i") + 1).alias("dim"), F.col("e").cast("double").alias("e")
+    )
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("e"), 6).alias("mean_e"),
+        F.round(F.stddev_samp("e"), 6).alias("std_e"),
+        F.round(F.min("e"), 6).alias("min_e"),
+        F.round(F.max("e"), 6).alias("max_e"),
+    )

@@ -767,3 +767,35 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "x", "y")
         .limit(PMI_TOPK)
     )
+
+
+HIST_BUCKET_CHARS = 50
+
+
+@query(
+    "length_histogram",
+    f"""
+    SELECT source,
+           CAST(floor(n_chars / {HIST_BUCKET_CHARS}) AS BIGINT)
+             * {HIST_BUCKET_CHARS}              AS bucket_lo,
+           count(*)                             AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)         AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram ({HIST_BUCKET_CHARS}-char
+    fixed-width buckets) — the distribution every curation run eyeballs
+    before setting length gates (quality_score's band came from one).
+    Integer floor bucketing is engine-exact; one map-side-combined
+    groupBy over (source, bucket) — tiny keys, one shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.floor(F.col("n_chars") / HIST_BUCKET_CHARS).cast("bigint")
+        * HIST_BUCKET_CHARS
+    )
+    return d.groupBy("source", bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -102,6 +102,8 @@ _PRIORITY_THIS_ROUND = [
     "join_full_outer",
     "outlier_mad",
     "table_profile",
+    "embedding_dim_stats",
+    "length_histogram",
 ]
 
 
