@@ -492,3 +492,75 @@ def source_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_tokens").alias("sampled_tokens"),
     )
+
+
+NEG_K = 4  # negatives per anchor document
+
+
+@query(
+    "negative_sample",
+    f"""
+    WITH m AS (SELECT max(doc_id) + 1 AS md FROM documents),
+    cand AS (
+      SELECT d.doc_id, j.j,
+             ('0x' || substr(md5(d.doc_id || ':' || j.j), 1, 8))::BIGINT % m.md
+               AS neg_id
+      FROM documents d
+      CROSS JOIN m
+      CROSS JOIN (SELECT unnest(range(1, {NEG_K + 3})) AS j) j),
+    picked AS (
+      SELECT doc_id, j, neg_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY j) AS neg_rank
+      FROM cand WHERE neg_id != doc_id)
+    SELECT p.doc_id, p.neg_rank, p.neg_id, b.source AS neg_source
+    FROM picked p JOIN documents b ON p.neg_id = b.doc_id
+    WHERE p.neg_rank <= {NEG_K}
+    """,
+)
+def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws {NEG_K} pseudo-random partners via md5 mixing
+    of (doc_id, draw index) modulo the id space — RNG-free, so retries,
+    repartitioning, and re-runs produce byte-identical pairs (the same
+    reproducibility argument as `train_val_split`). Two spare draws
+    absorb self-collisions; the final join back to `documents` validates
+    existence (and carries partner attributes), so id-space gaps shrink
+    a draw instead of fabricating a pair.
+
+    Scale shape: candidate generation is a map-side explode of
+    {NEG_K}+2 rows per anchor (id-space size rides along as one
+    broadcast scalar); the only shuffles are the per-anchor top-k window
+    (keyed by doc_id) and the existence join (keyed by neg_id) — both
+    linear in corpus x K, no sampling pass over the full corpus per
+    anchor."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    m = d.agg((F.max("doc_id") + 1).alias("md"))
+    cand = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, {NEG_K + 2})")).alias("j"),
+            F.col("md"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            (
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(doc_id as string), ':', "
+                    "cast(j as string))), 1, 8), 16, 10) as bigint)"
+                )
+                % F.col("md")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("j")
+    picked = cand.withColumn("neg_rank", F.row_number().over(w)).filter(
+        F.col("neg_rank") <= NEG_K
+    )
+    b = d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
+    return picked.join(b, "neg_id").select("doc_id", "neg_rank", "neg_id", "neg_source")

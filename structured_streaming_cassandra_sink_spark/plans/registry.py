@@ -104,6 +104,7 @@ _PRIORITY_THIS_ROUND = [
     "table_profile",
     "embedding_dim_stats",
     "length_histogram",
+    "negative_sample",
 ]
 
 
