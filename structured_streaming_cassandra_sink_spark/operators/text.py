@@ -799,3 +799,61 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "lm_score",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(tk) - 1),
+                 i -> [tk[i+1], tk[i+2]])) AS pair
+      FROM t),
+    db AS (SELECT doc_id, pair[1] AS x, pair[2] AS y FROM bg),
+    cxy AS (SELECT x, y, count(*) AS c_xy FROM db GROUP BY x, y),
+    cx  AS (SELECT x, count(*) AS c_x FROM db GROUP BY x)
+    SELECT d.doc_id,
+           count(*)                                            AS n_bigrams,
+           round(avg(ln(CAST(c.c_xy AS DOUBLE) / u.c_x)), 4)   AS avg_logprob
+    FROM db d JOIN cxy c USING (x, y) JOIN cx u USING (x)
+    GROUP BY d.doc_id
+    """,
+)
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality score: each document's mean log
+    P(y|x) = c(x,y)/c(x·) under the corpus's own bigram MLE — the
+    CCNet-style perplexity filter (docs far below the corpus mean read
+    as noise; far above as boilerplate), with the corpus itself as the
+    language model so no external KenLM artifact is needed.
+
+    Scale shape: one bigram explode feeds BOTH the count model and the
+    scoring join; the model tables are vocabulary-bounded (zipf), joined
+    by word keys; the per-doc aggregate shuffles (doc_id, logprob)
+    partials only. The count model is the cached/persisted artifact in
+    production — score new snapshots against last snapshot's counts by
+    swapping the cxy/cx inputs."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    base = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    ex = base.select(
+        "doc_id", "tk", F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i")
+    )
+    db = ex.select(
+        "doc_id", F.expr("tk[i-1]").alias("x"), F.expr("tk[i]").alias("y")
+    )
+    cxy = db.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = db.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+    return (
+        db.join(cxy, ["x", "y"])
+        .join(cx, "x")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c_xy").cast("double") / F.col("c_x"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
