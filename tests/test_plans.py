@@ -262,3 +262,20 @@ def test_cluster_assign_centroids_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_cluster_assign")
     assert "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_outlier_mad_group_stats_broadcast(spark, sf_dir):
+    """Median/MAD are group-level scalars — they must broadcast back
+    against the fact scan, never shuffle it."""
+    plan = _plan(spark, sf_dir, "outlier_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_table_profile_single_scan_expand(spark, sf_dir):
+    """Multi-column distinct profile: ONE scan through an Expand — not
+    one scan per column like the naive UNION ALL."""
+    plan = _plan(spark, sf_dir, "table_profile")
+    # one "Location:" detail block per scan in formatted explain output
+    assert plan.count("Location:") == 1
+    assert "Expand" in plan

@@ -164,3 +164,73 @@ def test_dedup_exact_idempotent(spark, sf_dir):
     again = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     assert kept.count() == again.count()
     assert kept.exceptAll(again).count() == 0
+
+
+def test_time_rollup_partials_merge(spark, sf_dir):
+    """Algebraic-aggregate property behind time_rollup's incremental-
+    refresh claim: rollup partials computed on disjoint halves, unioned
+    and re-summed, equal the whole-table rollup at every grouping level."""
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "value",
+    )
+
+    def rollup_raw(df):
+        return df.rollup("event_type", "day_ts", "hour_ts").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+        )
+
+    full = rollup_raw(e)
+    merged = (
+        rollup_raw(e.filter(F.col("event_id") % 2 == 0))
+        .unionByName(rollup_raw(e.filter(F.col("event_id") % 2 == 1)))
+        .groupBy("event_type", "day_ts", "hour_ts")
+        .agg(F.sum("n").alias("n"), F.sum("tv").alias("tv"))
+    )
+    key = lambda r: (r.event_type, r.day_ts, r.hour_ts)
+    want = {key(r): (r.n, round(r.tv, 4)) for r in full.collect()}
+    got = {key(r): (r.n, round(r.tv, 4)) for r in merged.collect()}
+    assert got == want
+
+
+def test_negative_sample_shape_and_determinism(spark, sf_dir):
+    """negative_sample: exactly NEG_K partners per anchor, never self,
+    all partners exist, and a second run is byte-identical (RNG-free)."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import NEG_K, negative_sample
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    rows = negative_sample(spark, sf_dir).collect()
+    doc_ids = {
+        r.doc_id for r in load_table(spark, "documents", sf_dir).select("doc_id").collect()
+    }
+    per_anchor: dict[int, int] = {}
+    for r in rows:
+        assert r.neg_id != r.doc_id
+        assert r.neg_id in doc_ids
+        per_anchor[r.doc_id] = per_anchor.get(r.doc_id, 0) + 1
+    assert set(per_anchor.values()) == {NEG_K}
+    assert set(per_anchor) == doc_ids
+    again = negative_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_lm_score_is_log_probability(spark, sf_dir):
+    """Bigram MLE log-probs are <= 0 everywhere (c_xy <= c_x by
+    construction), and every doc with >= 2 tokens gets a score."""
+    from structured_streaming_cassandra_sink_spark.operators.text import lm_score
+    from structured_streaming_cassandra_sink_spark.functions.textfns import tokens
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    rows = lm_score(spark, sf_dir).collect()
+    assert all(r.avg_logprob <= 0 for r in rows)
+    n_docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.size(tokens(F.col("text"))) >= 2)
+        .count()
+    )
+    assert len(rows) == n_docs
