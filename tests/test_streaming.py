@@ -1055,3 +1055,85 @@ def test_streaming_sessionize_equals_batch(spark, sf_dir, timesliced_message_dir
     }
     assert len(got) == len(want)  # append mode: exactly one row per event
     assert got == want
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics: a view with no click
+    emits its null-match row only after the watermark passes the end of
+    its join window (before that the engine must hold it — the click
+    could still arrive)."""
+    import pandas as pd
+
+    src = str(tmp_path / "louter_src")
+
+    def write_batch(rows, mode):
+        pdf = pd.DataFrame({"value": rows})
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(src)
+
+    def ev(eid, ts, etype, uid):
+        return (
+            f'{{"event_id": {eid}, "ts": "{ts}", "user_id": {uid},'
+            f' "event_type": "{etype}", "value": 1.0, "props": null}}'
+        )
+
+    # batch 1: V1 (user 1) gets a click 5 min later; V2 (user 2) never does
+    write_batch(
+        [
+            ev(10, "2024-01-01T10:00:00.000000Z", "view", 1)
+            + "\n" + ev(11, "2024-01-01T10:05:00.000000Z", "click", 1)
+            + "\n" + ev(20, "2024-01-01T10:00:00.000000Z", "view", 2)
+        ],
+        "overwrite",
+    )
+    messages = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    events = parse_message_stream(messages)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("user_id", "view_id", "click_id")
+    q = (
+        joined.writeStream.queryName("t_louter")
+        .outputMode("append").format("memory").start()
+    )
+    try:
+        q.processAllAvailable()
+        early = {(r.user_id, r.view_id, r.click_id)
+                 for r in spark.sql("SELECT * FROM t_louter").collect()}
+        # V2's null row must NOT have been emitted yet: its click window
+        # ([10:00, 10:10]) is not past the watermark (10:05 - 10 min)
+        assert (2, 20, None) not in early
+        # sentinels far ahead push the watermark past every join window.
+        # They must advance BOTH sides: the query watermark is the MIN
+        # across all withWatermark streams, so a click-only sentinel
+        # would leave the view-side watermark (and state eviction) stuck.
+        write_batch([ev(99, "2024-01-01T12:00:00.000000Z", "view", 9)
+                     + "\n" + ev(98, "2024-01-01T12:00:00.000000Z", "click", 8)], "append")
+        q.processAllAvailable()
+        write_batch([ev(100, "2024-01-01T14:00:00.000000Z", "view", 9)
+                     + "\n" + ev(101, "2024-01-01T14:00:00.000000Z", "click", 8)], "append")
+        q.processAllAvailable()
+        got = {(r.user_id, r.view_id, r.click_id)
+               for r in spark.sql("SELECT * FROM t_louter").collect()}
+    finally:
+        q.stop()
+    assert (1, 10, 11) in got          # matched pair
+    assert (2, 20, None) in got        # unmatched view emitted with nulls
+    assert (1, 10, None) not in got    # matched view never null-emits
