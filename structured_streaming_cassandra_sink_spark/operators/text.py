@@ -813,7 +813,7 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t),
     db AS (SELECT doc_id, pair[1] AS x, pair[2] AS y FROM bg),
     cxy AS (SELECT x, y, count(*) AS c_xy FROM db GROUP BY x, y),
-    cx  AS (SELECT x, count(*) AS c_x FROM db GROUP BY x)
+    cx  AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY x)
     SELECT d.doc_id,
            count(*)                                            AS n_bigrams,
            round(avg(ln(CAST(c.c_xy AS DOUBLE) / u.c_x)), 4)   AS avg_logprob
@@ -845,7 +845,12 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr("tk[i-1]").alias("x"), F.expr("tk[i]").alias("y")
     )
     cxy = db.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
-    cx = db.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+    # context counts derive from the PAIR counts (vocab-sized re-agg), not
+    # from a third pass over the corpus-sized bigram stream: c(x·) = Σ_y
+    # c(x,y). The bigram explode then has two consumers (count model +
+    # scoring join) instead of three, and both shuffle on the same (x, y)
+    # key so the exchange is reusable.
+    cx = cxy.groupBy("x").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
     return (
         db.join(cxy, ["x", "y"])
         .join(cx, "x")
