@@ -1,0 +1,82 @@
+"""Continuous ANN-index maintenance — foreachBatch incremental LSH refresh.
+
+The similarity index (operators/similarity.py lsh_build) is a snapshot
+job; this module keeps it CONTINUOUSLY fresh as vectors stream in, the
+composition a production retrieval stack runs: ingest -> signature ->
+bucketed index, probe-able at any moment.
+
+Design: hyperplane signatures are a PURE MAP of each vector, so an
+incremental refresh never touches existing index data — each micro-batch
+writes only its own rows into the same (t, sig)-partitioned layout the
+batch build produces. Two scale properties fall out:
+
+- per-epoch cost is O(batch), independent of index size (no rebuild);
+- replay safety: each epoch writes under its own ``epoch=<id>``
+  partition with overwrite, so a checkpoint-replayed micro-batch
+  replaces its previous attempt instead of double-appending (the same
+  epoch-directory idempotence as sinks.parquet_epoch_append_sink).
+
+The probe (lsh_probe) reads the corpus root and partition-discovers
+``epoch``/``t``/``sig``; its static (t, sig) filter prunes exactly as
+for a batch-built index — epoch is invisible to it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectorfns import as_double, norm
+from ..operators.similarity import LSH_PLANES, LSH_TABLES, _planes, with_hyperplane_sigs
+
+
+def signature_rows(batch: DataFrame) -> DataFrame:
+    """(vec_id, v, t, sig, nv) signature rows for one vector batch —
+    the same expressions as the snapshot build (lsh_build), so
+    incrementally-built and batch-built indexes are row-identical."""
+    all_planes = [_planes(table=t) for t in range(LSH_TABLES)]
+    return (
+        with_hyperplane_sigs(batch, "embedding", all_planes)
+        .select(
+            "vec_id",
+            as_double(F.col("embedding")).alias("v"),
+            "t",
+            "sig",
+        )
+        .withColumn("nv", norm(F.col("v")))
+    )
+
+
+def lsh_refresh_batch(batch: DataFrame, epoch_id: int, index_dir: str) -> None:
+    """foreachBatch body: sign this epoch's vectors and (over)write them
+    under corpus/epoch=<id>/ in the bucketed layout."""
+    out = os.path.join(index_dir, "corpus", f"epoch={epoch_id}")
+    csig = signature_rows(batch)
+    # cluster by bucket before the partitioned write (same small-files
+    # rationale as lsh_build; per-epoch batches are smaller, so scale
+    # the shuffle width down to the batch, not the full bucket count)
+    csig.repartition(LSH_TABLES * (1 << LSH_PLANES), "t", "sig").write.mode(
+        "overwrite"
+    ).partitionBy("t", "sig").parquet(out)
+
+
+def streaming_lsh_refresh(
+    spark: SparkSession,
+    vectors_dir: str,
+    index_dir: str,
+    query_name: str = "LshRefresh",
+):
+    """File-source vector stream -> incremental LSH index refresh."""
+    vecs = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vectors_dir)
+    )
+    return (
+        vecs.writeStream.queryName(query_name)
+        .outputMode("append")
+        .foreachBatch(lambda b, eid: lsh_refresh_batch(b, eid, index_dir))
+        .start()
+    )

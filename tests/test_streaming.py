@@ -1137,3 +1137,44 @@ def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
     assert (1, 10, 11) in got          # matched pair
     assert (2, 20, None) in got        # unmatched view emitted with nulls
     assert (1, 10, None) not in got    # matched view never null-emits
+
+
+def test_streaming_lsh_refresh_matches_batch_index(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: streaming the corpus in two
+    micro-batches through the foreachBatch LSH refresher yields an index
+    whose probe output is IDENTICAL to a probe of the batch-built
+    snapshot index (signatures are a pure map — epoch layout is
+    invisible to the probe)."""
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        N_QUERIES,
+        lsh_build,
+        lsh_probe,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.index_refresh import (
+        streaming_lsh_refresh,
+    )
+
+    corpus = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") >= N_QUERIES
+    )
+    # two deterministic halves, one file each => two micro-batches
+    vec_dir = str(tmp_path / "vec_stream")
+    corpus.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(vec_dir)
+    corpus.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(vec_dir)
+
+    stream_idx = str(tmp_path / "stream_idx")
+    q = streaming_lsh_refresh(spark, vec_dir, stream_idx, query_name="t_lshref")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_idx = lsh_build(spark, sf_dir, index_dir=str(tmp_path / "batch_idx"))
+    got = sorted(map(tuple, lsh_probe(spark, sf_dir, index_dir=stream_idx).collect()))
+    want = sorted(map(tuple, lsh_probe(spark, sf_dir, index_dir=batch_idx).collect()))
+    assert got == want
+    assert len(got) > 0
