@@ -564,3 +564,61 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
     return picked.join(b, "neg_id").select("doc_id", "neg_rank", "neg_id", "neg_source")
+
+
+@query(
+    "tokenize_to_ids",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' '))                 AS term
+      FROM documents),
+    v AS (
+      SELECT term,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS token_id
+      FROM tok GROUP BY term)
+    SELECT t.doc_id,
+           count(*)                         AS n_tokens,
+           list(v.token_id ORDER BY t.pos)  AS token_ids
+    FROM tok t JOIN v USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived tokenizer: build the vocabulary by frequency rank
+    (most frequent term = id 1; ties broken lexically so the id
+    assignment is engine-portable), then encode every document as its
+    ordered ``array<bigint>`` of token ids — the text -> integer-sequence
+    step that feeds `doc_chunking` / `sequence_packing`.
+
+    Scale shape: the frequency ranking runs AFTER the vocabulary
+    groupBy, so the single-partition row_number window orders only the
+    zipf-bounded vocabulary, never the corpus (same bounded-window
+    argument as the IVF centroid ranking). Encoding is one join keyed
+    by term (skew on hot terms is bounded by vocab frequency — salt or
+    broadcast the head of the vocabulary at 100 TB) and one per-doc
+    collect_list reassembled in token order."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, "documents", sf_dir))
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("term", F.row_number().over(w).cast("bigint").alias("token_id"))
+    )
+    return (
+        tok.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("token_ids"),
+        )
+    )

@@ -107,6 +107,7 @@ _PRIORITY_THIS_ROUND = [
     "length_histogram",
     "negative_sample",
     "lm_score",
+    "tokenize_to_ids",
 ]
 
 
