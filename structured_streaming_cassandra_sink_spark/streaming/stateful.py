@@ -152,3 +152,91 @@ def streaming_sessionize(spark, source_dir: str, query_name: str = "Sessionize")
         .format("memory")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-close monitor — applyInPandasWithState + EventTimeTimeout.
+#
+# The sessionizer above keeps one (last_us, seq) row per user FOREVER —
+# fine for bounded key sets, unbounded state growth for open-world user
+# ids. This op closes the loop: it emits one summary row per CLOSED
+# session and EVICTS the key's state when its session can no longer grow
+# (event-time timeout = watermark passed last event + gap). State per
+# key is bounded AND finite-lived — the contract a 100 TB deployment
+# needs from every stateful operator.
+#
+# A session closes two ways:
+# - by GAP: a later event of the same user arrives > gap after the
+#   previous one -> the previous session's summary emits inline;
+# - by IDLE: no event arrives and the watermark passes
+#   last_event + gap -> Spark invokes the function with
+#   state.hasTimedOut=True; the final session's summary emits and
+#   state.remove() evicts the key.
+
+SESSION_SUMMARY_OUTPUT = (
+    "user_id bigint, session_seq bigint, n_events bigint, last_ts timestamp"
+)
+SESSION_SUMMARY_STATE = "last_us bigint, seq bigint, n bigint"
+
+
+def _session_close(key, pdf_iter, state):
+    import pandas as pd
+
+    if state.hasTimedOut:
+        last_us, seq, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "session_seq": [seq],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+        return
+
+    last_us, seq, n = state.get if state.exists else (-1, 0, 0)
+    closed_seq, closed_n, closed_last = [], [], []
+    df = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    for t in (df["ts"].astype("int64") // 1000).tolist():
+        if last_us < 0:
+            seq, n = 1, 1
+        elif t - last_us > SESSION_GAP_US:
+            closed_seq.append(seq)
+            closed_n.append(n)
+            closed_last.append(pd.Timestamp(last_us, unit="us"))
+            seq, n = seq + 1, 1
+        else:
+            n += 1
+        last_us = t
+    state.update((int(last_us), int(seq), int(n)))
+    # the open session can't grow once the watermark passes last + gap
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_US // 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": int(key[0]),
+            "session_seq": closed_seq,
+            "n_events": closed_n,
+            "last_ts": closed_last,
+        }
+    )
+
+
+def session_close_monitor(events: DataFrame, watermark: str = "1 minutes") -> DataFrame:
+    """Closed-session summaries with state eviction on event-time
+    timeout; equality with batch session aggregates and the eviction
+    behavior are pinned in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("event_id", "ts", "user_id")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_close,
+            outputStructType=SESSION_SUMMARY_OUTPUT,
+            stateStructType=SESSION_SUMMARY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

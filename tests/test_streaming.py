@@ -1178,3 +1178,67 @@ def test_streaming_lsh_refresh_matches_batch_index(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, lsh_probe(spark, sf_dir, index_dir=batch_idx).collect()))
     assert got == want
     assert len(got) > 0
+
+
+def test_session_close_monitor_gap_and_timeout_eviction(spark, tmp_path):
+    """EventTimeTimeout state eviction: sessions closed by a GAP emit
+    inline; the final open session emits (and its state evicts) once the
+    watermark passes last_event + gap — bounded, finite-lived state."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import session_close_monitor
+
+    src = str(tmp_path / "sess_close_src")
+
+    def write_batch(rows, mode):
+        pdf = pd.DataFrame({"value": rows})
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(src)
+
+    def ev(eid, ts, uid):
+        return (
+            f'{{"event_id": {eid}, "ts": "{ts}", "user_id": {uid},'
+            f' "event_type": "x", "value": 1.0, "props": null}}'
+        )
+
+    # user 1: session 1 = {10:00, 10:05}, session 2 = {11:00} (gap > 15 min)
+    write_batch(
+        [
+            ev(1, "2024-01-01T10:00:00.000000Z", 1)
+            + "\n" + ev(2, "2024-01-01T10:05:00.000000Z", 1)
+            + "\n" + ev(3, "2024-01-01T11:00:00.000000Z", 1)
+        ],
+        "overwrite",
+    )
+    messages = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    events = parse_message_stream(messages)
+    q = (
+        session_close_monitor(events)
+        .writeStream.queryName("t_sess_close")
+        .outputMode("append").format("memory").start()
+    )
+    try:
+        q.processAllAvailable()
+        inline = {
+            (r.user_id, r.session_seq): r.n_events
+            for r in spark.sql("SELECT * FROM t_sess_close").collect()
+        }
+        # gap-closed session emitted inline; open session NOT emitted yet
+        assert inline == {(1, 1): 2}
+        # sentinels advance the watermark past 11:00 + 15 min; the
+        # timeout fires in the batch AFTER the watermark advances
+        write_batch([ev(90, "2024-01-01T13:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        write_batch([ev(91, "2024-01-01T14:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_seq): (r.n_events, r.last_ts)
+            for r in spark.sql("SELECT * FROM t_sess_close").collect()
+        }
+    finally:
+        q.stop()
+    import datetime
+
+    assert got[(1, 1)] == (2, datetime.datetime(2024, 1, 1, 10, 5))
+    assert got[(1, 2)] == (1, datetime.datetime(2024, 1, 1, 11, 0))   # timeout-closed
