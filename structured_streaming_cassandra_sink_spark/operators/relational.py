@@ -705,3 +705,25 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                      AS n,
+           round(sum(o_totalprice), 4)   AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations (status x priority marginals
+    and the grand total) — like `grouping_sets`' ROLLUP, one Expand +
+    hash-agg pass over the fact table; the Expand factor is 2^k rows
+    per input, so k stays small by design at scale."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )

@@ -108,6 +108,7 @@ _PRIORITY_THIS_ROUND = [
     "negative_sample",
     "lm_score",
     "tokenize_to_ids",
+    "cube_agg",
 ]
 
 
