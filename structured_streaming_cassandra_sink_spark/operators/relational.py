@@ -727,3 +727,46 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+
+
+@query(
+    "join_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_shipdate  >= TIMESTAMP '1996-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped revenue per order for
+    one customer segment — the classic selective-dimension -> fact -> fact
+    chain. Plan: the segment-filtered customer table broadcasts into
+    orders (date filter pushed to the orders scan), the surviving orders
+    broadcast-or-shuffle into lineitem (ship-date filter pushed to ITS
+    scan), and the final groupBy runs on l_orderkey — which the
+    orders⋈lineitem join already partitioned by, so AQE elides the
+    second exchange. At 100 TB the only wide shuffle is lineitem on
+    orderkey, and only for rows surviving the pushed l_shipdate filter."""
+    cutoff = F.lit("1996-07-01").cast("timestamp")
+    c = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") >= cutoff
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )

@@ -281,3 +281,76 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.round(MAD_THRESH * MAD_K * F.col("mad"), 6)
         ).alias("is_outlier"),
     )
+
+
+@query(
+    "column_corr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+           round(stddev_samp(l_extendedprice), 4)       AS sd_price,
+           round(avg(l_extendedprice), 4)               AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — Pearson correlation, sample
+    covariance, sample stddev (the feature-diagnostics pass a curation
+    pipeline runs before training). All four are single-pass streaming
+    aggregates (Welford-style partial states that Spark merges
+    map-side), so the whole query is one shuffle of 3 tiny
+    (flag, moment-state) partials — the ideal 100 TB shape: cost is one
+    scan, network is O(groups). round() on both engines absorbs the
+    partial-merge vs sequential accumulation ULP difference."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "array_ops",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS tokens
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(tokens) AS INTEGER)                 AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS INTEGER)  AS n_distinct,
+           list_slice(list_sort(list_distinct(tokens)), 1, 3) AS first3,
+           list_contains(tokens, 'the')                 AS has_the
+    FROM toks
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (split / filter / distinct / sort / slice /
+    contains) — the collection API a document pipeline leans on
+    constantly. Everything is a Catalyst expression inside one
+    whole-stage-codegen map over the scan: zero shuffles, zero Python.
+    The DuckDB list_* twins pin cross-engine semantics (1-based
+    slicing, ascending sort, empty-string filtering) — the subtle
+    divergences (size() INT vs len() BIGINT) are CAST-aligned per the
+    oracle type contract."""
+    d = load_table(spark, "documents", sf_dir)
+    tokens = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    toks = d.select("doc_id", tokens.alias("tokens"))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.slice(F.array_sort(F.array_distinct("tokens")), 1, 3).alias("first3"),
+        F.array_contains("tokens", "the").alias("has_the"),
+    )

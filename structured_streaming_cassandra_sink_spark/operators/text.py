@@ -211,11 +211,20 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot provide. Hashes are md5-prefix-derived so the DuckDB oracle is
     bit-identical. Pure map + explode; the fingerprint inverted index
     then powers copy-detection joins exactly like the shingle index."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    return winnow_fingerprints(d, WINNOW_K, WINNOW_W)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """Winnowing core shared by `doc_winnow_fingerprint` (k=5: short-match
+    sensitivity) and `winnow_dup_pairs` (k=20: discriminative for the
+    self-join — 5-char grams collapse to ~700 distinct fingerprints
+    corpus-wide and pair everything with everything). Input needs
+    (doc_id, text); output (doc_id, fingerprint) distinct."""
     from pyspark.sql import Window
 
-    d = spread(load_table(spark, "documents", sf_dir))
     t = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    norm = d.select("doc_id", t.alias("t")).filter(F.length("t") >= WINNOW_K)
+    norm = docs.select("doc_id", t.alias("t")).filter(F.length("t") >= k)
     # Position-explode, then hash per exploded row: exploding an
     # inline-built hash ARRAY makes Generate re-evaluate the whole
     # transform per output row — O(len^2) md5 calls per document
@@ -223,7 +232,7 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = norm.select(
         "doc_id",
         "t",
-        F.posexplode(F.expr(f"sequence(1, length(t) - {WINNOW_K} + 1)")).alias(
+        F.posexplode(F.expr(f"sequence(1, length(t) - {k} + 1)")).alias(
             "pos", "i"
         ),
     )
@@ -231,12 +240,10 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "pos",
         F.expr(
-            f"cast(conv(substring(md5(substring(t, i, {WINNOW_K})), 1, 8), 16, 10) AS BIGINT)"
+            f"cast(conv(substring(md5(substring(t, i, {k})), 1, 8), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
-    w_min = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     w_doc = Window.partitionBy("doc_id")
     mins = grams.select(
         "doc_id",
@@ -245,7 +252,7 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_doc).alias("n"),
     )
     return (
-        mins.filter(F.col("pos") <= F.col("n") - WINNOW_W)
+        mins.filter(F.col("pos") <= F.col("n") - w)
         .select("doc_id", "fingerprint")
         .distinct()
     )
@@ -861,4 +868,127 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.log(F.col("c_xy").cast("double") / F.col("c_x"))), 4
             ).alias("avg_logprob"),
         )
+    )
+
+
+@query(
+    "source_entropy",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT source, count(*) AS n_langs,
+             CAST(sum(n) AS BIGINT) AS total_docs,
+             CAST(sum(n) AS DOUBLE) AS tot,
+             sum(n * log2(n)) AS sum_nlogn
+      FROM c GROUP BY 1)
+    SELECT source, n_langs, total_docs,
+           round(log2(tot) - sum_nlogn / tot, 6) AS lang_entropy
+    FROM t
+    """,
+)
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the diversity
+    diagnostic a corpus-mixing pipeline monitors (a source collapsing to
+    one language shows up as entropy -> 0). Algebraic form
+    ``log2(N) - sum(n*log2(n))/N`` instead of ``-sum(p*log2(p))``: one
+    less division per term, and the single-language case is exactly
+    ``x - x = +0.0`` on both engines (the p*log2(p) form yields -0.0,
+    which hash-compares unequal to 0.0). Two tiny-key aggregations:
+    (source, lang) partials then source — network O(sources x langs)."""
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("n").alias("total_docs"),
+        F.sum("n").cast("double").alias("tot"),
+        F.sum(F.col("n") * F.log2("n")).alias("sum_nlogn"),
+    )
+    return t.select(
+        "source",
+        "n_langs",
+        "total_docs",
+        F.round(F.log2("tot") - F.col("sum_nlogn") / F.col("tot"), 6).alias(
+            "lang_entropy"
+        ),
+    )
+
+
+# winnow_dup_pairs: longer k-grams than doc_winnow_fingerprint — with k=5,
+# the corpus collapses to ~700 distinct fingerprints and EVERY doc pair
+# shares some (measured: 52k of 125k possible pairs matched at sf0.01).
+# k=20/w=16 (guarantee: shared substring >= 35 chars -> shared fingerprint)
+# is bimodal on the same corpus: chance pairs share <= 2, true near-dups
+# share >= 10. The df cap drops boilerplate fingerprints before the
+# self-join; MIN_SHARED sits in the gap between the modes.
+PAIR_WINNOW_K = 20
+PAIR_WINNOW_W = 16
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 5
+
+
+@query(
+    "winnow_dup_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(t) - {PAIR_WINNOW_K} + 2),
+                 i -> ('0x' || substr(md5(substring(t, i, {PAIR_WINNOW_K})), 1, 8))::BIGINT) AS hs
+      FROM norm WHERE length(t) >= {PAIR_WINNOW_K}),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {PAIR_WINNOW_W} + 2),
+                 j -> list_aggregate(hs[j:j+{PAIR_WINNOW_W - 1}], 'min'))) AS fps
+      FROM grams WHERE len(hs) >= {PAIR_WINNOW_W}),
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM wins),
+    rare AS (
+      SELECT fingerprint FROM fp GROUP BY 1
+      HAVING count(*) <= {WINNOW_MAX_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN rare r ON a.fingerprint = r.fingerprint
+                JOIN fp b ON b.fingerprint = a.fingerprint
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, count(*) AS n_shared
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document copy detection: pairs of documents sharing >=
+    {WINNOW_MIN_SHARED} winnowing fingerprints — the MOSS-style
+    PARTIAL-overlap join that whole-document hashing cannot do (a doc
+    that copies one paragraph still pairs up). Built on the same
+    fingerprint pass as `doc_winnow_fingerprint` (SIGMOD'03), then the
+    standard inverted-index self-join with a document-frequency cap:
+    fingerprints appearing in > {WINNOW_MAX_DF} docs are boilerplate and
+    are dropped BEFORE the self-join, bounding the join fan-out at
+    sum(df^2) over rare fingerprints — the same hot-key discipline as
+    `dedup_ngram_jaccard`. At 100 TB the df cap is what keeps this from
+    quadratic blowup on template text; the pair agg shuffles only
+    (id, id) pairs."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    fp = winnow_fingerprints(d, PAIR_WINNOW_K, PAIR_WINNOW_W)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fingerprint")
+    )
+    kept = fp.join(rare, "fingerprint")
+    b = kept.select(
+        F.col("fingerprint").alias("b_fp"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = kept.join(
+        b,
+        (F.col("fingerprint") == F.col("b_fp"))
+        & (F.col("doc_id") < F.col("doc_b")),
+    ).select(F.col("doc_id").alias("doc_a"), "doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )

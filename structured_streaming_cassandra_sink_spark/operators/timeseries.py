@@ -275,6 +275,111 @@ def sessionize_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gap_fill",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+             round(avg(value), 4) AS rate
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(hour_ts) AS lo, max(hour_ts) AS hi
+      FROM base GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_ts
+      FROM bounds)
+    SELECT s.event_type, s.hour_ts,
+           CASE WHEN b.rate IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(b.rate IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_rate
+    FROM spine s LEFT JOIN base b
+      ON s.event_type = b.event_type AND s.hour_ts = b.hour_ts
+    """,
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with forward fill: build the dense hourly
+    spine per event_type (min..max observed hour), left-join the observed
+    hourly rates, and carry the last observation forward across gaps —
+    the `time_bucket_gapfill + locf` shape of a time-series store.
+
+    Plan shape: the only full-data pass is the first hourly aggregation
+    (one shuffle carrying (type, hour) partials). The spine is generated
+    from the POST-AGG bounds table — `sequence()` + explode over a table
+    of |event_types| rows, so the Generate re-evaluation pathology
+    (memory: explode of inline arrays) is bounded by hours-per-type, not
+    data size. The fill window partitions by event_type over the tiny
+    spine; at 100 TB with years of history, partition the fill by
+    (type, month) and seed each month with the previous month's last
+    value to keep windows bounded."""
+    e = load_table(spark, "events", sf_dir)
+    base = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.round(F.avg("value"), 4).alias("rate"))
+    bounds = base.groupBy("event_type").agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        ),
+    )
+    joined = spine.join(base, ["event_type", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.when(F.col("rate").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.last("rate", ignorenulls=True).over(w).alias("filled_rate"),
+    )
+
+
+@query(
+    "running_distinct",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS day_ts
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT day_ts, count(*) AS new_users FROM first GROUP BY 1)
+    SELECT day_ts, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day_ts ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the "running COUNT(DISTINCT)"
+    that naive window SQL cannot express scalably. Trick: a user's
+    contribution to the cumulative count is fully determined by their
+    FIRST day, so `min(day) per user -> daily new-user counts -> prefix
+    sum` replaces any per-day distinct-set union. Two shuffles total,
+    both on small keys (user_id, then day). The final ordered window runs
+    over |days| rows — already aggregated, thousands of rows at any data
+    scale — so the single-partition global window is fine here (contrast
+    running_total above, which must prefix-sum over RAW rows)."""
+    e = load_table(spark, "events", sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("day_ts")
+    )
+    daily = first.groupBy("day_ts").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day_ts",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@query(
     "time_rollup",
     """
     WITH e AS (

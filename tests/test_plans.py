@@ -279,3 +279,31 @@ def test_table_profile_single_scan_expand(spark, sf_dir):
     # one "Location:" detail block per scan in formatted explain output
     assert plan.count("Location:") == 1
     assert "Expand" in plan
+
+
+def test_shipping_priority_broadcasts_customer(spark, sf_dir):
+    """Q3 shape: the segment-filtered customer dim broadcasts; both date
+    filters reach their scans (orders and lineitem are pre-filtered
+    BEFORE any join moves them)."""
+    plan = _plan(spark, sf_dir, "join_shipping_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"PushedFilters: \[.*o_orderdate", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan), plan
+    assert re.search(r"PushedFilters: \[.*c_mktsegment", plan), plan
+
+
+def test_array_ops_no_shuffle_no_python(spark, sf_dir):
+    """Collection functions are pure Catalyst expressions: zero Exchange,
+    zero Python eval in the plan."""
+    plan = _plan(spark, sf_dir, "array_ops")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_column_corr_single_pass(spark, sf_dir):
+    """corr/covar/stddev/avg are one streaming-aggregate pass: a single
+    shuffle of per-group moment partials (partial_corr merged map-side)."""
+    plan = _plan(spark, sf_dir, "column_corr")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "HashAggregate" in plan, plan

@@ -234,3 +234,87 @@ def test_lm_score_is_log_probability(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_docs
+
+
+def test_gap_fill_spine_is_dense_and_filled(spark, sf_dir):
+    """Every hour between a type's min and max is present exactly once,
+    and forward-fill leaves no nulls (the first spine row is an observed
+    hour by construction)."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["gap_fill"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+        assert r.filled_rate is not None, r
+    for rows in by_type.values():
+        hours = sorted(r.hour_ts for r in rows)
+        assert len(set(hours)) == len(hours)
+        span = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
+        assert len(hours) == span, (hours[0], hours[-1], len(hours))
+
+
+def test_running_distinct_matches_count_distinct(spark, sf_dir):
+    """The final cumulative value equals the global COUNT(DISTINCT) and
+    the series is strictly increasing (new_users >= 1 per emitted day)."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    registry.load_all()
+    rows = sorted(
+        registry.QUERIES["running_distinct"](spark, sf_dir).collect(),
+        key=lambda r: r.day_ts,
+    )
+    total = (
+        load_table(spark, "events", sf_dir).select("user_id").distinct().count()
+    )
+    assert rows[-1].cum_users == total
+    acc = 0
+    for r in rows:
+        assert r.new_users >= 1
+        acc += r.new_users
+        assert r.cum_users == acc
+
+
+def test_winnow_pairs_detect_planted_copy(spark):
+    """The SIGMOD'03 guarantee, end to end: a >= k+w-1 = 35-char copied
+    span must produce a shared fingerprint between the two docs, and
+    unrelated random-ish docs share none at k=20."""
+    from structured_streaming_cassandra_sink_spark.operators.text import (
+        PAIR_WINNOW_K,
+        PAIR_WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    span = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words before. " + span + " and some trailing text."),
+            (2, "completely different opening here. " + span + " closing."),
+            (3, "nothing in common with either of those two documents at all,"
+                " this one talks about spark physical plans and shuffles."),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, PAIR_WINNOW_K, PAIR_WINNOW_W)
+    sets = {
+        r["doc_id"]: set(x["fingerprint"] for x in fp.filter(F.col("doc_id") == r["doc_id"]).collect())
+        for r in docs.select("doc_id").collect()
+    }
+    assert sets[1] & sets[2], "copied span must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+
+
+def test_source_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_langs), with H == 0 iff a single language."""
+    import math
+
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    registry.load_all()
+    for r in registry.QUERIES["source_entropy"](spark, sf_dir).collect():
+        assert 0.0 <= r.lang_entropy <= math.log2(max(r.n_langs, 2)) + 1e-9, r
+        if r.n_langs == 1:
+            assert r.lang_entropy == 0.0
