@@ -354,3 +354,62 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.array_sort(F.array_distinct("tokens")), 1, 3).alias("first3"),
         F.array_contains("tokens", "the").alias("has_the"),
     )
+
+
+@query(
+    "string_agg_ordered",
+    """
+    WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n_statuses
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG, SQL:2016) — the report-style
+    concat every BI layer asks for. Determinism is the whole point:
+    listagg's concat order is partition-arrival order, so the input is
+    reduced to DISTINCT pairs first and Spark's listagg(...).withinGroup /
+    DuckDB's string_agg(... ORDER BY) both sort the group's values —
+    identical strings regardless of parallelism. Two tiny-key shuffles
+    (distinct, then agg); the distinct shrinks each group to |statuses|
+    rows so the sort inside each group is O(few)."""
+    o = load_table(spark, "orders", sf_dir)
+    d = o.select("o_orderpriority", "o_orderstatus").distinct()
+    return d.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(o_orderstatus, '|') WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n_statuses"),
+    )
+
+
+@query(
+    "regression_agg",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 linear-regression aggregates (regr_slope / intercept /
+    r2 / count): price-per-quantity fit per return flag — the one-pass
+    OLS that replaces a collect-and-sklearn roundtrip for simple trend
+    features. Like `column_corr`, these are algebraic aggregates over
+    (n, sum x, sum y, sum xy, sum x2, sum y2) partials: single scan, one
+    shuffle of tiny moment states, merged map-side — the ideal 100 TB
+    aggregation shape."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+    )

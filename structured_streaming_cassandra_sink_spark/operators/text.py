@@ -992,3 +992,49 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "udtf_sentence_split",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+    e AS (
+      SELECT doc_id,
+             unnest(range(len(ss)))                       AS sent_idx,
+             unnest(list_transform(ss, x -> length(x)))   AS n_sent_chars
+      FROM s)
+    SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+           CAST(n_sent_chars AS INTEGER) AS n_sent_chars
+    FROM e
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 3.5+/4.x table function API): one input
+    row -> many output rows with per-row Python logic, consumed via
+    LATERAL join. The logic here (sentence split + per-sentence length)
+    is deliberately SQL-expressible so the DuckDB oracle fully checks the
+    UDTF plumbing — the point is the API class, which `udf_surface`
+    (scalar pandas UDF) and `multimodal_decode` (mapInPandas) don't
+    cover. UDTFs are row-at-a-time Python: the slow path by design.
+    Production guidance in this engine: reach for a UDTF only when the
+    per-row fan-out logic is genuinely imperative; otherwise
+    split+posexplode (pure Catalyst) is ~10-100x faster — pinned by the
+    parity test in tests/test_properties.py."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sent_idx: int, n_sent_chars: int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, sent in enumerate((text or "").split(". ")):
+                yield i, len(sent)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = load_table(spark, "documents", sf_dir)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.n_sent_chars
+        FROM __udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )

@@ -180,3 +180,59 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
     )
+
+
+ROLL_N = 20          # rolling-frame width (preceding rows, current excluded)
+ROLL_MIN_OBS = 10    # minimum observations in the frame to emit a z-score
+ANOM_Z = 3.0
+
+
+@query(
+    "anomaly_rolling_z",
+    f"""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             avg(value)         OVER f AS mu,
+             stddev_samp(value) OVER f AS sd,
+             count(*)           OVER f AS n_obs
+      FROM events
+      WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type,
+           round(CASE WHEN n_obs >= {ROLL_MIN_OBS} AND sd > 0
+                      THEN (value - mu) / sd END, 4) AS zscore,
+           coalesce(n_obs >= {ROLL_MIN_OBS} AND sd > 0
+                    AND abs((value - mu) / sd) > {ANOM_Z}, false) AS is_anomaly
+    FROM w
+    """,
+)
+def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flag: each event scored against the
+    trailing {ROLL_N}-event mean/stddev of its own event_type (frame
+    excludes the current row, so a spike cannot mask itself). The frame
+    needs >= {ROLL_MIN_OBS} observations to emit a score — warm-up rows
+    get NULL, not a noisy estimate. One shuffle on event_type; all three
+    window aggregates share the same frame, so Catalyst computes them in
+    a single Window operator over one sort. At 100 TB the same query
+    partitions by (event_type, day) with a {ROLL_N}-row carry-in, or
+    becomes the applyInPandasWithState streaming twin (bounded state:
+    {ROLL_N} floats per key)."""
+    e = load_table(spark, "events", sf_dir)
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLL_N, -1)
+    )
+    mu, sd, n_obs = (
+        F.avg("value").over(f),
+        F.stddev_samp("value").over(f),
+        F.count(F.lit(1)).over(f),
+    )
+    ok = (n_obs >= ROLL_MIN_OBS) & (sd > 0)
+    z = (F.col("value") - mu) / sd
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.when(ok, z), 4).alias("zscore"),
+        F.coalesce(ok & (F.abs(z) > ANOM_Z), F.lit(False)).alias("is_anomaly"),
+    )

@@ -109,6 +109,19 @@ _PRIORITY_THIS_ROUND = [
     "lm_score",
     "tokenize_to_ids",
     "cube_agg",
+    # late round-2 adds — anything past the driver's 50-row cap spills to
+    # the round-3 rotation (the cap cuts this list at 50 in order)
+    "join_shipping_priority",
+    "column_corr",
+    "array_ops",
+    "source_entropy",
+    "winnow_dup_pairs",
+    "gap_fill",
+    "running_distinct",
+    "string_agg_ordered",
+    "anomaly_rolling_z",
+    "udtf_sentence_split",
+    "regression_agg",
 ]
 
 

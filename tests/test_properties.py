@@ -318,3 +318,40 @@ def test_source_entropy_bounds(spark, sf_dir):
         assert 0.0 <= r.lang_entropy <= math.log2(max(r.n_langs, 2)) + 1e-9, r
         if r.n_langs == 1:
             assert r.lang_entropy == 0.0
+
+
+def test_udtf_matches_catalyst_split(spark, sf_dir):
+    """The UDTF sentence splitter and the pure-Catalyst split+posexplode
+    formulation produce identical rows — the parity that justifies
+    'UDTF only when imperative logic demands it'."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    registry.load_all()
+    via_udtf = registry.QUERIES["udtf_sentence_split"](spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    via_catalyst = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ", -1)).alias("sent_idx", "sent"),
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        F.length("sent").cast("int").alias("n_sent_chars"),
+    )
+    assert via_udtf.exceptAll(via_catalyst).count() == 0
+    assert via_catalyst.exceptAll(via_udtf).count() == 0
+
+
+def test_anomaly_rolling_z_warmup_and_selfexclusion(spark, sf_dir):
+    """Warm-up rows (frame < min obs) must carry NULL zscore; anomalies
+    are a small minority; no row is compared against itself (a constant
+    series scores z=0-ish, never NaN)."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["anomaly_rolling_z"](spark, sf_dir).collect()
+    assert any(r.zscore is None for r in rows)          # warm-up exists
+    scored = [r for r in rows if r.zscore is not None]
+    assert scored, "some rows must be scored"
+    frac = sum(1 for r in scored if r.is_anomaly) / len(scored)
+    assert frac < 0.05, frac
