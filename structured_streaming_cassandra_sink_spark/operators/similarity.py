@@ -822,3 +822,91 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("e"), 6).alias("min_e"),
         F.round(F.max("e"), 6).alias("max_e"),
     )
+
+
+PCA_K = 4  # principal components kept by embedding_pca_project
+
+
+def pca_fit(emb: DataFrame, dim: int, k: int):
+    """Fit PCA over an embedding column distributively: one mapInPandas
+    pass emits per-Arrow-batch moment partials (n, sum x, sum x x^T) —
+    O(dim^2) floats per batch, independent of row count — which the
+    driver combines into the covariance and eigendecomposes (dim x dim,
+    trivial for dim<=~2k). This is the classic covariance trick: the
+    100 TB cost is ONE corpus scan shuffling nothing; only O(P * dim^2)
+    partial bytes reach the driver. (For dim >> 2k, switch to a
+    randomized-sketch SVD; out of scope here.)
+
+    Determinism: partials are combined in partition order (stable for a
+    fixed input layout) and each eigenvector's sign is fixed
+    (largest-|component| entry positive), so repeated fits agree —
+    pinned by tests/test_similarity.py.
+
+    Returns (mean: np.ndarray[dim], components: np.ndarray[k, dim],
+    explained_var: np.ndarray[k])."""
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "o": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(moments, schema="n long, s array<double>, o array<double>")
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    o = np.sum([np.asarray(p["o"]) for p in parts], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)          # ascending
+    idx = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, idx].T                       # (k, dim)
+    sign = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    comps = comps * sign[:, None]
+    return mean, comps, eigvals[idx]
+
+
+@query("embedding_pca_project")  # rows-only: eigensolver output is implementation-defined
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction end to end: distributed moment
+    aggregation -> driver eigh -> broadcast components -> one projection
+    scan (vectorized mapInPandas matmul per Arrow batch). The projection
+    is the whitening/compression step before clustering or cheap ANN;
+    at 100 TB both passes are single scans with no shuffle, and the
+    (k x dim) component matrix rides to executors as a closure literal
+    exactly like the IVF centroids. Rows-only by contract (LAPACK
+    eigenvector bases differ across implementations); the invariants —
+    orthonormality, variance ordering, eigenvalue match — are pinned in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    dim = 64
+    mean, comps, _ = pca_fit(emb, dim, PCA_K)
+
+    def project(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            proj = (m - mean) @ comps.T
+            out = {"vec_id": pdf["vec_id"], "label": pdf["label"]}
+            for i in range(PCA_K):
+                out[f"pc{i + 1}"] = np.round(proj[:, i], 6)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, label int, " + ", ".join(
+        f"pc{i + 1} double" for i in range(PCA_K)
+    )
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        project, schema=schema
+    )

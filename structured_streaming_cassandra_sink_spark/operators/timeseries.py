@@ -413,3 +413,92 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "ohlc_bars",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+             value, ts, event_id
+      FROM events),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour_ts
+                                ORDER BY ts, event_id)           AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hour_ts
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b)
+    SELECT event_type, hour_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value)                             AS high,
+           min(value)                             AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)                               AS n
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (type, hour) — the financial-rollup
+    staple. open/close are `min_by`/`max_by` on the composite
+    (ts, event_id) struct key (event_id breaks timestamp ties
+    deterministically — both engines compare the struct
+    lexicographically). All five aggregates are algebraic single-pass
+    partials: one scan, one (type, hour)-key shuffle, no window, no
+    sort -- the scale win over the oracle's formulation (DuckDB arg_min
+    cannot take a composite key, so the oracle picks first/last via two
+    row_number passes instead). The values pass through untouched (no float arithmetic), so
+    no rounding is needed for oracle parity."""
+    e = load_table(spark, "events", sf_dir)
+    ordkey = F.struct("ts", "event_id")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT event_type, value, epoch_us(ts) AS tus, event_id FROM events),
+    d AS (
+      SELECT event_type, value,
+             lead(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id)
+               - tus AS dur_us
+      FROM o)
+    SELECT event_type,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twa,
+           count(*) AS n_intervals
+    FROM d WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event_type: each observation is weighted
+    by how long it was "current" (until the next event of that type) —
+    the correct mean for irregularly-sampled series, where the naive avg
+    over-weights bursts. Duration math is exact integer microseconds
+    (lead - ts); the last observation of each type has no successor and
+    is excluded on both engines. One shuffle on event_type serves both
+    the lead window and the final aggregate (same key — Catalyst plans a
+    single Exchange); weights never leave the executor."""
+    e = load_table(spark, "events", sf_dir)
+    tus = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy(tus, F.col("event_id"))
+    d = e.select(
+        "event_type",
+        "value",
+        (F.lead(tus).over(w) - tus).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

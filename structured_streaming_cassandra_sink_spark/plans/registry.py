@@ -122,6 +122,9 @@ _PRIORITY_THIS_ROUND = [
     "anomaly_rolling_z",
     "udtf_sentence_split",
     "regression_agg",
+    "ohlc_bars",
+    "time_weighted_avg",
+    "embedding_pca_project",
 ]
 
 

@@ -112,3 +112,44 @@ def test_embedding_lsh_dedup_recall(spark, sf_dir):
         # Multi-probe LSH (4 bits x 4 tables, Hamming<=1): theoretical
         # recall ~0.95 at the registered threshold — pin >= 0.9.
         assert len(got & truth) / len(truth) >= 0.9, (len(got), len(truth))
+
+
+def test_pca_invariants(spark, sf_dir):
+    """PCA fit obeys the linear-algebra contract: orthonormal components,
+    eigenvalues sorted descending, and the projected data's per-component
+    sample variance matches its eigenvalue (population-vs-sample factor
+    corrected)."""
+    import numpy as np
+
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        PCA_K,
+        pca_fit,
+    )
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    mean, comps, eigvals = pca_fit(emb, 64, PCA_K)
+    assert comps.shape == (PCA_K, 64)
+    np.testing.assert_allclose(comps @ comps.T, np.eye(PCA_K), atol=1e-8)
+    assert all(eigvals[i] >= eigvals[i + 1] - 1e-12 for i in range(PCA_K - 1))
+    rows = registry.QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    proj = np.array([[getattr(r, f"pc{i+1}") for i in range(PCA_K)] for r in rows])
+    # population variance (cov used /n), matches eigenvalues
+    np.testing.assert_allclose(proj.var(axis=0), eigvals, rtol=1e-3)
+    # centered projection: per-component mean ~ 0
+    np.testing.assert_allclose(proj.mean(axis=0), 0.0, atol=1e-6)
+
+
+def test_pca_projection_deterministic(spark, sf_dir):
+    """Two independent fits+projections agree (sign fixing + sorted
+    partial combine)."""
+    a = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in registry.QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    }
+    b = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in registry.QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    }
+    for k in a:
+        assert abs(a[k][0] - b[k][0]) < 1e-9 and abs(a[k][1] - b[k][1]) < 1e-9, k
