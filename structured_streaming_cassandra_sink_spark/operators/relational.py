@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import ts_millis
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -151,7 +152,7 @@ def date_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return ev.select(
         "event_id",
-        F.unix_millis(F.col("ts")).alias("ts_millis"),
+        ts_millis("ts").alias("ts_millis"),
         F.to_date(F.col("ts")).alias("event_date"),
         F.hour(F.col("ts")).alias("event_hour"),
     )

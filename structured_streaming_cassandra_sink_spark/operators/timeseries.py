@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import ts_micros
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -166,7 +167,7 @@ def join_interval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date_diff('microsecond')/60e6 bit-for-bit (double cast of seconds
     # would diverge below the second)
     minutes = (
-        F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))
+        ts_micros("click_ts") - ts_micros("view_ts")
     ) / 60000000.0
     return joined.select(
         "user_id",
@@ -258,7 +259,7 @@ def sessionize_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     because state per user is one row (the previous timestamp), exactly
     like the streaming twin's session store."""
     e = load_table(spark, "events", sf_dir)
-    tus = F.unix_micros(F.col("ts"))
+    tus = ts_micros("ts")
     w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
     is_new = F.when(
         F.lag(tus).over(w).isNull() | ((tus - F.lag(tus).over(w)) > SESSION_GAP_US),
@@ -489,7 +490,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lead window and the final aggregate (same key — Catalyst plans a
     single Exchange); weights never leave the executor."""
     e = load_table(spark, "events", sf_dir)
-    tus = F.unix_micros(F.col("ts"))
+    tus = ts_micros("ts")
     w = Window.partitionBy("event_type").orderBy(tus, F.col("event_id"))
     d = e.select(
         "event_type",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import ts_micros
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -171,7 +172,7 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(ts_micros("ts"))
         .rangeBetween(-RANGE_WINDOW_US, 0)
     )
     return e.select(

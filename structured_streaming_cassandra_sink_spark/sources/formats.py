@@ -21,29 +21,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-# Micros-precision wire format shared with the streaming mirror
-# (streaming/sources.py TS_FORMAT): default SSS truncates micros.
+# Micros-precision wire formats shared with the streaming mirror
+# (streaming/sources.py): default SSS truncates micros. TIMESTAMP_NTZ
+# columns (the tables' storage convention) take the offset-free NTZ
+# variant; tz-aware columns keep the offset one. Passing both options is
+# harmless — each applies only to its own timestamp class.
 TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     """One JSON object per line (Spark's json sink IS jsonl)."""
-    df.write.mode("overwrite").option("timestampFormat", TS_FORMAT).json(path)
+    (
+        df.write.mode("overwrite")
+        .option("timestampFormat", TS_FORMAT)
+        .option("timestampNTZFormat", TS_NTZ_FORMAT)
+        .json(path)
+    )
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return (
         spark.read.schema(schema)
         .option("timestampFormat", TS_FORMAT)
+        .option("timestampNTZFormat", TS_NTZ_FORMAT)
         .option("mode", "FAILFAST")  # edge data: fail loud, don't null-fill
         .json(path)
     )
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").option("header", "true").option(
-        "timestampFormat", TS_FORMAT
-    ).csv(path)
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", TS_FORMAT)
+        .option("timestampNTZFormat", TS_NTZ_FORMAT)
+        .csv(path)
+    )
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -51,6 +65,7 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         spark.read.schema(schema)
         .option("header", "true")
         .option("timestampFormat", TS_FORMAT)
+        .option("timestampNTZFormat", TS_NTZ_FORMAT)
         .option("mode", "FAILFAST")
         .csv(path)
     )

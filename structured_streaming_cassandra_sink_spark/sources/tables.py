@@ -36,7 +36,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
+        # events.ts has shipped as parquet TIMESTAMP(NANOS); with
         # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
         # Integer `div` (not `/`): nanos ~1.7e18 exceed double's 2^53
         # exact-integer range, float division would corrupt microseconds.
@@ -44,7 +44,34 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(df, TABLES[name])
+
+
+def _normalize_timestamps(df: DataFrame, declared) -> DataFrame:
+    """Cast timestamp columns to the DECLARED timestamp class.
+
+    The driver regenerates testdata between rounds and the parquet
+    timestamp convention has flipped (round 1: TIMESTAMP(NANOS) /
+    isAdjustedToUTC=true -> TimestampType; round 2: isAdjustedToUTC=false
+    -> TimestampNTZType). The declared schema (schemas.py) is the
+    contract: NTZ, matching the DuckDB oracle's naive timestamps. With
+    the session timezone pinned to UTC the TZ<->NTZ cast is
+    instant-preserving. On the expected path (file already NTZ) no cast
+    is inserted, so parquet filter pushdown is untouched.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    fixes = {
+        f.name: F.col(f.name).cast(f.dataType)
+        for f in declared.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        and f.name in actual
+        and actual[f.name] != f.dataType
+        and isinstance(actual[f.name], (T.TimestampType, T.TimestampNTZType))
+    }
+    return df.withColumns(fixes) if fixes else df
 
 
 def load_tables(

@@ -19,6 +19,11 @@ from pyspark.sql import types as T
 EVENT_WIRE = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
+        # TIMESTAMP (tz-aware), NOT the tables' TIMESTAMP_NTZ: Spark
+        # refuses watermarks on NTZ event time ([EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE]), so the streaming wire is tz-aware ISO-8601
+        # and events_to_messages casts NTZ -> TIMESTAMP when encoding
+        # (instant-preserving: session tz is pinned to UTC).
         T.StructField("ts", T.TimestampType(), False),
         T.StructField("user_id", T.LongType(), False),
         T.StructField("event_type", T.StringType(), False),
@@ -29,9 +34,14 @@ EVENT_WIRE = T.StructType(
 
 VALUE_ONLY = T.StructType([T.StructField("value", T.StringType(), False)])
 
-# Microsecond-precision wire format: to_json's default SSS truncates
-# micros; TimestampType carries them, so both directions declare SSSSSS.
+# Microsecond-precision wire formats: to_json's default SSS truncates
+# micros, so both directions declare SSSSSS. ts is TIMESTAMP_NTZ (the
+# storage convention of the events table — naive UTC, matching the
+# DuckDB oracle), so the NTZ format (no offset) is the one that applies;
+# the offset variant is kept for any tz-aware field a caller adds.
 TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+_JSON_OPTS = {"timestampFormat": TS_FORMAT, "timestampNTZFormat": TS_NTZ_FORMAT}
 
 
 def kafka_stream(
@@ -66,10 +76,16 @@ def events_to_messages(events: DataFrame, records_per_message: int = 3) -> DataF
     """Batch helper: pack events into Kafka-shaped messages — JSON-encode
     each row, then '\\n'-join groups of `records_per_message` (mirrors the
     reference's multi-record payloads, cassandra_sink.scala:92-97)."""
+    cols = [
+        F.col(c).cast("timestamp").alias(c)
+        if isinstance(events.schema[c].dataType, T.TimestampNTZType)
+        else F.col(c)
+        for c in events.columns
+    ]
     return (
         events.withColumn(
             "json",
-            F.to_json(F.struct(*events.columns), {"timestampFormat": TS_FORMAT}),
+            F.to_json(F.struct(*cols), _JSON_OPTS),
         )
         .withColumn("msg_id", F.floor(F.col("event_id") / records_per_message))
         .groupBy("msg_id")
@@ -98,7 +114,7 @@ def parse_message_stream_with_quarantine(
     )
     parsed = lines.select(
         "line",
-        F.from_json(F.col("line"), EVENT_WIRE, {"timestampFormat": TS_FORMAT}).alias(
+        F.from_json(F.col("line"), EVENT_WIRE, _JSON_OPTS).alias(
             "data"
         ),
     )
@@ -119,7 +135,7 @@ def parse_message_stream(messages: DataFrame) -> DataFrame:
         .filter(F.col("line") != "")
         .select(
             F.from_json(
-                F.col("line"), EVENT_WIRE, {"timestampFormat": TS_FORMAT}
+                F.col("line"), EVENT_WIRE, _JSON_OPTS
             ).alias("data")
         )
         .select("data.*")
