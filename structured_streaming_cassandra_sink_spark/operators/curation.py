@@ -622,3 +622,55 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiling (the diagnostic that decides salting / AQE skew-join)
+# ---------------------------------------------------------------------------
+SKEW_TOP_N = 10
+
+
+@query(
+    "skew_profile",
+    f"""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n_rows) AS total, avg(n_rows) AS mean_rows FROM per_key)
+    SELECT user_id, n_rows,
+           round(n_rows / total, 6)     AS share,
+           round(n_rows / mean_rows, 4) AS skew_ratio
+    FROM per_key, tot
+    ORDER BY n_rows DESC, user_id
+    LIMIT {SKEW_TOP_N}
+    """,
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N hottest keys with their share of the table and ratio to the
+    mean key size — the measurement that justifies (or vetoes) salting a
+    join key or relying on AQE skew splitting, run BEFORE the expensive
+    join rather than after it straggles. Plan: one groupBy shuffle of
+    (key, count) partials, a single-row global aggregate broadcast back,
+    TakeOrderedAndProject for the top-N — nothing here grows with table
+    width, so it's the cheap pre-flight at 100 TB. The skewed-user
+    `join_skew_salted` query is the paired remediation."""
+    per_key = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total"), F.avg("n_rows").alias("mean_rows")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n_rows") / F.col("mean_rows"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(SKEW_TOP_N)
+    )

@@ -605,3 +605,161 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Containment (asymmetric near-dup: A mostly inside B) + edit distance
+# ---------------------------------------------------------------------------
+CONTAIN_THRESHOLD = 0.6
+
+
+@query(
+    "shingle_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM toks WHERE len(toks) >= {NGRAM_N}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) AS sz_a, len(b.shingles) AS sz_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    )
+    SELECT da AS doc_inner, db AS doc_outer,
+           round(n_common / sz_a, 4) AS containment
+    FROM pairs WHERE n_common / sz_a >= {CONTAIN_THRESHOLD}
+    UNION ALL
+    SELECT db, da, round(n_common / sz_b, 4)
+    FROM pairs WHERE n_common / sz_b >= {CONTAIN_THRESHOLD}
+    """,
+)
+def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs: C(A,B) = |A∩B| / |A| >= t means most
+    of A's shingles appear in B — the ASYMMETRIC near-dup relation
+    Jaccard misses (a paragraph quoted inside a long page scores low
+    Jaccard but containment ~1; the canonical sub-document-dup case in
+    crawl curation). Same hashed inverted-index join as
+    ngram_jaccard_pairs — |A∩B| falls out of one count per colliding
+    pair, each UNORDERED pair scored once and emitted in 0/1/2
+    directions — then exact string-array verify of survivors. Cost is
+    the same Σ df² as the Jaccard path; at boilerplate scale swap in the
+    prefix-filtered index (containment admits the same rarest-shingle
+    prefix bound on the CONTAINED side)."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    arr = shingle_arrays(docs, NGRAM_N).localCheckpoint(eager=True)
+    hashed = arr.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hs"),
+    ).withColumn("szh", F.size("hs"))
+    inv = hashed.select("doc_id", "szh", F.explode("hs").alias("h"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.szh").alias("sza"),
+            F.col("b.szh").alias("szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+        # hash collisions only ever INFLATE nc (see ngram_jaccard_pairs),
+        # so this candidate set is a superset — exact verify follows
+        .filter(
+            (F.col("nc") / F.col("sza") >= CONTAIN_THRESHOLD)
+            | (F.col("nc") / F.col("szb") >= CONTAIN_THRESHOLD)
+        )
+        .select("da", "db")
+    )
+    sh_a = arr.select(
+        F.col("doc_id").alias("da"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    sh_b = arr.select(
+        F.col("doc_id").alias("db"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    exact = (
+        cand.join(sh_a, "da")
+        .join(sh_b, "db")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select("da", "db", "n_common", "sz_a", "sz_b")
+    )
+    fwd = exact.select(
+        F.col("da").alias("doc_inner"),
+        F.col("db").alias("doc_outer"),
+        F.round(F.col("n_common") / F.col("sz_a"), 4).alias("containment"),
+    )
+    rev = exact.select(
+        F.col("db").alias("doc_inner"),
+        F.col("da").alias("doc_outer"),
+        F.round(F.col("n_common") / F.col("sz_b"), 4).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAIN_THRESHOLD)
+
+
+EDIT_PREFIX = 80     # chars of text compared
+EDIT_MAX_D = 20      # max edit distance emitted
+EDIT_LEN_TOL = 10    # |n_chars delta| block tolerance
+EDIT_BAND = 20       # length-band width; EDIT_LEN_TOL <= EDIT_BAND so
+                     # qualifying pairs sit in the same or adjacent band
+
+
+@query(
+    "edit_distance_pairs",
+    f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                       substr(b.text, 1, {EDIT_PREFIX})) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {EDIT_LEN_TOL}
+    WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                      substr(b.text, 1, {EDIT_PREFIX})) <= {EDIT_MAX_D}
+    """,
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs, blocked so the O(len²)-per-pair DP
+    never runs on an all-pairs product: candidates must share lang AND
+    sit within {EDIT_LEN_TOL} chars of each other — expressed as an
+    EQUI-join on (lang, length-band): each left row probes its own band
+    and both neighbors (3 keys), which exactly covers |Δlen| <= band
+    width with no range join and no duplicate candidates (a pair meets
+    at precisely one probe key, b's band). Survivors run the bounded
+    3-arg levenshtein — the threshold arg makes the DP O(d·len), and
+    ≈all non-dup pairs exit early. At crawl scale the band join keys the
+    shuffle, Σ band² replaces n²."""
+    docs = spread(load_table(spark, "documents", sf_dir)).select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, EDIT_PREFIX).alias("head")
+    )
+    band = (F.col("n_chars") / EDIT_BAND).cast("int")
+    probe = docs.select(
+        "*",
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("probe_band"),
+    )
+    target = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("n_chars_b"),
+        F.col("head").alias("head_b"),
+        band.alias("band_b"),
+    )
+    cand = probe.join(
+        target,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("probe_band") == F.col("band_b"))
+        & (F.col("doc_id") < F.col("doc_b")),
+    ).filter(F.abs(F.col("n_chars") - F.col("n_chars_b")) <= EDIT_LEN_TOL)
+    d = F.levenshtein(F.col("head"), F.col("head_b"), EDIT_MAX_D)
+    return (
+        cand.withColumn("edit_dist", d)
+        .filter(F.col("edit_dist") >= 0)  # 3-arg form returns -1 past the bound
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", "edit_dist")
+    )

@@ -771,3 +771,84 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries — EXISTS and correlated scalar (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+@query(
+    "subquery_exists",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipping lineitem,
+    counted per priority. Written as a correlated EXISTS on purpose:
+    Catalyst DECORRELATES it into a left-semi hash join on l_orderkey
+    (RewriteCorrelatedScalarSubquery/RewritePredicateSubquery), so the
+    physical plan is one shuffle of each table on the join key plus a
+    tiny-cardinality aggregate — no per-row subquery execution exists at
+    any scale. The non-equi ship-after-order predicate rides ON the semi
+    join, evaluated during the probe, not as a post-filter."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("__sq_orders")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("__sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM __sq_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM __sq_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "subquery_correlated_scalar",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice), 4) AS small_qty_revenue,
+           count(*)                       AS n_small
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems whose quantity is below half their
+    part's average. The correlated scalar subquery decorrelates into
+    (per-partkey aggregate) JOIN (lineitem) — the aggregate side is one
+    row per partkey, so at 100 TB the plan is a shuffle of lineitem on
+    partkey against a much smaller pre-aggregated build side, not a
+    re-scan of lineitem per row. Filter order matters: the quantity
+    predicate can only be applied AFTER the join (it references the
+    subquery result), which Catalyst handles by fusing it into the join
+    condition."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("__sq_lineitem2")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 4) AS small_qty_revenue,
+               count(*)                       AS n_small
+        FROM __sq_lineitem2 l1
+        WHERE l_quantity < (
+          SELECT 0.5 * avg(l_quantity) FROM __sq_lineitem2 l2
+          WHERE l2.l_partkey = l1.l_partkey
+        )
+        GROUP BY l_returnflag
+        """
+    )

@@ -413,3 +413,63 @@ def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).cast("bigint").alias("n_pairs"),
     )
+
+
+@query(
+    "median_by_group",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4)      AS med_qty,
+           round(median(l_extendedprice), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (percentile_cont(0.5)
+    semantics on both engines — the even-count midpoint averages). Like
+    exact_percentiles this materializes each group's values, so it is
+    the small-group-count parity twin; approx_quantiles is the 100 TB
+    path."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+    )
+
+
+@query(
+    "argminmax_agg",
+    """
+    WITH ranked AS (
+      SELECT event_type, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, user_id DESC) AS rmax,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC,  user_id ASC)  AS rmin
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rmax = 1 THEN user_id END) AS top_user,
+           max(CASE WHEN rmin = 1 THEN user_id END) AS bottom_user
+    FROM ranked GROUP BY event_type
+    """,
+)
+def argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by argmax aggregates: the user attached to each event
+    type's extreme value, in ONE hash-aggregate pass — no sort, no
+    window. The ordering key is struct(value, user_id), a total order,
+    so value ties resolve deterministically (bare max_by on a tied value
+    is partition-order-dependent — the trap the oracle's row_number
+    formulation makes visible). At 100 TB this is a map-side-partial
+    aggregate over a handful of groups; the windowed equivalent would
+    sort every partition."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.max_by("user_id", F.struct(F.col("value"), F.col("user_id"))).alias(
+            "top_user"
+        ),
+        F.min_by("user_id", F.struct(F.col("value"), F.col("user_id"))).alias(
+            "bottom_user"
+        ),
+    )

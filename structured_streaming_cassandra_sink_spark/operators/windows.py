@@ -237,3 +237,29 @@ def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(ok, z), 4).alias("zscore"),
         F.coalesce(ok & (F.abs(z) > ANOM_Z), F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "window_ntile",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(10) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS price_decile
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile bucketing per priority class — the windowed quantile
+    assignment used for quality-tier splits. One shuffle on the partition
+    key, one sort; the o_orderkey tie-breaker makes bucket boundaries
+    deterministic cross-engine (ntile's division of ties is
+    order-dependent, so the ORDER BY must be a total order)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("price_decile"),
+    )

@@ -125,6 +125,14 @@ _PRIORITY_THIS_ROUND = [
     "ohlc_bars",
     "time_weighted_avg",
     "embedding_pca_project",
+    "subquery_exists",
+    "subquery_correlated_scalar",
+    "window_ntile",
+    "median_by_group",
+    "argminmax_agg",
+    "shingle_containment",
+    "edit_distance_pairs",
+    "skew_profile",
 ]
 
 

@@ -307,3 +307,44 @@ def test_column_corr_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "column_corr")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must compile to a join (left semi), never a
+    per-row subquery; the non-equi ship-after-order predicate rides on
+    the join itself."""
+    plan = _plan(spark, sf_dir, "subquery_exists")
+    assert "Subquery" not in plan
+    assert re.search(r"(LeftSemi|SemiJoin)", plan)
+
+
+def test_correlated_scalar_decorrelates_to_agg_join(spark, sf_dir):
+    """The correlated scalar avg() must decorrelate into a per-partkey
+    aggregate joined back — one aggregate node keyed on l_partkey, no
+    repeated-subplan execution."""
+    plan = _plan(spark, sf_dir, "subquery_correlated_scalar")
+    assert "Subquery" not in plan
+    assert re.search(r"Keys \[1\]: \[l_partkey", plan)
+
+
+def test_argminmax_is_single_aggregate(spark, sf_dir):
+    """max_by/min_by must plan as one hash aggregate — no Window/Sort."""
+    plan = _plan(spark, sf_dir, "argminmax_agg")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_edit_distance_band_join_is_equi(spark, sf_dir):
+    """The length-band blocking must key a hash join (shuffle or
+    broadcast) — a cartesian/BNL product here means the blocking
+    collapsed and the O(len²) DP would run on all pairs."""
+    plan = _plan(spark, sf_dir, "edit_distance_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_profile_totals_broadcast(spark, sf_dir):
+    """The one-row global total joins back via broadcast — the per-key
+    side never reshuffles for it."""
+    plan = _plan(spark, sf_dir, "skew_profile")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
