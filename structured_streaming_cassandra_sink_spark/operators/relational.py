@@ -852,3 +852,57 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data layout for scan pruning)
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 16
+
+
+def _z_interleave_sql(xcol: str, ycol: str, bits: int = ZORDER_BITS) -> str:
+    """SQL expression interleaving the low `bits` bits of two ints:
+    bit i of x lands at position 2i, bit i of y at 2i+1. Engine-portable
+    (plain >> & << arithmetic), so the SAME string serves Spark and the
+    DuckDB oracle."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Z_EXPR = _z_interleave_sql("l_partkey", "l_suppkey")
+
+
+@query(
+    "zorder_cluster",
+    f"""
+    SELECT l_partkey, l_suppkey, CAST({_Z_EXPR} AS BIGINT) AS zval
+    FROM lineitem
+    ORDER BY zval, l_partkey, l_suppkey
+    LIMIT 100
+    """,
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimensional layout trick behind Delta/Iceberg OPTIMIZE
+    ZORDER: rows near each other in z-value are near in BOTH key
+    dimensions, so sorting files by zval lets min/max row-group stats
+    prune scans filtered on EITHER key (a plain sort prunes only its
+    leading column). The write path is
+    ``df.repartitionByRange(n, zval).sortWithinPartitions(zval)`` +
+    parquet; this query is the key kernel plus the ordered head as a
+    verifiable sample (TakeOrderedAndProject — no global sort). The bit
+    interleave is pure integer arithmetic in whole-stage codegen, and
+    the IDENTICAL generated SQL string runs on the oracle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(_Z_EXPR).cast("bigint").alias("zval"),
+        )
+        .orderBy("zval", "l_partkey", "l_suppkey")
+        .limit(100)
+    )

@@ -473,3 +473,71 @@ def argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom_user"
         ),
     )
+
+
+HIST_BUCKET_W = 10_000.0   # equi-width histogram bucket, price units
+HIST_LO, HIST_HI = 0.0, 120_000.0
+HIST_N = int((HIST_HI - HIST_LO) / HIST_BUCKET_W)
+
+
+@query(
+    "histogram_width_bucket",
+    f"""
+    SELECT CAST(CASE WHEN o_totalprice < {HIST_LO} THEN 0
+                     WHEN o_totalprice >= {HIST_HI} THEN {HIST_N} + 1
+                     ELSE 1 + floor((o_totalprice - {HIST_LO}) / {HIST_BUCKET_W})
+                END AS BIGINT) AS bucket,
+           count(*)                    AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram via width_bucket — the one-pass
+    distribution profile (bucket id is a pure scalar, so this is a
+    map-side-partial hash aggregate over ~{HIST_N} keys; contrast
+    length_histogram's log-scale buckets). Overflow rows land in bucket
+    {HIST_N}+1 by width_bucket's contract on both engines."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_N)).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+@query(
+    "boolean_agg",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 100)  AS n_big,
+           bool_and(value >= 0)                 AS all_nonneg,
+           bool_or(value > 500)                 AS any_huge,
+           round(avg(CASE WHEN value > 100 THEN value END), 4) AS avg_big
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def boolean_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-aggregate battery: count_if / bool_and (every) /
+    bool_or (some) and a conditional avg — the validation-rule shape
+    ("no negative values, how many outliers") evaluated in ONE hash
+    aggregate pass instead of one query per rule. All four are plain
+    map-side-partial aggregates; nothing here adds a shuffle beyond the
+    group key."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 500).alias("any_huge"),
+        F.round(F.avg(F.when(F.col("value") > 100, F.col("value"))), 4).alias("avg_big"),
+    )

@@ -263,3 +263,48 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(10).over(w).alias("price_decile"),
     )
+
+
+TOPK_PER_GROUP = 3
+
+
+@query(
+    "topk_per_group_agg",
+    f"""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= {TOPK_PER_GROUP}
+    """,
+)
+def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k WITHOUT a window sort: collect each group's
+    (price, key) structs in one hash aggregate, sort_array + slice keeps
+    k, posexplode re-emits ranked rows. Same result as `window_rank`'s
+    row_number formulation (the oracle IS that formulation) but the plan
+    is aggregate-shaped: map-side partial collect, one shuffle of
+    per-group lists, no per-partition global sort. The trade is explicit:
+    a group's list must fit in memory, so this is the right plan when
+    groups are bounded (per-customer, per-session) and the WRONG one for
+    open-ended groups — `window_rank` covers that regime. A true
+    bounded-state partial top-k would need a custom Aggregator (JVM);
+    slice-after-partial-collect is the Python-side approximation of it."""
+    o = load_table(spark, "orders", sf_dir)
+    # sort key: (-price, orderkey) ascending == (price DESC, orderkey ASC)
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"), F.col("o_orderkey").alias("k")
+    )
+    agg = o.groupBy("o_custkey").agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, TOPK_PER_GROUP).alias("top")
+    )
+    return agg.select(
+        "o_custkey", F.posexplode("top").alias("pos", "item")
+    ).select(
+        "o_custkey",
+        F.col("item.k").alias("o_orderkey"),
+        (-F.col("item.neg_price")).alias("o_totalprice"),
+        (F.col("pos") + 1).cast("int").alias("rn"),
+    )

@@ -133,6 +133,10 @@ _PRIORITY_THIS_ROUND = [
     "shingle_containment",
     "edit_distance_pairs",
     "skew_profile",
+    "histogram_width_bucket",
+    "boolean_agg",
+    "topk_per_group_agg",
+    "zorder_cluster",
 ]
 
 

@@ -1242,3 +1242,49 @@ def test_session_close_monitor_gap_and_timeout_eviction(spark, tmp_path):
 
     assert got[(1, 1)] == (2, datetime.datetime(2024, 1, 1, 10, 5))
     assert got[(1, 2)] == (1, datetime.datetime(2024, 1, 1, 11, 0))   # timeout-closed
+
+
+def test_streaming_redelivery_dedup_exactly_once(spark, sf_dir, timesliced_message_dir, tmp_path):
+    """At-least-once -> exactly-once: every message file is delivered
+    TWICE (Kafka redelivery after a producer retry / consumer rebalance);
+    dropDuplicatesWithinWatermark on event_id must emit each event
+    exactly once, so the output equals the batch events table. This is
+    the idempotence the reference only gets from the Cassandra PK upsert
+    (cassandra_sink.scala:71-79) — here it holds for ANY downstream sink,
+    with state bounded by the watermark instead of growing forever."""
+    import glob
+    import time
+
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        file_message_stream,
+        parse_message_stream,
+    )
+
+    # redeliver: copy each slice file twice, interleaved in mtime order
+    src_dir = str(tmp_path / "redelivered")
+    os.makedirs(src_dir)
+    now = time.time()
+    for j, f in enumerate(sorted(glob.glob(os.path.join(timesliced_message_dir, "*.parquet")))):
+        for k in (0, 1):
+            dst = os.path.join(src_dir, f"{j:02d}_{k}.parquet")
+            shutil.copyfile(f, dst)
+            os.utime(dst, (now + 2 * j + k,) * 2)
+
+    events = parse_message_stream(file_message_stream(spark, src_dir))
+    q = (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.queryName("t_redeliver")
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.event_id for r in spark.sql("SELECT event_id FROM t_redeliver").collect()}
+        n_rows = spark.sql("SELECT count(*) AS n FROM t_redeliver").first().n
+    finally:
+        q.stop()
+    want = {r.event_id for r in load_table(spark, "events", sf_dir).select("event_id").collect()}
+    assert n_rows == len(got), "an event_id was emitted more than once"
+    assert got == want
