@@ -763,3 +763,47 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") >= 0)  # 3-arg form returns -1 past the bound
         .select(F.col("doc_id").alias("doc_a"), "doc_b", "edit_dist")
     )
+
+
+@query(
+    "dup_graph_degree",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM toks WHERE len(toks) >= {NGRAM_N}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+      GROUP BY node
+    )
+    SELECT degree, count(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph — the shape
+    diagnostic run BEFORE connected components: a heavy tail here means
+    boilerplate hubs (one template matching thousands of pages) that
+    will chain unrelated docs into one giant component; the remediation
+    is dropping hot shingles (the prefix-filter index) or capping
+    degree. Cost beyond the pair generation is two tiny aggregates;
+    the pair pipeline is the same inverted-index join as
+    dedup_ngram_jaccard."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    pairs = ngram_jaccard_pairs(docs)
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -13,7 +13,7 @@ regress):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -540,4 +540,33 @@ def boolean_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("value") > 500).alias("any_huge"),
         F.round(F.avg(F.when(F.col("value") > 100, F.col("value"))), 4).alias("avg_big"),
+    )
+
+
+@query(
+    "mode_by_group",
+    """
+    SELECT lang, source AS top_source, n FROM (
+      SELECT lang, source, count(*) AS n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, source) AS rn
+      FROM documents GROUP BY lang, source)
+    WHERE rn = 1
+    """,
+)
+def mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent source per language — mode with a DETERMINISTIC
+    tie-break (smallest source name among the tied counts). Spark's
+    built-in `mode()` aggregate picks an arbitrary tied value
+    (partition-order-dependent), so the portable formulation is
+    count-then-rank: one hash aggregate on (lang, source), then a window
+    over the tiny aggregate result — the window sorts group COUNTS, not
+    rows, so its cost is negligible at any scale."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "source")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("top_source"), "n")
     )

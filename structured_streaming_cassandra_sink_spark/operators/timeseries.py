@@ -503,3 +503,92 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands + cohort retention (classic large-scale behavioral shapes)
+# ---------------------------------------------------------------------------
+@query(
+    "gaps_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    )
+    SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+           count(*) AS streak_days
+    FROM grp GROUP BY user_id, anchor
+    """,
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (gaps-and-islands): the
+    date minus its per-user row_number is CONSTANT within a consecutive
+    run — that anchor becomes the island's group key, so the whole
+    detection is one distinct, one window, one aggregate, all sharing a
+    single shuffle on user_id (Catalyst plans one Exchange: the window
+    partition key prefixes the final group key). No self-join, no
+    sequence explode — the formulations that die at 100 TB."""
+    e = load_table(spark, "events", sf_dir)
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return grp.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("anchor")
+
+
+@query(
+    "retention_cohort",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.week) AS INTEGER) AS week_offset,
+           count(*) AS n_active
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-active week
+    (cohort), counted in each later week they return. Two aggregates
+    and a join, ALL keyed on user_id — one logical shuffle reused across
+    the first-touch aggregate, the activity distinct, and the join
+    (Catalyst chains them without re-exchanging), then a tiny final
+    aggregate on (cohort, offset). The standard formulation with a
+    self-join on raw events would shuffle the fact table twice and
+    explode on heavy users; this one never joins events to events."""
+    e = load_table(spark, "events", sf_dir)
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = (
+        e.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    active = e.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

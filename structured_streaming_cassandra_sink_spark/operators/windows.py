@@ -308,3 +308,37 @@ def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("item.neg_price")).alias("o_totalprice"),
         (F.col("pos") + 1).cast("int").alias("rn"),
     )
+
+
+@query(
+    "share_of_group",
+    """
+    WITH tot AS (SELECT sum(o_totalprice) AS grand FROM orders)
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_custkey), 6)
+               AS share_of_customer,
+           round(o_totalprice / grand, 9) AS share_of_total
+    FROM orders, tot
+    """,
+)
+def share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's share of its customer's spend AND of the grand
+    total — the two normalization denominators computed the two scalable
+    ways: the per-group one as an unordered window sum (one shuffle on
+    o_custkey, no sort — frameless windows aggregate the whole
+    partition), the global one as a 1-row aggregate broadcast back
+    (NEVER a global window, which would single-partition the table)."""
+    o = load_table(spark, "orders", sf_dir)
+    grand = o.agg(F.sum("o_totalprice").alias("grand"))
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+                "share_of_customer"
+            ),
+            F.round(F.col("o_totalprice") / F.col("grand"), 9).alias("share_of_total"),
+        )
+    )

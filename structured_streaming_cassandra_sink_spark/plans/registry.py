@@ -137,6 +137,11 @@ _PRIORITY_THIS_ROUND = [
     "boolean_agg",
     "topk_per_group_agg",
     "zorder_cluster",
+    "mode_by_group",
+    "gaps_islands",
+    "retention_cohort",
+    "share_of_group",
+    "dup_graph_degree",
 ]
 
 
