@@ -528,13 +528,23 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-active-day streaks per user (gaps-and-islands): the
     date minus its per-user row_number is CONSTANT within a consecutive
-    run — that anchor becomes the island's group key, so the whole
-    detection is one distinct, one window, one aggregate, all sharing a
-    single shuffle on user_id (Catalyst plans one Exchange: the window
-    partition key prefixes the final group key). No self-join, no
-    sequence explode — the formulations that die at 100 TB."""
+    run — that anchor becomes the island's group key. ONE shuffle total
+    (plan-tested): distinct days come from a collect_set aggregate keyed
+    on user_id, and every later stage — the explode, the anchor window,
+    the island aggregate — needs only user_id(-prefixed) clustering,
+    which the first exchange already provides, so Catalyst inserts no
+    further Exchange. A `.distinct()` formulation instead shuffles twice
+    (once on (user, day), again on user for the window). State bound:
+    one day-set per user, capped by the corpus's calendar span — not by
+    event volume. No self-join, no sequence explode — the formulations
+    that die at 100 TB."""
     e = load_table(spark, "events", sf_dir)
-    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    day_sets = (
+        e.select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("user_id")
+        .agg(F.collect_set("d").alias("ds"))
+    )
+    days = day_sets.select("user_id", F.explode("ds").alias("d"))
     w = Window.partitionBy("user_id").orderBy("d")
     grp = days.withColumn(
         "anchor", F.date_sub(F.col("d"), F.row_number().over(w))

@@ -348,3 +348,11 @@ def test_skew_profile_totals_broadcast(spark, sf_dir):
     side never reshuffles for it."""
     plan = _plan(spark, sf_dir, "skew_profile")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gaps_islands_single_shuffle(spark, sf_dir):
+    """The collect_set formulation means distinct days, the anchor
+    window, and the island aggregate all reuse the first user_id
+    exchange — exactly ONE Exchange in the whole plan."""
+    plan = _plan(spark, sf_dir, "gaps_islands")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
