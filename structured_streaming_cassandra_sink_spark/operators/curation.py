@@ -674,3 +674,33 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(SKEW_TOP_N)
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           count(*)                                           AS n_docs,
+           count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+                                                              AS n_unique,
+           round(1.0 - count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     / count(*), 4)                           AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication report per source — the curation dashboard number
+    that decides which crawl slices are worth re-ingesting. One
+    aggregate: count + count(DISTINCT md5 fingerprint) per source (the
+    distinct triggers Spark's two-phase Expand plan, keyed by source —
+    fine because the fingerprint is 16 bytes, the ONLY thing wider than
+    the key that ships). The md5-of-normalized-text fingerprint is the
+    same portable one dedup_exact groups on."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = fingerprint(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        F.round(1.0 - F.countDistinct(fp) / F.count(F.lit(1)), 4).alias("dup_rate"),
+    )

@@ -142,6 +142,7 @@ _PRIORITY_THIS_ROUND = [
     "retention_cohort",
     "share_of_group",
     "dup_graph_degree",
+    "dedup_rate_by_source",
 ]
 
 

@@ -240,3 +240,95 @@ def session_close_monitor(events: DataFrame, watermark: str = "1 minutes") -> Da
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters — sharded Misra-Gries in the state store.
+#
+# Batch `heavy_hitters` (operators/text.py) runs two passes; a stream
+# gets ONE pass, so it keeps a Misra-Gries summary as state. Sharding
+# by hash(user_id) % HH_SHARDS keeps the operator distributed (a single
+# global sketch would single-partition the stream): each user lands in
+# exactly one shard, so the per-shard MG guarantee applies unsharded —
+# any user with true shard count > shard_total/(k+1) is guaranteed
+# present among that shard's k counters, with
+# count_lb <= true <= count_lb + decrements. The global candidate set is
+# the union of shard candidates (the classic mergeable-summary layout:
+# k counters per shard, shards merge by union — never a global shuffle).
+# State per shard: two parallel arrays (keys, counts) of length <= k.
+# ---------------------------------------------------------------------------
+
+HH_SHARDS = 4
+HH_K = 8  # counters per shard
+
+HH_OUTPUT = "shard int, user_id bigint, count_lb bigint, shard_total bigint"
+HH_STATE = "keys array<bigint>, counts array<bigint>, total bigint"
+
+
+def _mg_update(key, pdf_iter, state):
+    import pandas as pd
+
+    if state.exists:
+        keys, counts, total = state.get
+        mg = dict(zip(list(keys), list(counts)))
+    else:
+        mg, total = {}, 0
+    for pdf in pdf_iter:
+        for uid, n in pdf["user_id"].value_counts().items():
+            uid, n = int(uid), int(n)
+            total += n
+            if uid in mg:
+                mg[uid] += n
+            elif len(mg) < HH_K:
+                mg[uid] = n
+            else:
+                # decrement-all by the min spendable amount (batched MG:
+                # decrementing by d absorbs d arrivals at once)
+                d = min(n, min(mg.values()))
+                mg = {u: c - d for u, c in mg.items() if c - d > 0}
+                if n - d > 0 and len(mg) < HH_K:
+                    mg[uid] = n - d
+    state.update((list(mg.keys()), list(mg.values()), total))
+    yield pd.DataFrame(
+        {
+            "shard": int(key[0]),
+            "user_id": [int(u) for u in mg],
+            "count_lb": [int(c) for c in mg.values()],
+            "shard_total": total,
+        }
+    )
+
+
+def heavy_hitters_stream(events: DataFrame) -> DataFrame:
+    """Streaming frequent-user summary: one MG sketch per shard,
+    emitted (update mode) as candidate rows after every micro-batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select(
+            (F.abs(F.hash("user_id")) % HH_SHARDS).alias("shard"), "user_id"
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _mg_update,
+            outputStructType=HH_OUTPUT,
+            stateStructType=HH_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_heavy_hitters(spark, source_dir: str, query_name: str = "HeavyHitters"):
+    from .sources import file_message_stream, parse_message_stream
+
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages)
+    return (
+        heavy_hitters_stream(events)
+        .writeStream.queryName(query_name)
+        .outputMode("update")
+        .format("memory")
+        .start()
+    )

@@ -1288,3 +1288,52 @@ def test_streaming_redelivery_dedup_exactly_once(spark, sf_dir, timesliced_messa
     want = {r.event_id for r in load_table(spark, "events", sf_dir).select("event_id").collect()}
     assert n_rows == len(got), "an event_id was emitted more than once"
     assert got == want
+
+
+def test_streaming_heavy_hitters_mg_guarantee(spark, sf_dir, timesliced_message_dir):
+    """Sharded Misra-Gries: after the full stream, every user whose true
+    count within their shard exceeds shard_total/(k+1) MUST appear among
+    that shard's final candidates, and every reported count_lb must
+    lower-bound the true count (MG's two guarantees)."""
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import (
+        HH_K,
+        HH_SHARDS,
+        streaming_heavy_hitters,
+    )
+
+    q = streaming_heavy_hitters(spark, timesliced_message_dir, query_name="t_hh")
+    try:
+        q.processAllAvailable()
+        # update mode re-emits per trigger: keep each shard's LAST emission
+        rows = spark.sql(
+            """
+            SELECT shard, user_id, count_lb, shard_total FROM (
+              SELECT *, max(shard_total) OVER (PARTITION BY shard) AS mx
+              FROM t_hh) WHERE shard_total = mx
+            """
+        ).collect()
+    finally:
+        q.stop()
+    got = {}
+    shard_totals = {}
+    for r in rows:
+        got[(r.shard, r.user_id)] = r.count_lb
+        shard_totals[r.shard] = r.shard_total
+
+    truth = (
+        load_table(spark, "events", sf_dir)
+        .select((F.abs(F.hash("user_id")) % HH_SHARDS).alias("shard"), "user_id")
+        .groupBy("shard", "user_id")
+        .count()
+        .collect()
+    )
+    true_counts = {(r.shard, r.user_id): r["count"] for r in truth}
+    true_totals = {}
+    for (s, _), c in true_counts.items():
+        true_totals[s] = true_totals.get(s, 0) + c
+    assert shard_totals == true_totals
+    for (s, u), c in true_counts.items():
+        if c > true_totals[s] / (HH_K + 1):
+            assert (s, u) in got, f"guaranteed heavy hitter missing: shard {s} user {u}"
+    for (s, u), lb in got.items():
+        assert lb <= true_counts.get((s, u), 0), (s, u)
