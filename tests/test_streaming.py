@@ -1337,3 +1337,55 @@ def test_streaming_heavy_hitters_mg_guarantee(spark, sf_dir, timesliced_message_
             assert (s, u) in got, f"guaranteed heavy hitter missing: shard {s} user {u}"
     for (s, u), lb in got.items():
         assert lb <= true_counts.get((s, u), 0), (s, u)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 pyspark.sql.datasource API)
+# ---------------------------------------------------------------------------
+def test_pysource_batch_partitioned_and_deterministic(spark):
+    """Batch read through the custom DataSource: rows arrive across the
+    declared partition count and equal the pure-function ground truth
+    (the retry/speculation replay contract)."""
+    from structured_streaming_cassandra_sink_spark.sources.pysource import (
+        expected_rows,
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 300)
+        .option("partitions", 3)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(map(tuple, df.collect())) == sorted(expected_rows(300))
+
+
+def test_pysource_stream_drains_exactly_once(spark):
+    """Streaming read: offset-ranged micro-batches drain the bounded
+    source with every row exactly once, across multiple triggers."""
+    from structured_streaming_cassandra_sink_spark.sources.pysource import (
+        expected_rows,
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 250)
+        .option("rowsPerTrigger", 80)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_pysource")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.sql("SELECT * FROM t_pysource").collect()))
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    assert got == sorted(expected_rows(250))
+    assert n_batches >= 3  # 250 rows / 80 per trigger => at least 4 non-empty
