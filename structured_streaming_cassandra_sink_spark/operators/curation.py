@@ -704,3 +704,50 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(fp).alias("n_unique"),
         F.round(1.0 - F.countDistinct(fp) / F.count(F.lit(1)), 4).alias("dup_rate"),
     )
+
+
+@query(
+    "mixture_interleave",
+    """
+    WITH sz AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                 AS rn,
+             sqrt(s.n) AS w
+      FROM documents d JOIN sz s USING (source)
+    )
+    SELECT doc_id, source, round(rn / w, 6) AS interleave_key
+    FROM ranked
+    """,
+)
+def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order mixing: each doc gets an
+    interleave_key = (its shuffled rank within its source) / weight,
+    with weight = sqrt(source size) — reading the corpus in
+    interleave_key order yields sources blended at sqrt-proportional
+    rates (the temperature-style mixing a pretraining run wants) instead
+    of source-by-source blocks. All RNG-free: the within-source shuffle
+    is an md5 sort (portable), so re-runs produce byte-identical
+    curricula. One shuffle on source for the rank window, a broadcast of
+    the per-source sizes; the consumer materializes the order with
+    repartitionByRange(interleave_key) + sortWithinPartitions at write
+    time — never a global sort in this query."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    sz = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(sz), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.row_number().over(w) / F.sqrt(F.col("n")), 6
+            ).alias("interleave_key"),
+        )
+    )

@@ -807,3 +807,36 @@ def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_KEEP_CANONICAL_ORACLE = (
+    "WITH RECURSIVE" + _CLUSTER_ORACLE.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+    + """
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+    """
+)
+
+
+@query("dedup_pipeline_keep_canonical", _KEEP_CANONICAL_ORACLE)
+def dedup_pipeline_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup WRITE path end-to-end: pair generation
+    (inverted-index Jaccard) → connected components → keep exactly one
+    canonical doc per duplicate cluster (min doc_id — a deterministic
+    rule; production swaps in quality-ranked keep). Output is the
+    cleaned corpus a crawl round actually persists. Composes the same
+    audited stages as dedup_cluster_assign, plus one broadcast-size
+    semi-filter: only CLUSTERED doc ids (a tiny fraction of the corpus)
+    join back, every unclustered doc passes untouched — so the final
+    filter costs one scan, not a shuffle of the corpus."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    pairs = ngram_jaccard_pairs(docs)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    # non-canonical members: clustered nodes whose comp != themselves
+    drop = comp.filter(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_chars"
+    )

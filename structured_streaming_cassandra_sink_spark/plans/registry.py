@@ -143,6 +143,8 @@ _PRIORITY_THIS_ROUND = [
     "share_of_group",
     "dup_graph_degree",
     "dedup_rate_by_source",
+    "dedup_pipeline_keep_canonical",
+    "mixture_interleave",
 ]
 
 
