@@ -906,3 +906,37 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "l_partkey", "l_suppkey")
         .limit(100)
     )
+
+
+@query(
+    "order_count_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders
+    (excluding a priority class). The LEFT join keeps zero-order
+    customers — count(o_orderkey) counts only MATCHED rows (count(*)
+    would count the null-extended row: the classic Q13 trap). The join
+    predicate on priority must live ON the join, not in a WHERE (a
+    where-filter after a left join silently turns it inner). Two
+    aggregates: the first keyed c_custkey — the same key the join
+    shuffled on, so AQE adds no exchange — the second over a tiny
+    (n_orders) domain."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))

@@ -145,6 +145,7 @@ _PRIORITY_THIS_ROUND = [
     "dedup_rate_by_source",
     "dedup_pipeline_keep_canonical",
     "mixture_interleave",
+    "order_count_distribution",
 ]
 
 
