@@ -355,3 +355,129 @@ def test_anomaly_rolling_z_warmup_and_selfexclusion(spark, sf_dir):
     assert scored, "some rows must be scored"
     frac = sum(1 for r in scored if r.is_anomaly) / len(scored)
     assert frac < 0.05, frac
+
+
+def test_zorder_key_decodes_exactly(spark, sf_dir):
+    """Every emitted zval decodes back to exactly its (partkey, suppkey)
+    low bits — the interleave is a bijection on the masked domain (the
+    property that makes min/max pruning sound in both dimensions)."""
+    from structured_streaming_cassandra_sink_spark.operators.relational import ZORDER_BITS
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    rows = registry.QUERIES["zorder_cluster"](spark, sf_dir).collect()
+    assert rows
+    mask = (1 << ZORDER_BITS) - 1
+    for r in rows:
+        x = y = 0
+        for i in range(ZORDER_BITS):
+            x |= ((r.zval >> (2 * i)) & 1) << i
+            y |= ((r.zval >> (2 * i + 1)) & 1) << i
+        assert x == (r.l_partkey & mask), r
+        assert y == (r.l_suppkey & mask), r
+
+
+def test_gaps_islands_partitions_active_days(spark, sf_dir):
+    """Streaks are a PARTITION of each user's active days: their lengths
+    sum to the distinct-day count, ranges don't overlap, and consecutive
+    streaks are separated by at least one inactive day (else they'd be
+    one streak)."""
+    from pyspark.sql import functions as F
+
+    from structured_streaming_cassandra_sink_spark.plans import registry
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    streaks = registry.QUERIES["gaps_islands"](spark, sf_dir).collect()
+    events = load_table(spark, "events", sf_dir)
+    want_days = {
+        r.user_id: r.n
+        for r in events.select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("d").alias("n"))
+        .collect()
+    }
+    by_user = {}
+    for r in streaks:
+        by_user.setdefault(r.user_id, []).append(r)
+        assert (r.streak_end - r.streak_start).days + 1 == r.streak_days, r
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.streak_start)
+        assert sum(r.streak_days for r in rs) == want_days[uid], uid
+        for a, b in zip(rs, rs[1:]):
+            assert (b.streak_start - a.streak_end).days >= 2, (uid, a, b)
+
+
+def test_mixture_interleave_blends_sources(spark, sf_dir):
+    """Reading docs in interleave_key order blends sources: within the
+    first quarter of the curriculum every source is already represented
+    in at least half its sqrt-proportional share (a loose bound — block
+    ordering would give some source ZERO early rows); and re-running
+    produces the identical assignment (RNG-free)."""
+    import math
+
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    q = registry.QUERIES["mixture_interleave"]
+    rows = sorted(
+        q(spark, sf_dir).collect(), key=lambda r: (r.interleave_key, r.doc_id)
+    )
+    again = sorted(
+        q(spark, sf_dir).collect(), key=lambda r: (r.interleave_key, r.doc_id)
+    )
+    assert [(r.doc_id, r.interleave_key) for r in rows] == [
+        (r.doc_id, r.interleave_key) for r in again
+    ]
+    n = len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r.source] = sizes.get(r.source, 0) + 1
+    wtot = sum(math.sqrt(c) for c in sizes.values())
+    prefix = rows[: n // 4]
+    seen = {}
+    for r in prefix:
+        seen[r.source] = seen.get(r.source, 0) + 1
+    for src, c in sizes.items():
+        expected = len(prefix) * math.sqrt(c) / wtot
+        assert seen.get(src, 0) >= expected / 2, (src, seen.get(src), expected)
+
+
+def test_mg_sketch_chunking_invariant():
+    """Misra-Gries state update: whatever the micro-batch chunking, the
+    final counters lower-bound true counts and every key with true count
+    > total/(k+1) survives (the mergeability the streaming op relies
+    on). Pure-pandas unit test — no Spark session."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import HH_K, _mg_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    data = [i % 17 for i in range(500)] + [3] * 200 + [5] * 120
+    true = {}
+    for u in data:
+        true[u] = true.get(u, 0) + 1
+    total = len(data)
+    for chunks in (1, 3, 7, 50):
+        state = FakeState()
+        step = max(1, len(data) // chunks)
+        out = None
+        for i in range(0, len(data), step):
+            pdf = pd.DataFrame({"user_id": data[i : i + step]})
+            out = list(_mg_update((0,), iter([pdf]), state))[-1]
+        got = dict(zip(out["user_id"], out["count_lb"]))
+        assert out["shard_total"].iloc[0] == total
+        for u, lb in got.items():
+            assert lb <= true[u], (chunks, u)
+        for u, c in true.items():
+            if c > total / (HH_K + 1):
+                assert u in got, (chunks, u)
