@@ -332,3 +332,107 @@ def streaming_heavy_hitters(spark, source_dir: str, query_name: str = "HeavyHitt
         .format("memory")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4) — the successor stateful API.
+#
+# applyInPandasWithState (above) carries ONE opaque state tuple per key;
+# transformWithState gives typed, composable state primitives
+# (ValueState/ListState/MapState) plus event-time timers, all backed by
+# the same checkpointed state store. Demo operator: per-user running
+# TOP-K largest event values — ListState holds at most K (value,
+# event_id) pairs per key, so state is O(K) regardless of stream length,
+# and every micro-batch emits the key's refreshed top-k (update mode).
+# The batch twin is window_rank's row_number formulation; equality is
+# pinned in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+TWS_TOPK = 3
+TWS_OUTPUT = "user_id bigint, value double, event_id bigint, rnk int"
+_TWS_AVAILABLE = True
+try:
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # the TWS Python runner speaks protobuf to the JVM state server; a
+    # container without google.protobuf crashes the driver worker at
+    # query start — detect it here so callers get a clear gate, exactly
+    # like the Cassandra-jar and PIL-decoder gates.
+    import google.protobuf.descriptor  # noqa: F401
+except ImportError:  # pragma: no cover - pyspark < 4.0 or no protobuf
+    _TWS_AVAILABLE = False
+    StatefulProcessor = object  # type: ignore
+
+
+class TopKEventsProcessor(StatefulProcessor):
+    """Keeps each user's K largest (value, event_id) pairs in ListState."""
+
+    def init(self, handle):
+        self._top = handle.getListState("topk", "value double, event_id bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        cur = [(float(r.value), int(r.event_id)) for r in self._top.get()]
+        for pdf in rows:
+            cur.extend(
+                zip(pdf["value"].astype(float), pdf["event_id"].astype(int))
+            )
+        # largest value first; event_id ASC breaks value ties deterministically
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:TWS_TOPK]
+        self._top.clear()
+        self._top.appendList(cur)
+        yield pd.DataFrame(
+            {
+                "user_id": int(key[0]),
+                "value": [v for v, _ in cur],
+                "event_id": [e for _, e in cur],
+                "rnk": list(range(1, len(cur) + 1)),
+            }
+        )
+
+    def close(self):
+        pass
+
+
+def topk_events_stream(events: DataFrame) -> DataFrame:
+    if not _TWS_AVAILABLE:
+        raise RuntimeError(
+            "transformWithStateInPandas requires Spark >= 4.0 AND the "
+            "google.protobuf package (its driver worker protocol)"
+        )
+    return (
+        events.select("user_id", "value", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TopKEventsProcessor(),
+            outputStructType=TWS_OUTPUT,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+def streaming_topk_events(spark, source_dir: str, query_name: str = "TopKEvents"):
+    """transformWithState requires the RocksDB state store (the HDFS
+    provider lacks the multi-column-family layout its typed states map
+    onto) — set BEFORE start; the conf is captured per query."""
+    from .sources import file_message_stream, parse_message_stream
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages)
+    return (
+        topk_events_stream(events)
+        .writeStream.queryName(query_name)
+        .outputMode("update")
+        .format("memory")
+        .start()
+    )
