@@ -570,3 +570,42 @@ def mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("lang", F.col("source").alias("top_source"), "n")
     )
+
+
+@query(
+    "moments_agg",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             avg(l_quantity)                    AS mu,
+             avg(l_quantity * l_quantity)       AS m2r,
+             avg(pow(l_quantity, 3))            AS m3r,
+             avg(pow(l_quantity, 4))            AS m4r,
+             count(*)                           AS n
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((m3r - 3*mu*m2r + 2*pow(mu,3))
+                 / pow(m2r - mu*mu, 1.5), 4)                 AS skew_pop,
+           round((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*pow(mu,4))
+                 / pow(m2r - mu*mu, 2) - 3.0, 4)             AS kurt_pop
+    FROM m
+    """,
+)
+def moments_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness / excess kurtosis per group — the
+    distribution-shape gates of a data-quality report (heavy-tailed
+    value columns break mean-based thresholds). Spark's skewness()/
+    kurtosis() are the POPULATION (g1, g2) estimators while DuckDB's
+    builtins are the bias-corrected SAMPLE ones (G1, G2) — a silent
+    cross-engine trap, so the oracle rebuilds Spark's definition from
+    raw power sums. Cross-engine float caveat: central moments computed
+    from E[X^k] differ from Spark's streaming-update formulation in the
+    last ulps; round(4) absorbs it (same convention as the ln/exp
+    battery). One map-side-partial hash aggregate; the power sums ride
+    the same pass as the count."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_pop"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_pop"),
+    )

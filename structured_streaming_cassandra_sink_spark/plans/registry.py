@@ -146,6 +146,7 @@ _PRIORITY_THIS_ROUND = [
     "dedup_pipeline_keep_canonical",
     "mixture_interleave",
     "order_count_distribution",
+    "moments_agg",
 ]
 
 
