@@ -940,3 +940,40 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "join_shuffle_hash_hint",
+    """
+    SELECT l_orderkey, o_orderdate,
+           round(sum(l_extendedprice), 4) AS order_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 150000
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate physical-strategy control: SHUFFLE_HASH hints the
+    fact-fact join into a shuffled hash join — no per-partition SORT of
+    either side (sort-merge's cost), just build the smaller side's hash
+    table per partition. The right call when one side is much smaller
+    after filtering but still too big to broadcast — exactly this shape:
+    orders shrinks via the pushed o_totalprice filter while lineitem
+    stays huge. The hint only picks the ALGORITHM; the shuffle (and AQE
+    skew splitting) is unchanged, so the risk is bounded: a hash table
+    that spills where a sort would have streamed. Plan-tested as
+    ShuffledHashJoin."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_orderdate")
+        .hint("shuffle_hash")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("order_revenue"))
+    )

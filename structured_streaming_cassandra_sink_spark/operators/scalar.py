@@ -609,3 +609,47 @@ def moments_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 4).alias("skew_pop"),
         F.round(F.kurtosis("l_quantity"), 4).alias("kurt_pop"),
     )
+
+
+@query(
+    "try_functions",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) = 0 THEN NULL
+                ELSE floor(value / CAST(json_extract(props, '$.k') AS BIGINT)
+                           * 10000 + 0.5) / 10000.0
+           END                                        AS value_per_k,
+           try_cast(event_type AS BIGINT)             AS type_as_int,
+           try_cast(substr(event_type, 1, 1) AS INTEGER) IS NOT NULL
+                                                      AS starts_numeric
+    FROM events
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defensive-ETL battery: try_divide / try_cast turn the
+    poison-pill rows that abort a 100 TB job (divide-by-zero, junk in a
+    numeric column) into NULLs the pipeline can quarantine — the
+    column-level complement of the parse chain's bad-records policy.
+    DuckDB has try_cast but no try_divide, so the oracle spells that one
+    as a guarded CASE; all still whole-stage codegen, no UDFs."""
+    from ..schemas import EVENT_PROPS
+
+    e = load_table(spark, "events", sf_dir)
+    k = F.from_json(F.col("props"), EVENT_PROPS).getField("k")
+    return e.select(
+        "event_id",
+        # floor(x*1e4+0.5)/1e4, NOT round(x,4): Spark rounds via exact
+        # BigDecimal HALF_UP, DuckDB via scaled float rounding — they
+        # disagree on representation-boundary ties. The floor grid is the
+        # same IEEE ops on both engines, so it can't diverge.
+        (F.floor(F.try_divide(F.col("value"), k) * 10000 + 0.5) / 10000.0).alias(
+            "value_per_k"
+        ),
+        F.try_to_number(F.col("event_type"), F.lit("999999")).cast("bigint").alias(
+            "type_as_int"
+        ),
+        F.substring("event_type", 1, 1)
+        .try_cast("int")
+        .isNotNull()
+        .alias("starts_numeric"),
+    )

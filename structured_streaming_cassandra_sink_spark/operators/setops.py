@@ -66,3 +66,41 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _custkeys_with_status(spark, sf_dir, "O").subtract(
         _custkeys_with_status(spark, sf_dir, "F")
     )
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+    INTERSECT ALL
+    SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'click')
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a user appearing 3x among views
+    and 2x among clicks yields 2 rows (min of multiplicities), where
+    set_intersect yields 1. Spark plans this as a count-aggregating
+    join, not row-pairing — one shuffle per side on the full row."""
+    e = load_table(spark, "events", sf_dir)
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    c = e.filter(F.col("event_type") == "click").select("user_id")
+    return v.intersectAll(c)
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+    EXCEPT ALL
+    SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'click')
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: multiplicities subtract (5 views,
+    2 clicks -> 3 rows) instead of the distinct-EXCEPT's all-or-nothing.
+    The multiplicity bookkeeping is a counted aggregate join, same
+    shuffle shape as intersectAll."""
+    e = load_table(spark, "events", sf_dir)
+    v = e.filter(F.col("event_type") == "view").select("user_id")
+    c = e.filter(F.col("event_type") == "click").select("user_id")
+    return v.exceptAll(c)

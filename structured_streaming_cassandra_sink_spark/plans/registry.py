@@ -147,6 +147,10 @@ _PRIORITY_THIS_ROUND = [
     "mixture_interleave",
     "order_count_distribution",
     "moments_agg",
+    "set_intersect_all",
+    "set_except_all",
+    "try_functions",
+    "join_shuffle_hash_hint",
 ]
 
 

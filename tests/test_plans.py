@@ -356,3 +356,11 @@ def test_gaps_islands_single_shuffle(spark, sf_dir):
     exchange — exactly ONE Exchange in the whole plan."""
     plan = _plan(spark, sf_dir, "gaps_islands")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    """The SHUFFLE_HASH hint must yield a ShuffledHashJoin — no sort of
+    either join side, and no accidental broadcast of the filtered one."""
+    plan = _plan(spark, sf_dir, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
