@@ -364,3 +364,65 @@ def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_confines_rowgroup_stats(spark, tmp_path):
+    """The point of the Morton key, measured: write lineitem with small
+    parquet row groups in (a) z-order and (b) natural order, then count
+    row groups whose [min,max] envelopes overlap a 2-D predicate box —
+    exactly the skipping decision a stats-based reader makes. The
+    z-ordered layout must leave most row groups prunable; the natural
+    layout leaves (almost) none."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from structured_streaming_cassandra_sink_spark.operators.relational import _Z_EXPR
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    # sf0.01 pinned: the experiment needs enough rows for >=10 small row
+    # groups; the suite's default sf is too small to subdivide.
+    li = (
+        load_table(spark, "lineitem", "/root/testdata/sf0.01")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("zval", F.expr(_Z_EXPR))
+    )
+    pz, pn = str(tmp_path / "zsorted"), str(tmp_path / "natural")
+    (
+        li.repartition(1).sortWithinPartitions("zval")
+        .write.option("parquet.block.size", 65536).mode("overwrite").parquet(pz)
+    )
+    li.repartition(1).write.option("parquet.block.size", 65536).mode(
+        "overwrite"
+    ).parquet(pn)
+
+    # predicate box: a narrow slice of each dimension
+    PK_LO, PK_HI, SK_LO, SK_HI = 100, 200, 10, 60
+
+    def overlapping_fraction(path: str) -> tuple[int, int]:
+        f = glob.glob(os.path.join(path, "part-*.parquet"))[0]
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        hit = 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            pk = rg.column(cols["l_partkey"]).statistics
+            sk = rg.column(cols["l_suppkey"]).statistics
+            if pk.min <= PK_HI and pk.max >= PK_LO and sk.min <= SK_HI and sk.max >= SK_LO:
+                hit += 1
+        return hit, md.num_row_groups
+
+    z_hit, z_total = overlapping_fraction(pz)
+    n_hit, n_total = overlapping_fraction(pn)
+    assert z_total >= 10, "row groups too coarse for the experiment"
+    # natural order interleaves keys randomly: essentially every row
+    # group straddles the box; z-order must prune at least half.
+    assert n_hit / n_total > 0.8, (n_hit, n_total)
+    assert z_hit / z_total < 0.5, (z_hit, z_total)
+    # and the layouts hold identical data
+    assert spark.read.parquet(pz).count() == spark.read.parquet(pn).count()
