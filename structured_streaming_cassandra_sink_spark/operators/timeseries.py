@@ -602,3 +602,102 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "data_freshness_report",
+    """
+    WITH g AS (SELECT max(ts) AS global_max FROM events)
+    SELECT event_type,
+           max(ts)                                             AS latest_ts,
+           count(*)                                            AS n_rows,
+           CAST(floor((epoch_us(global_max) - epoch_us(max(ts))) / 1000000.0)
+                AS BIGINT)                                     AS lag_seconds
+    FROM events, g
+    GROUP BY event_type, global_max
+    """,
+)
+def data_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness: each event type's latest event time and its
+    lag behind the freshest feed — the staleness monitor a multi-source
+    ingest pages on (a silent dead producer shows up as growing lag
+    long before volumes look wrong). One aggregate over a tiny key
+    domain plus a broadcast 1-row global max; second-granularity lag is
+    exact integer math on both engines."""
+    e = load_table(spark, "events", sf_dir)
+    g = e.agg(F.max("ts").alias("global_max"))
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "latest_ts",
+        "n_rows",
+        # floor of exact micros/1e6 on BOTH engines — date_diff('second')
+        # would count boundary CROSSINGS, which differs by 1 whenever the
+        # fractional parts straddle a second mark
+        F.floor(
+            (ts_micros("global_max") - ts_micros("latest_ts")) / 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+
+
+@query(
+    "funnel_conversion_rate",
+    f"""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    conv AS (
+      SELECT DISTINCT v.event_id
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '{FUNNEL_WINDOW_MIN} minutes')
+    SELECT CAST(date_trunc('hour', v.ts) AS TIMESTAMP) AS hour_ts,
+           count(*)                                    AS n_views,
+           count(conv.event_id)                        AS n_converted,
+           round(count(conv.event_id) * 1.0 / count(*), 4) AS conversion_rate
+    FROM v LEFT JOIN conv ON v.event_id = conv.event_id
+    GROUP BY 1
+    """,
+)
+def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel ROLLUP: what fraction of views convert to a click
+    within {FUNNEL_WINDOW_MIN} minutes, per hour. Builds on the interval
+    funnel's bounded equi-join, then semi-reduces (a view with three
+    clicks converts ONCE — the distinct before the rate guards the
+    classic funnel inflation bug) and left-joins back so zero-conversion
+    hours still report. Same single user_id shuffle as the pair query;
+    the rate aggregate runs on the tiny hour domain."""
+    e = load_table(spark, "events", sf_dir)
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    converted = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") > F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select("view_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        v.join(converted, v.view_id == converted.view_id, "left")
+        .groupBy(F.date_trunc("hour", F.col("view_ts")).cast("timestamp").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("converted").alias("n_converted"),
+            F.round(F.count("converted") / F.count(F.lit(1)), 4).alias(
+                "conversion_rate"
+            ),
+        )
+    )

@@ -151,6 +151,8 @@ _PRIORITY_THIS_ROUND = [
     "set_except_all",
     "try_functions",
     "join_shuffle_hash_hint",
+    "data_freshness_report",
+    "funnel_conversion_rate",
 ]
 
 
