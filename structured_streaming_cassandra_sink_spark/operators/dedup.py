@@ -117,12 +117,12 @@ def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     )
 
 
-def _verify_candidates(
-    candidates: DataFrame, arr: DataFrame, threshold: float
-) -> DataFrame:
-    """Exact Jaccard for (doc_a, doc_b) candidate pairs: join each pair to
-    its two shingle sets, intersect the arrays. O(|candidates| · |doc|)."""
-    inter = (
+def _exact_pair_stats(candidates: DataFrame, arr: DataFrame) -> DataFrame:
+    """EXACT (doc_a, doc_b, n_common, sz_a, sz_b) for candidate pairs:
+    join each pair to its two string shingle sets and intersect the
+    arrays. O(|candidates| · |doc|). Shared verify stage of every
+    hashed-candidate operator (Jaccard, containment)."""
+    return (
         candidates.join(
             arr.select(
                 F.col("doc_id").alias("doc_a"),
@@ -140,12 +140,54 @@ def _verify_candidates(
             "doc_b",
         )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b")
     )
+
+
+def _verify_candidates(
+    candidates: DataFrame, arr: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs (wraps _exact_pair_stats)."""
+    stats = _exact_pair_stats(candidates, arr)
     jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
-        inter.withColumn("jaccard", F.round(jacc, 4))
+        stats.withColumn("jaccard", F.round(jacc, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _hashed_candidate_counts(arr: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, sz_a, sz_b, n_common) over HASHED shingles via the
+    inverted-index self-join — the shared candidate stage. The index
+    carries xxhash64(shingle), not the string: the join/shuffle key
+    drops from ~25 B to 8 B. Hash collisions can only RAISE a pair's
+    counted overlap (cross-doc collisions inflate the intersection,
+    within-doc collisions shrink the set sizes), never lower it — so any
+    monotone-in-overlap predicate applied to these counts keeps a
+    SUPERSET of the true qualifying pairs; callers must exact-verify
+    survivors (via _exact_pair_stats) against the string arrays."""
+    hashed = arr.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    ).withColumn("szh", F.size("hs"))
+    inv = hashed.select("doc_id", "szh", F.explode("hs").alias("h"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.szh").alias("sz_a"),
+            F.col("b.szh").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
 
 
@@ -172,27 +214,8 @@ def ngram_jaccard_pairs(
     string-array verify of survivors makes the output identical to the
     all-string join."""
     arr = shingle_arrays(docs, n).localCheckpoint(eager=True)
-    hashed = arr.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("hs"),
-    ).withColumn("szh", F.size("hs"))
-    inv = hashed.select("doc_id", "szh", F.explode("hs").alias("h"))
-    a, b = inv.alias("a"), inv.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.szh").alias("sz_a"),
-            F.col("b.szh").alias("sz_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        _hashed_candidate_counts(arr)
         .filter(
             F.col("n_common")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
@@ -652,55 +675,35 @@ def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix bound on the CONTAINED side)."""
     docs = spread(load_table(spark, "documents", sf_dir))
     arr = shingle_arrays(docs, NGRAM_N).localCheckpoint(eager=True)
-    hashed = arr.select(
-        "doc_id",
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hs"),
-    ).withColumn("szh", F.size("hs"))
-    inv = hashed.select("doc_id", "szh", F.explode("hs").alias("h"))
-    a, b = inv.alias("a"), inv.alias("b")
+    # hashed counts are a SUPERSET under any monotone-in-overlap
+    # predicate (see _hashed_candidate_counts) — exact verify follows
     cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.szh").alias("sza"),
-            F.col("b.szh").alias("szb"),
-        )
-        .agg(F.count(F.lit(1)).alias("nc"))
-        # hash collisions only ever INFLATE nc (see ngram_jaccard_pairs),
-        # so this candidate set is a superset — exact verify follows
+        _hashed_candidate_counts(arr)
         .filter(
-            (F.col("nc") / F.col("sza") >= CONTAIN_THRESHOLD)
-            | (F.col("nc") / F.col("szb") >= CONTAIN_THRESHOLD)
+            (F.col("n_common") / F.col("sz_a") >= CONTAIN_THRESHOLD)
+            | (F.col("n_common") / F.col("sz_b") >= CONTAIN_THRESHOLD)
         )
-        .select("da", "db")
+        .select("doc_a", "doc_b")
     )
-    sh_a = arr.select(
-        F.col("doc_id").alias("da"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a")
-    )
-    sh_b = arr.select(
-        F.col("doc_id").alias("db"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b")
-    )
-    exact = (
-        cand.join(sh_a, "da")
-        .join(sh_b, "db")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .select("da", "db", "n_common", "sz_a", "sz_b")
-    )
-    fwd = exact.select(
-        F.col("da").alias("doc_inner"),
-        F.col("db").alias("doc_outer"),
+    exact = _exact_pair_stats(cand, arr)
+    # filter on the RAW ratio (matching the oracle's WHERE) and round
+    # only for output — filtering the rounded value would admit pairs in
+    # [t - 5e-5, t) that the oracle rejects
+    fwd = exact.filter(
+        F.col("n_common") / F.col("sz_a") >= CONTAIN_THRESHOLD
+    ).select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
         F.round(F.col("n_common") / F.col("sz_a"), 4).alias("containment"),
     )
-    rev = exact.select(
-        F.col("db").alias("doc_inner"),
-        F.col("da").alias("doc_outer"),
+    rev = exact.filter(
+        F.col("n_common") / F.col("sz_b") >= CONTAIN_THRESHOLD
+    ).select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
         F.round(F.col("n_common") / F.col("sz_b"), 4).alias("containment"),
     )
-    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    return fwd.unionAll(rev)
 
 
 EDIT_PREFIX = 80     # chars of text compared

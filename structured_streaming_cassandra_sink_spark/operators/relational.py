@@ -857,7 +857,13 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Z-order clustering key (multi-dimensional data layout for scan pruning)
 # ---------------------------------------------------------------------------
-ZORDER_BITS = 16
+# Must cover the KEY DOMAIN, not a convenient width: bits b encodes keys
+# < 2^b; keys above that alias onto the low bits and the interleave stops
+# encoding locality (silently — results stay "correct", the layout just
+# degrades to near-natural). 20 bits covers key domains to ~1M (TPC-H
+# partkey reaches 200k at sf1, 2M at sf10 — size up with the data); the
+# 2·bits-bit zval still fits comfortably in an int64 up to bits=31.
+ZORDER_BITS = 20
 
 
 def _z_interleave_sql(xcol: str, ycol: str, bits: int = ZORDER_BITS) -> str:
@@ -890,7 +896,9 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZORDER: rows near each other in z-value are near in BOTH key
     dimensions, so sorting files by zval lets min/max row-group stats
     prune scans filtered on EITHER key (a plain sort prunes only its
-    leading column). The write path is
+    leading column). ZORDER_BITS must cover the key domain — see the
+    constant's comment; keys >= 2^bits alias and quietly destroy
+    locality. The write path is
     ``df.repartitionByRange(n, zval).sortWithinPartitions(zval)`` +
     parquet; this query is the key kernel plus the ordered head as a
     verifiable sample (TakeOrderedAndProject — no global sort). The bit

@@ -30,7 +30,6 @@ raises a clear error on older runtimes.
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 
 from pyspark.sql.types import StructType
@@ -113,9 +112,12 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         # a bounded stream so tests can drain it with processAllAvailable.
         # `_cur` is driver-memory only; after a checkpoint restart it is
         # rebuilt from the REAL offsets Spark passes to partitions()/
-        # commit() (both bump it), so the first post-restart trigger can
-        # at worst re-propose an already-committed offset — harmless,
-        # Spark plans an empty range; data is never re-emitted.
+        # commit() (both bump it — partitions() with the batch START,
+        # the restored committed position). Until that first call the
+        # reader can propose an offset BEHIND the committed one; the
+        # engine plans at most one backward (empty — partitions() emits
+        # nothing for lo>=hi) batch and the restart tests pin that no
+        # row is ever re-emitted, for both drained and grown sources.
         cur = getattr(self, "_cur", 0)
         nxt = min(cur + self.rows_per_trigger, self.max_rows)
         self._cur = nxt
@@ -123,7 +125,9 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["offset"], end["offset"]
-        self._cur = max(getattr(self, "_cur", 0), hi)
+        # bump with BOTH bounds: after a restart `lo` is the restored
+        # committed offset (possibly > a stale latestOffset proposal)
+        self._cur = max(getattr(self, "_cur", 0), lo, hi)
         step = max(1, (hi - lo) // self.n_parts or 1)
         bounds = list(range(lo, hi, step)) + [hi]
         return [

@@ -423,16 +423,26 @@ def streaming_topk_events(spark, source_dir: str, query_name: str = "TopKEvents"
     onto) — set BEFORE start; the conf is captured per query."""
     from .sources import file_message_stream, parse_message_stream
 
+    KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    messages = file_message_stream(spark, source_dir)
-    events = parse_message_stream(messages)
-    return (
-        topk_events_stream(events)
-        .writeStream.queryName(query_name)
-        .outputMode("update")
-        .format("memory")
-        .start()
-    )
+    try:
+        messages = file_message_stream(spark, source_dir)
+        events = parse_message_stream(messages)
+        return (
+            topk_events_stream(events)
+            .writeStream.queryName(query_name)
+            .outputMode("update")
+            .format("memory")
+            .start()
+        )
+    finally:
+        # the started query captured its conf at analysis; restore so
+        # OTHER queries in the shared session keep the default provider
+        if prev is None:
+            spark.conf.unset(KEY)
+        else:
+            spark.conf.set(KEY, prev)

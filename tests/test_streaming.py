@@ -1489,3 +1489,44 @@ def test_transform_with_state_topk_equals_batch(spark, sf_dir, message_dir):
     assert set(got) == set(want)
     for u in want:
         assert got[u] == want[u], u
+
+
+def test_pysource_restart_after_full_drain_and_growth(spark, tmp_path):
+    """The committed-restart case the in-memory cursor is most exposed
+    to: drain the stream fully, restart against a GROWN source — no row
+    re-emits (the engine never accepts a backward offset range) and the
+    new rows all arrive."""
+    from structured_streaming_cassandra_sink_spark.sources.pysource import (
+        expected_rows,
+        register_synthetic_events,
+    )
+
+    register_synthetic_events(spark)
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "out")
+
+    def start(rows):
+        return (
+            spark.readStream.format("synthetic_events")
+            .option("rows", rows)
+            .option("rowsPerTrigger", 60)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start(240)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q2 = start(360)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert got == sorted(expected_rows(360))
