@@ -37,6 +37,18 @@ SAMPLE_RATES = {"en": 50, "de": 80}
 MIN_QUALITY = 0.5
 
 
+def quality_expr() -> Column:
+    """THE quality score: 0.5·(length in [100, 2000]) + 0.5·(unique-token
+    ratio), rounded to the shared 4-decimal oracle grid. Single source of
+    truth — the batch pipeline, the per-language quantile filter, and
+    the streaming curation sink all call this, so the pinned
+    stream==batch equality can't drift through a hand-synced copy."""
+    toks = tokens(F.col("text"))
+    uniq = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    len_ok = F.when(F.length("text").between(100, 2000), 1).otherwise(0)
+    return F.round(0.5 * len_ok + 0.5 * uniq, 4)
+
+
 def hash_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from the md5 of a column — the
     first 8 hex chars as an integer, mod buckets. Engine-portable
@@ -141,15 +153,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, "documents", sf_dir)
-    toks = tokens(F.col("text"))
-    uniq = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    len_ok = F.when(F.length("text").between(100, 2000), 1).otherwise(0)
     scored = d.select(
         "doc_id",
         "lang",
         "text",
         fingerprint(F.col("text")).alias("fp"),
-        F.round(0.5 * len_ok + 0.5 * uniq, 4).alias("quality"),
+        quality_expr().alias("quality"),
     )
     gated = scored.filter(F.col("quality") >= MIN_QUALITY)
     w = Window.partitionBy("fp").orderBy("doc_id")
@@ -409,12 +418,7 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Score and threshold are rounded to the same grid on both
     engines so the >= boundary is portable."""
     d = spread(load_table(spark, "documents", sf_dir))
-    toks = tokens(F.col("text"))
-    uniq = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    len_ok = F.when(F.length("text").between(100, 2000), 1).otherwise(0)
-    scored = d.select(
-        "doc_id", "lang", F.round(0.5 * len_ok + 0.5 * uniq, 4).alias("quality")
-    )
+    scored = d.select("doc_id", "lang", quality_expr().alias("quality"))
     thresh = scored.groupBy("lang").agg(
         F.round(F.expr("percentile(quality, 0.25)"), 4).alias("q25")
     )

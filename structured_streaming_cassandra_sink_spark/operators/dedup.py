@@ -147,12 +147,17 @@ def _exact_pair_stats(candidates: DataFrame, arr: DataFrame) -> DataFrame:
 def _verify_candidates(
     candidates: DataFrame, arr: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verify of candidate pairs (wraps _exact_pair_stats)."""
+    """Exact-Jaccard verify of candidate pairs (wraps _exact_pair_stats).
+
+    Filters on the RAW ratio and rounds only for output — filtering the
+    rounded value would admit pairs in [t - 5e-5, t) that the oracles'
+    raw-ratio WHERE clauses reject, and would make the three candidate
+    paths (plain / prefix / minhash) disagree on boundary pairs."""
     stats = _exact_pair_stats(candidates, arr)
     jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
-        stats.withColumn("jaccard", F.round(jacc, 4))
-        .filter(F.col("jaccard") >= threshold)
+        stats.filter(jacc >= threshold)
+        .withColumn("jaccard", F.round(jacc, 4))
         .select("doc_a", "doc_b", "jaccard")
     )
 

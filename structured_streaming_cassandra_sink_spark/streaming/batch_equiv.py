@@ -106,15 +106,17 @@ def session_agg(events: DataFrame) -> DataFrame:
     "stream_session",
     f"""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '{SESSION_GAP_MIN} minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     numbered AS (
+      -- event_id tie-break: with ROWS framing, tied-ts rows would get
+      -- order-dependent (flaky) session ids without a total order
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked)
     SELECT user_id,

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.textfns import fingerprint, tokens
-from ..operators.curation import MIN_QUALITY
+from ..functions.textfns import fingerprint
+from ..operators.curation import MIN_QUALITY, quality_expr
 from .sinks import parquet_upsert_sink, start_to_sink
 
 DOC_WIRE = T.StructType(
@@ -48,16 +48,15 @@ def docs_to_messages(docs: DataFrame, records_per_message: int = 3) -> DataFrame
 
 def curate(parsed: DataFrame) -> DataFrame:
     """The shared batch/stream curation expression tree: quality gate +
-    fingerprint (+ the keep-lowest-doc_id priority used by the upsert)."""
-    toks = tokens(F.col("text"))
-    uniq = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    len_ok = F.when(F.length("text").between(100, 2000), 1).otherwise(0)
+    fingerprint (+ the keep-lowest-doc_id priority used by the upsert).
+    The score comes from operators.curation.quality_expr — the SAME
+    Column the batch pipeline filters on."""
     scored = parsed.select(
         "doc_id",
         "lang",
         "source",
         fingerprint(F.col("text")).alias("fp"),
-        F.round(0.5 * len_ok + 0.5 * uniq, 4).alias("quality"),
+        quality_expr().alias("quality"),
     )
     # upsert keeps the MAX of the order column per key; negate doc_id so
     # "latest" == lowest doc_id (exact-dedup's canonical-keep rule)
@@ -71,11 +70,9 @@ def streaming_curation(
 ):
     """End-to-end streaming curation into a parquet corpus keyed by
     content fingerprint."""
-    from .sources import VALUE_ONLY
+    from .sources import file_message_stream
 
-    messages = (
-        spark.readStream.schema(VALUE_ONLY).option("maxFilesPerTrigger", 1).parquet(source_dir)
-    )
+    messages = file_message_stream(spark, source_dir)
     parsed = (
         messages.select(F.explode(F.split(F.col("value").cast("string"), "\n")).alias("line"))
         .filter(F.col("line") != "")

@@ -55,9 +55,12 @@ def lsh_refresh_batch(batch: DataFrame, epoch_id: int, index_dir: str) -> None:
     out = os.path.join(index_dir, "corpus", f"epoch={epoch_id}")
     csig = signature_rows(batch)
     # cluster by bucket before the partitioned write (same small-files
-    # rationale as lsh_build; per-epoch batches are smaller, so scale
-    # the shuffle width down to the batch, not the full bucket count)
-    csig.repartition(LSH_TABLES * (1 << LSH_PLANES), "t", "sig").write.mode(
+    # rationale as lsh_build) but at the DEFAULT shuffle width, not the
+    # full bucket count: hash-clustering on (t, sig) still lands each
+    # bucket in exactly one task — one file per touched (t, sig) dir —
+    # while a small epoch batch spreads over ~32 tasks instead of 256
+    # near-empty ones.
+    csig.repartition("t", "sig").write.mode(
         "overwrite"
     ).partitionBy("t", "sig").parquet(out)
 
@@ -67,8 +70,18 @@ def streaming_lsh_refresh(
     vectors_dir: str,
     index_dir: str,
     query_name: str = "LshRefresh",
+    checkpoint_dir: str | None = None,
 ):
-    """File-source vector stream -> incremental LSH index refresh."""
+    """File-source vector stream -> incremental LSH index refresh.
+
+    ``checkpoint_dir`` is what makes the epoch-overwrite replay
+    guarantee REAL: with it, a restart resumes from the offset log and a
+    replayed micro-batch keeps its epoch id, so the overwrite replaces
+    the prior attempt. Without one Spark uses a TEMPORARY checkpoint
+    (deleted on stop) — a restarted query would re-read everything with
+    fresh epoch ids alongside the old dirs, double-indexing every
+    vector. Defaults to a dir inside the index for convenience;
+    production should point it at durable storage."""
     vecs = (
         spark.readStream.schema("vec_id long, embedding array<float>, label int")
         .option("maxFilesPerTrigger", 1)
@@ -77,6 +90,10 @@ def streaming_lsh_refresh(
     return (
         vecs.writeStream.queryName(query_name)
         .outputMode("append")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(index_dir, "_checkpoint"),
+        )
         .foreachBatch(lambda b, eid: lsh_refresh_batch(b, eid, index_dir))
         .start()
     )

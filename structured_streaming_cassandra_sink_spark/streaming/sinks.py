@@ -222,8 +222,12 @@ def manifest_merge_sink(path: str, key: str, order: list[str]):
     4. COMMIT = write ``_log/.tmp-*`` then os.rename to
        ``_log/{V+1}.json`` — one atomic filesystem op is the only
        publish point;
-    5. GC superseded data dirs (single-writer local twin; a production
-       log keeps history for snapshot isolation / time travel).
+    5. GC superseded data dirs, KEEPING the one immediately-previous
+       version: an in-flight reader pinned to version V survives the
+       commit of V+1 (its files outlive the scan); only V-1 and older
+       are deleted. That is the minimal retention that honors the
+       concurrent-reader claim below — a production log keeps deeper
+       history for snapshot isolation / time travel.
 
     Every crash window is safe: die before the rename and readers still
     see version V (the orphan data dir is invisible and re-used by the
@@ -260,10 +264,15 @@ def manifest_merge_sink(path: str, key: str, order: list[str]):
                 fh,
             )
         os.rename(tmp, os.path.join(log, f"{version}.json"))  # the commit
-        # GC superseded versions (kept: the just-committed data dir)
+        # GC: drop versions older than the PREVIOUS one. Keeping v-1
+        # alive means a reader that resolved the manifest just before
+        # this commit can still finish scanning its pinned data dir.
+        keep = {data_dir}
+        if m is not None:
+            keep.add(m["data_dir"])
         droot = os.path.join(path, "data")
         for d in os.listdir(droot):
-            if os.path.join("data", d) != data_dir:
+            if os.path.join("data", d) not in keep:
                 shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
 
     return write

@@ -208,10 +208,24 @@ def _session_close(key, pdf_iter, state):
             seq, n = seq + 1, 1
         else:
             n += 1
-        last_us = t
+        # max, not assignment: a LATE event (older than the session's
+        # current end, but within the watermark — the disorder this
+        # operator exists to tolerate) must not move the session clock
+        # BACKWARD; that would shrink the timeout and fabricate a gap
+        # split against the next on-time event.
+        last_us = max(last_us, t)
     state.update((int(last_us), int(seq), int(n)))
-    # the open session can't grow once the watermark passes last + gap
-    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_US // 1000)
+    # the open session can't grow once the watermark passes last + gap.
+    # Clamp: Spark REJECTS (throws, killing the query) a timeout at or
+    # below the current watermark. With EventTimeTimeout the engine
+    # filters below-watermark rows before this function, so last+gap >
+    # watermark normally holds (pinned in
+    # test_session_close_late_group_does_not_kill_query) — the clamp is
+    # defense-in-depth for the boundary and for any mode without the
+    # pre-filter; a clamped session closes on the next trigger.
+    target_ms = last_us // 1000 + SESSION_GAP_US // 1000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(target_ms, wm_ms + 1))
     yield pd.DataFrame(
         {
             "user_id": int(key[0]),

@@ -1530,3 +1530,61 @@ def test_pysource_restart_after_full_drain_and_growth(spark, tmp_path):
         q2.stop()
     got = sorted(map(tuple, spark.read.parquet(sink).collect()))
     assert got == sorted(expected_rows(360))
+
+
+def test_session_close_late_group_does_not_kill_query(spark, tmp_path):
+    """Late-row semantics of the session monitor, pinned: an event older
+    than the current watermark is FILTERED before the stateful function
+    (Spark's EventTimeTimeout contract), so it can neither create a
+    stale session nor produce a below-watermark setTimeoutTimestamp —
+    the query stays alive and the late group simply never appears. The
+    clamp in _session_close (max(watermark+1, last+gap)) stays as
+    defense-in-depth for timeout modes without the pre-filter."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.streaming.sources import parse_message_stream
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import session_close_monitor
+
+    src = str(tmp_path / "late_group_src")
+
+    def write_batch(rows, mode):
+        pdf = pd.DataFrame({"value": rows})
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(src)
+
+    def ev(eid, ts, uid):
+        return (
+            f'{{"event_id": {eid}, "ts": "{ts}", "user_id": {uid},'
+            f' "event_type": "x", "value": 1.0, "props": null}}'
+        )
+
+    # batch 1: user 1 at 12:00 -> watermark advances toward 11:59
+    write_batch([ev(1, "2024-01-01T12:00:00.000000Z", 1)], "overwrite")
+    messages = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        session_close_monitor(parse_message_stream(messages))
+        .writeStream.queryName("t_late_group")
+        .outputMode("append").format("memory").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 2's ONLY event at 09:00 — older than the ~11:59
+        # watermark, so the engine drops it before the state function
+        write_batch([ev(2, "2024-01-01T09:00:00.000000Z", 2)], "append")
+        q.processAllAvailable()
+        assert q.isActive, str(q.exception())
+        # sentinels: advance the watermark and fire user 1's timeout
+        write_batch([ev(3, "2024-01-01T13:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        write_batch([ev(4, "2024-01-01T14:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        assert q.isActive, str(q.exception())
+        got = {
+            (r.user_id, r.session_seq): r.n_events
+            for r in spark.sql("SELECT * FROM t_late_group").collect()
+        }
+    finally:
+        q.stop()
+    assert got[(1, 1)] == 1          # on-time session closes by timeout
+    assert not any(u == 2 for u, _ in got)  # late group filtered, no state
