@@ -848,3 +848,55 @@ def dedup_pipeline_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame
     return docs.join(drop, "doc_id", "left_anti").select(
         "doc_id", "source", "lang", "n_chars"
     )
+
+
+@query(
+    "dup_graph_triangles",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM toks WHERE len(toks) >= {NGRAM_N}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    )
+    SELECT count(*) AS n_triangles FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-dup graph — the clustering-coefficient
+    numerator that separates template FAMILIES (dense, triangle-rich
+    clusters: true dup groups) from hub CHAINS (boilerplate shingles
+    linking unrelated docs: triangle-poor stars). The join is the
+    node-iterator form on ID-ORIENTED edges (u < v, from the pair
+    generator): wedges join on the low endpoint, the closing edge joins
+    on (v1, v2) — each a plain equi-shuffle. At crawl scale the
+    orientation must switch to DEGREE ordering (low-degree endpoint
+    first) so a hub's wedge count is bounded by its low-degree
+    neighbors, not its own degree² — same plan, one extra degree join;
+    ID orientation is enough here because `dup_graph_degree` gates hubs
+    upstream."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    pairs = ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+    ).select(F.col("e1.v").alias("w1"), F.col("e2.v").alias("w2"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("w1")) & (F.col("e3.v") == F.col("w2")),
+        "inner",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -153,6 +153,7 @@ _PRIORITY_THIS_ROUND = [
     "join_shuffle_hash_hint",
     "data_freshness_report",
     "funnel_conversion_rate",
+    "dup_graph_triangles",
 ]
 
 

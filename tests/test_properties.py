@@ -481,3 +481,39 @@ def test_mg_sketch_chunking_invariant():
         for u, c in true.items():
             if c > total / (HH_K + 1):
                 assert u in got, (chunks, u)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """The generic asof_join helper against a per-row brute force on
+    adversarial data: duplicate timestamps on both sides, right ties
+    (resolved via right_tie), keys with no match, exact-equality ties
+    (inclusive semantics)."""
+    import datetime as dt
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # deterministic pseudo-random layout, incl. equal-ts collisions
+    left = [(k, ts((7 * i + k) % 40), i) for k in (1, 2, 3) for i in range(12)]
+    right = [
+        (k, ts(m), rid, float(k * 100 + m + (rid % 3)))
+        for k in (1, 2)            # key 3 has NO right rows
+        for rid, m in enumerate([0, 5, 5, 10, 20, 20, 20, 35])
+    ]
+    ldf = spark.createDataFrame(left, "k int, lts timestamp, lid int")
+    rdf = spark.createDataFrame(right, "k int, rts timestamp, rid int, val double")
+    got = {
+        (r.k, r.lid): r.val
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+            value_cols=["val"], right_tie="rid",
+        ).collect()
+    }
+    for k, lts, lid in left:
+        cands = [(rts, rid, val) for (rk, rts, rid, val) in right if rk == k and rts <= lts]
+        want = max(cands)[2] if cands else None  # max (rts, rid) wins
+        assert got[(k, lid)] == want, (k, lid, got[(k, lid)], want)
