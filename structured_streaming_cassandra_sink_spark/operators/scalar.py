@@ -653,3 +653,34 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNotNull()
         .alias("starts_numeric"),
     )
+
+
+@query("hll_partial_merge")  # rows-only: sketch estimates are impl-defined
+def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): per-(type, day)
+    user sketches built in one pass, then UNIONED per type — the pattern
+    that makes distinct-count rollups incremental at 100 TB: daily
+    sketches persist (a few KB each), and any time-range's distinct
+    count is a cheap union of stored sketches instead of a re-scan of
+    raw data (exact count(DISTINCT) cannot merge: distinct-per-day does
+    not sum). HLL union is lossless — union-of-sketches IS the sketch
+    of the union, so the merged estimate equals the direct one exactly;
+    pinned as an invariant in tests together with the error bound vs
+    exact."""
+    e = load_table(spark, "events", sf_dir)
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            "user_id",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+    )

@@ -154,6 +154,7 @@ _PRIORITY_THIS_ROUND = [
     "data_freshness_report",
     "funnel_conversion_rate",
     "dup_graph_triangles",
+    "hll_partial_merge",
 ]
 
 

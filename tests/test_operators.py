@@ -435,3 +435,33 @@ def test_csv_roundtrip_events(spark, sf_dir, tmp_path):
     write_csv(events, str(tmp_path / "events_csv"))
     back = read_csv(spark, str(tmp_path / "events_csv"), TABLES["events"])
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, events.collect()))
+
+
+def test_hll_partial_merge_is_lossless_and_bounded(spark, sf_dir):
+    """Two invariants of the HLL rollup: (1) union-of-daily-sketches
+    estimates EXACTLY equal the direct whole-range sketch (HLL union is
+    lossless — the property that makes stored daily sketches a valid
+    substitute for raw re-scans); (2) the estimate is within 5% of the
+    exact distinct count."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    merged = {
+        r.event_type: r.est_users
+        for r in registry.QUERIES["hll_partial_merge"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir)
+    direct = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct, "HLL union must be lossless"
+    for t, n in exact.items():
+        assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
