@@ -900,3 +900,46 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "edit_distance_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= {EDIT_LEN_TOL}
+      WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX}),
+                        substr(b.text, 1, {EDIT_PREFIX})) <= {EDIT_MAX_D}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS m FROM edges
+      UNION
+      SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(m) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def edit_distance_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters under the EDIT-DISTANCE relation — the same
+    connected_components engine as dedup_cluster_assign running on a
+    different pair generator (edit_distance_pairs' banded levenshtein
+    instead of shingle Jaccard), demonstrating the CC operator is
+    generator-agnostic: any near-dup relation that emits (a, b) pairs
+    plugs in. Near-identical short docs (typo-level edits) chain into
+    one cluster; every untouched doc is its own singleton."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    # the @query decorator registers and returns the function unchanged,
+    # so the pair generator is directly callable
+    pairs = edit_distance_pairs(spark, sf_dir)
+    comp = connected_components(pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    return docs.select("doc_id").join(
+        comp, docs.doc_id == comp.node, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id")
+    )

@@ -342,3 +342,34 @@ def share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") / F.col("grand"), 9).alias("share_of_total"),
         )
     )
+
+
+@query(
+    "first_last_nonnull",
+    """
+    SELECT DISTINCT user_id,
+           first_value(props IGNORE NULLS) OVER w AS first_props,
+           last_value(props IGNORE NULLS)  OVER w AS last_props
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last NON-NULL attribute per user in event-time order —
+    the attribute-carry-forward shape (earliest known profile vs current
+    one) with IGNORE NULLS semantics, the part plain min_by/max_by gets
+    wrong (they'd happily return a NULL props from the extreme row).
+    Full-partition frame + DISTINCT collapses to one row per user; the
+    whole thing is one shuffle on user_id."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first_value(F.col("props"), ignoreNulls=True).over(w).alias("first_props"),
+        F.last_value(F.col("props"), ignoreNulls=True).over(w).alias("last_props"),
+    ).distinct()

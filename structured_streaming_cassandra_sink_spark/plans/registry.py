@@ -155,6 +155,8 @@ _PRIORITY_THIS_ROUND = [
     "funnel_conversion_rate",
     "dup_graph_triangles",
     "hll_partial_merge",
+    "first_last_nonnull",
+    "edit_distance_clusters",
 ]
 
 
