@@ -684,3 +684,59 @@ def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_daily_sketches"),
         )
     )
+
+
+@query(
+    "incremental_stats_merge",
+    """
+    SELECT event_type,
+           count(*)                         AS n,
+           round(avg(value), 4)             AS mean_value,
+           round(stddev_pop(value), 4)      AS std_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments (Chan et al.'s parallel variance): per-day
+    partials (n, sum, sum-of-squares) combine into exact global
+    mean/std via pure addition — the incremental-statistics pattern
+    that lets a 100 TB pipeline maintain running column stats by
+    merging each new day's partial instead of re-scanning history
+    (same role HLL partial-merge plays for distinct counts). The
+    oracle computes the DIRECT single-pass aggregate; the query
+    computes the two-level merged form — equality (on the rounded
+    grid) is the mergeability proof. Power sums, not (mean, M2)
+    pairs: addition-only merges, no weighted recombination. Numerical
+    caveat: raw power sums cancel catastrophically when std << |mean|
+    (s2 and s1²/n agree in their leading digits); production merges
+    shifted sums (subtract a per-partition pivot) or (n, mean, M2)
+    triples — fine here because value's spread is comparable to its
+    magnitude."""
+    e = load_table(spark, "events", sf_dir)
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s1"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(mean, 4).alias("mean_value"),
+        F.round(F.sqrt(var), 4).alias("std_value"),
+    )

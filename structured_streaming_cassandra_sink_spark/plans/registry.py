@@ -157,6 +157,7 @@ _PRIORITY_THIS_ROUND = [
     "hll_partial_merge",
     "first_last_nonnull",
     "edit_distance_clusters",
+    "incremental_stats_merge",
 ]
 
 
