@@ -985,3 +985,36 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("order_revenue"))
     )
+
+
+@query(
+    "variant_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)  AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS k_str,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into an open-schema binary-encoded value, then
+    variant_get paths with per-access target types — the modern
+    replacement for from_json-with-declared-schema when the payload
+    schema drifts (new keys don't break the parse, and access is
+    lazy per path instead of materializing the full struct). The
+    oracle expresses the same accesses with plain JSON functions —
+    the CONTRACT (typed path extraction, null for absent paths) is
+    engine-portable even though the encoding is Spark's own.
+    variant_get stays JVM-side (no Python); shredding to parquet
+    columns is the storage-side continuation at scale."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("props").isNotNull())
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
+    )

@@ -158,6 +158,7 @@ _PRIORITY_THIS_ROUND = [
     "first_last_nonnull",
     "edit_distance_clusters",
     "incremental_stats_merge",
+    "variant_ops",
 ]
 
 
