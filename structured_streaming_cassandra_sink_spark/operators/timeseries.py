@@ -701,3 +701,82 @@ def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "session_chain_recursive",
+    f"""
+    WITH RECURSIVE nxt AS (
+      SELECT user_id, event_id,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_id,
+             coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                      - epoch_us(ts) <= {SESSION_GAP_US}, false) AS linked
+      FROM events
+    ),
+    edges AS (SELECT event_id, next_id FROM nxt WHERE linked),
+    roots AS (
+      SELECT n.user_id, n.event_id FROM nxt n
+      LEFT JOIN edges e ON n.event_id = e.next_id
+      WHERE e.next_id IS NULL
+    ),
+    walk AS (
+      SELECT user_id, event_id AS root_id, event_id AS cur_id, 1 AS chain_len
+      FROM roots
+      UNION ALL
+      SELECT w.user_id, w.root_id, e.next_id, w.chain_len + 1
+      FROM walk w JOIN edges e ON w.cur_id = e.event_id
+    )
+    SELECT user_id, root_id AS session_start_event,
+           CAST(max(chain_len) AS BIGINT) AS n_events
+    FROM walk GROUP BY user_id, root_id
+    """,
+)
+def session_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session sizes via Spark 4's RECURSIVE CTE — the declarative twin
+    of `sessionize_assign`'s window formulation, walking the
+    next-event-within-gap edge relation from each session's first event.
+    The edge set is ACYCLIC with in/out-degree <= 1 (consecutive events
+    of one user), which is exactly the regime Spark's UNION ALL-only
+    recursion handles: every path is simple, no frontier dedup needed
+    (cyclic closures like connected components still need the iterative
+    engine — Spark rejects UNION-dedup recursion). Per-round cost is one
+    join of the live frontier against the edge table; recursion depth =
+    the LONGEST session, so at scale either bound session length
+    upstream or raise spark.sql.cteRecursionLevelLimit (default 100)
+    past the max expected chain."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.select("user_id", "event_id", "ts").createOrReplaceTempView("__chain_events")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE nxt AS (
+          SELECT user_id, event_id,
+                 lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS next_id,
+                 coalesce(unix_micros(CAST(lead(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                          AS TIMESTAMP))
+                          - unix_micros(CAST(ts AS TIMESTAMP))
+                          <= {SESSION_GAP_US}, false) AS linked
+          FROM __chain_events
+        ),
+        edges AS (SELECT event_id, next_id FROM nxt WHERE linked),
+        roots AS (
+          SELECT n.user_id, n.event_id FROM nxt n
+          LEFT JOIN edges e ON n.event_id = e.next_id
+          WHERE e.next_id IS NULL
+        ),
+        walk AS (
+          SELECT user_id, event_id AS root_id, event_id AS cur_id,
+                 1 AS chain_len
+          FROM roots
+          UNION ALL
+          SELECT w.user_id, w.root_id, e.next_id, w.chain_len + 1
+          FROM walk w JOIN edges e ON w.cur_id = e.event_id
+        )
+        SELECT user_id, root_id AS session_start_event,
+               CAST(max(chain_len) AS BIGINT) AS n_events
+        FROM walk GROUP BY user_id, root_id
+        """
+    )

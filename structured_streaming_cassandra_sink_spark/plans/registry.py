@@ -159,6 +159,7 @@ _PRIORITY_THIS_ROUND = [
     "edit_distance_clusters",
     "incremental_stats_merge",
     "variant_ops",
+    "session_chain_recursive",
 ]
 
 

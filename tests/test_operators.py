@@ -465,3 +465,23 @@ def test_hll_partial_merge_is_lossless_and_bounded(spark, sf_dir):
     assert merged == direct, "HLL union must be lossless"
     for t, n in exact.items():
         assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
+
+
+def test_recursive_chain_equals_sessionize_sizes(spark, sf_dir):
+    """The recursive-CTE session walk and the window-based sessionizer
+    agree on every session's size (two independent formulations of the
+    same 15-min-gap rule)."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    rec = registry.QUERIES["session_chain_recursive"](spark, sf_dir).collect()
+    siz = sorted(
+        (r.user_id, r.n_events) for r in rec
+    )
+    assigned = registry.QUERIES["sessionize_assign"](spark, sf_dir)
+    want = sorted(
+        (r.user_id, r.n)
+        for r in assigned.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert siz == want
