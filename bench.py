@@ -102,8 +102,15 @@ def main() -> int:
         if best > 1.5:
             # Heavy queries (huge codegen/JIT, many localCheckpoint
             # blocks) leave background JVM work that pollutes the NEXT
-            # query's timing; give the compiler/cleaner a bounded window
-            # to drain. Wall-clock only — not counted in any timing.
+            # query's timing. Python gc above only clears py4j refs; the
+            # JVM ContextCleaner frees checkpoint RDD blocks on a JVM GC,
+            # which a mostly idle 16g driver may not run for minutes —
+            # late queries then inherit block-manager pressure from 100+
+            # earlier ones (measured: same query 2.8 s early-run vs
+            # 8.3 s late-run). One explicit System.gc() after each heavy
+            # query (~15 of 147, outside timed regions), then a bounded
+            # drain window.
+            spark._jvm.System.gc()
             time.sleep(min(2.0, best / 2))
     total = round(time.perf_counter() - t_total, 3)
 
