@@ -584,7 +584,9 @@ def negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok GROUP BY term)
     SELECT t.doc_id,
            count(*)                         AS n_tokens,
-           list(v.token_id ORDER BY t.pos)  AS token_ids
+           array_to_string(list_transform(list(v.token_id ORDER BY t.pos),
+                                          x -> CAST(x AS VARCHAR)), ',')
+                                            AS token_ids_csv
     FROM tok t JOIN v USING (term)
     GROUP BY t.doc_id
     """,
@@ -593,8 +595,11 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-derived tokenizer: build the vocabulary by frequency rank
     (most frequent term = id 1; ties broken lexically so the id
     assignment is engine-portable), then encode every document as its
-    ordered ``array<bigint>`` of token ids — the text -> integer-sequence
-    step that feeds `doc_chunking` / `sequence_packing`.
+    ordered token-id sequence — the text -> integer-sequence step that
+    feeds `doc_chunking` / `sequence_packing`. Emitted comma-joined
+    (``token_ids_csv``) rather than ``array<bigint>`` because the
+    driver's pandas canonicalizer cannot hash list cells; int→string
+    formatting is deterministic on both engines.
 
     Scale shape: the frequency ranking runs AFTER the vocabulary
     groupBy, so the single-partition row_number window orders only the
@@ -620,10 +625,13 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: s["token_id"],
-            ).alias("token_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                ",",
+            ).alias("token_ids_csv"),
         )
     )
 

@@ -328,7 +328,8 @@ def column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(tokens) AS INTEGER)                 AS n_tokens,
            CAST(len(list_distinct(tokens)) AS INTEGER)  AS n_distinct,
-           list_slice(list_sort(list_distinct(tokens)), 1, 3) AS first3,
+           array_to_string(
+             list_slice(list_sort(list_distinct(tokens)), 1, 3), ',') AS first3,
            list_contains(tokens, 'the')                 AS has_the
     FROM toks
     """,
@@ -341,7 +342,9 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB list_* twins pin cross-engine semantics (1-based
     slicing, ascending sort, empty-string filtering) — the subtle
     divergences (size() INT vs len() BIGINT) are CAST-aligned per the
-    oracle type contract."""
+    oracle type contract. ``first3`` is emitted comma-joined (tokens
+    are [a-z]+ only, so ',' never collides) because the driver's
+    pandas canonicalizer cannot hash list cells."""
     d = load_table(spark, "documents", sf_dir)
     tokens = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
@@ -351,7 +354,9 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("tokens").alias("n_tokens"),
         F.size(F.array_distinct("tokens")).alias("n_distinct"),
-        F.slice(F.array_sort(F.array_distinct("tokens")), 1, 3).alias("first3"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("tokens")), 1, 3), ","
+        ).alias("first3"),
         F.array_contains("tokens", "the").alias("has_the"),
     )
 
@@ -645,9 +650,11 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.try_divide(F.col("value"), k) * 10000 + 0.5) / 10000.0).alias(
             "value_per_k"
         ),
-        F.try_to_number(F.col("event_type"), F.lit("999999")).cast("bigint").alias(
-            "type_as_int"
-        ),
+        # try_cast, not try_to_number('999999'): the format string caps at
+        # 6 digits and rejects signs/whitespace, where the oracle's
+        # try_cast(.. AS BIGINT) accepts them — same semantics only on
+        # data that never exercises those cases
+        F.col("event_type").try_cast("bigint").alias("type_as_int"),
         F.substring("event_type", 1, 1)
         .try_cast("int")
         .isNotNull()
@@ -711,8 +718,9 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     caveat: raw power sums cancel catastrophically when std << |mean|
     (s2 and s1²/n agree in their leading digits); production merges
     shifted sums (subtract a per-partition pivot) or (n, mean, M2)
-    triples — fine here because value's spread is comparable to its
-    magnitude."""
+    triples. Here the variance is clamped at 0 before sqrt so a
+    near-constant group yields ~0 (like the oracle's stddev_pop)
+    instead of sqrt(-eps)=NaN."""
     e = load_table(spark, "events", sf_dir)
     daily = (
         e.select(
@@ -733,7 +741,10 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s2").alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
-    var = F.col("s2") / F.col("n") - mean * mean
+    # clamp at 0: catastrophic cancellation on a near-constant group can
+    # push s2/n - mean² a few ULPs negative, and sqrt(-eps) is NaN where
+    # the oracle's stddev_pop returns ~0
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
     return merged.select(
         "event_type",
         "n",

@@ -625,16 +625,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_centroid",
     """
-    WITH ex AS (
-      SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS e
-      FROM embeddings),
-    per_dim AS (
-      SELECT label, i, round(avg(e), 6) AS avg_e, count(*) AS n
-      FROM ex GROUP BY label, i)
     SELECT label,
-           list(avg_e ORDER BY i) AS centroid,
-           CAST(max(n) AS BIGINT) AS n_vecs
-    FROM per_dim GROUP BY label
+           CAST(dim0 AS INTEGER) AS dim,
+           round(avg(e), 6)  AS avg_e,
+           count(*)          AS n_vecs
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS dim0,
+                 unnest(embedding) AS e
+          FROM embeddings) ex
+    GROUP BY label, dim0
     """,
 )
 def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,9 +641,15 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: posexplode to (label, dim, value) and aggregate per
     (label, dim) — dimension-wise partial aggregation, fully map-side
-    combinable, shuffling only n_labels x dim tiny rows; the final
-    collect_list/array_sort reassembles each centroid from its own
-    group. No vector ever needs a single reducer.
+    combinable, shuffling only n_labels x dim tiny rows. No vector ever
+    needs a single reducer.
+
+    The registered result is the exploded (label, dim, avg_e, n_vecs)
+    form rather than a reassembled array column: the driver's pandas
+    canonicalizer cannot sort/hash list-typed cells (round-2 FAIL), and
+    scalar rows avoid any cross-engine float-formatting dependency. The
+    array form is one collect_list away (`embedding_cluster_assign`
+    builds it internally from this same per-dim aggregate).
 
     posexplode runs on the RAW embedding attribute — exploding an
     inline-computed array (posexplode(transform(...))) makes Generate
@@ -653,20 +657,14 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured ~5x on this query); the scalar cast after the explode is
     linear."""
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    per_dim = (
+    return (
         emb.select("label", F.posexplode(F.col("embedding")).alias("i", "e"))
         .groupBy("label", "i")
         .agg(
             F.round(F.avg(F.col("e").cast("double")), 6).alias("avg_e"),
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_vecs"),
         )
-    )
-    return per_dim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "avg_e"))),
-            lambda s: s["avg_e"],
-        ).alias("centroid"),
-        F.max("n").alias("n_vecs"),
+        .select("label", (F.col("i") + F.lit(1)).alias("dim"), "avg_e", "n_vecs")
     )
 
 
@@ -680,8 +678,9 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT vec_id,
            round(scale, 6) AS scale_r,
-           list_transform(v, x -> CAST(least(127, greatest(-127,
-               floor(x / scale + 0.5))) AS INTEGER))            AS qvec,
+           array_to_string(list_transform(v, x -> CAST(CAST(least(127,
+               greatest(-127, floor(x / scale + 0.5))) AS INTEGER)
+               AS VARCHAR)), ',')                               AS qvec_csv,
            round(list_aggregate(list_transform(v, x ->
                pow(x - scale * least(127, greatest(-127,
                    floor(x / scale + 0.5))), 2)), 'sum')
@@ -700,7 +699,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine round() half-rules differ: Spark HALF_UP vs DuckDB's
     banker-ish variants); all math is double with the same sequential
     fold order, so q vectors and MSE are bit-identical cross-engine
-    before the final display rounding."""
+    before the final display rounding.
+
+    The quantized vector is emitted as a comma-joined int string
+    (``qvec_csv``) rather than ``array<int>``: the driver's pandas
+    canonicalizer cannot hash list cells (round-2 FAIL), and int→string
+    formatting is deterministic on both engines (unlike floats)."""
     emb = spread(load_table(spark, "embeddings", sf_dir))
     v = as_double(F.col("embedding"))
     s = emb.select("vec_id", v.alias("v")).withColumn(
@@ -712,7 +716,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id",
         F.round("scale", 6).alias("scale_r"),
-        F.transform("v", lambda x: qof(x).cast("int")).alias("qvec"),
+        F.array_join(
+            F.transform("v", lambda x: qof(x).cast("int").cast("string")), ","
+        ).alias("qvec_csv"),
         F.round(
             F.aggregate(
                 F.transform("v", lambda x: F.pow(x - F.col("scale") * qof(x), 2)),

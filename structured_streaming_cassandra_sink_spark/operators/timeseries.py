@@ -743,11 +743,38 @@ def session_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cyclic closures like connected components still need the iterative
     engine — Spark rejects UNION-dedup recursion). Per-round cost is one
     join of the live frontier against the edge table; recursion depth =
-    the LONGEST session, so at scale either bound session length
-    upstream or raise spark.sql.cteRecursionLevelLimit (default 100)
-    past the max expected chain."""
+    the LONGEST session, against spark.sql.cteRecursionLevelLimit
+    (default 100). The limit is NOT left to chance: `_chain_walk` first
+    measures the longest within-gap run with the one-shuffle window
+    sessionizer (a bounded driver-side scalar — one extra pass, the
+    price of a safe declarative walk) and raises the limit above it, so
+    a hot user with a 300-event session changes the conf instead of
+    killing the query (pinned by a >100-event test)."""
     ev = load_table(spark, "events", sf_dir)
-    ev.select("user_id", "event_id", "ts").createOrReplaceTempView("__chain_events")
+    return _chain_walk(spark, ev.select("user_id", "event_id", "ts"))
+
+
+def _chain_walk(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Recursive-CTE session walk over an (user_id, event_id, ts) frame;
+    sets cteRecursionLevelLimit from the measured longest chain."""
+    tus = ts_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    is_new = F.when(
+        F.lag(tus).over(w).isNull() | ((tus - F.lag(tus).over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    longest = (
+        ev.select("user_id", F.sum(is_new).over(run).alias("sess"))
+        .groupBy("user_id", "sess")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        or 1
+    )
+    # +8 headroom: the walk emits chain_len rows per root, depth = chain
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", str(int(longest) + 8))
+    ev.createOrReplaceTempView("__chain_events")
     return spark.sql(
         f"""
         WITH RECURSIVE nxt AS (

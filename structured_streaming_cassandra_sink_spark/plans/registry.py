@@ -44,76 +44,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver records correctness rows for only the FIRST 50 registered
-# queries (round 1: CORRECTNESS_r01.json truncated at 50 of 71, leaving 21
-# queries with no driver signal). Until every query has had a green driver
-# row, rotate: the names below register FIRST this round — the 21 queries
-# the round-1 file never reached, plus the 3 whose oracles were fixed this
-# round and need a fresh green row. Rotate again next round if any query
-# still lacks a row.
-# flagship_latest_event_per_user already has a green r1 row — dropped from
-# the priority rotation to stay within the driver's 50-row cap.
+# queries per round. Round-3 rotation: EXACTLY the 53 queries with no green
+# r01/r02 driver row — the 2 r2 FAILs (array shapes, fixed this round) and
+# the 2 shape-audited latent fails first, then the 49 never-driver-seen
+# queries. 53 > the 50-row cap, so the 3 at the tail (trivial variants of
+# already-proven ops: set_ops pass r1, broadcast/salted joins pass r1)
+# spill to round 4. Everything green in r01/r02 is dropped from the list.
 _PRIORITY_THIS_ROUND = [
-    # round-1 hash FAILs, oracles fixed in round 2 — need green rows
-    "scalar_string_math",
-    "text_stats_by_lang",
-    "token_count",
-    # the 21 queries with no CORRECTNESS_r01 row (driver cap), r1 order
-    "doc_fingerprint",
-    "doc_winnow_fingerprint",
-    "text_clean",
-    "text_pii_scrub",
-    "multimodal_cols",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_meta_agg",
-    "multimodal_resize",
-    "train_val_split",
-    "stratified_sample",
-    "curation_pipeline",
-    "dedup_incremental",
-    "doc_chunking",
-    "sequence_packing",
-    "fixed_size_sample",
-    "join_asof",
-    "join_interval_funnel",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    # new in round 2 — no driver row yet
-    "tfidf_top_terms",
-    "ngram_counts",
+    # r2 driver FAILs — array outputs made driver-hashable this round
     "embedding_centroid",
-    "quality_quantile_filter",
-    "multimodal_dedup",
-    "contamination_check",
-    "repetition_filter",
-    "source_budget_sample",
-    # upgraded rows-only -> oracle in round 2; needs a green oracle row
-    "groupwise_zscore_pandas",
-    "join_multiway_revenue",
     "embedding_quantize",
-    "source_overlap_matrix",
-    "window_range_interval",
-    "sessionize_assign",
-    "heavy_hitters",
-    "bm25_score",
-    "word_pmi",
-    "embedding_cluster_assign",
-    "time_rollup",
-    "join_full_outer",
-    "outlier_mad",
-    "table_profile",
-    "embedding_dim_stats",
-    "length_histogram",
-    "negative_sample",
-    "lm_score",
+    # shape-audited latent fails — same fix, need first green rows
+    "array_ops",
     "tokenize_to_ids",
+    # never driver-seen (registered past the r2 cap), r2 registry order
     "cube_agg",
-    # late round-2 adds — anything past the driver's 50-row cap spills to
-    # the round-3 rotation (the cap cuts this list at 50 in order)
     "join_shipping_priority",
     "column_corr",
-    "array_ops",
     "source_entropy",
     "winnow_dup_pairs",
     "gap_fill",
@@ -147,10 +94,7 @@ _PRIORITY_THIS_ROUND = [
     "mixture_interleave",
     "order_count_distribution",
     "moments_agg",
-    "set_intersect_all",
-    "set_except_all",
     "try_functions",
-    "join_shuffle_hash_hint",
     "data_freshness_report",
     "funnel_conversion_rate",
     "dup_graph_triangles",
@@ -160,6 +104,10 @@ _PRIORITY_THIS_ROUND = [
     "incremental_stats_merge",
     "variant_ops",
     "session_chain_recursive",
+    # --- 50-row cap lands here; the 3 below spill to round 4 ---
+    "set_intersect_all",
+    "set_except_all",
+    "join_shuffle_hash_hint",
 ]
 
 

@@ -103,31 +103,39 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         )
         self.max_rows = int(options.get("rows", _DEFAULT_ROWS))
         self.n_parts = int(options.get("partitions", _DEFAULT_NPART))
+        # monotone cursor: the max over EVERY offset the engine has ever
+        # handed us (initialOffset / partitions / commit) or we have
+        # proposed. latestOffset never returns below it, so a restarted
+        # driver can never propose an offset behind one it has seen —
+        # the engine-plans-a-backward-batch behavior the first design
+        # leaned on is engine-internal and not contractual.
+        self._cur = 0
+
+    def _seen(self, *offsets: int) -> None:
+        self._cur = max(self._cur, *offsets)
 
     def initialOffset(self):
+        self._seen(0)
         return {"offset": 0}
 
     def latestOffset(self):
         # advance by one trigger's worth, capped at the configured end —
         # a bounded stream so tests can drain it with processAllAvailable.
-        # `_cur` is driver-memory only; after a checkpoint restart it is
-        # rebuilt from the REAL offsets Spark passes to partitions()/
-        # commit() (both bump it — partitions() with the batch START,
-        # the restored committed position). Until that first call the
-        # reader can propose an offset BEHIND the committed one; the
-        # engine plans at most one backward (empty — partitions() emits
-        # nothing for lo>=hi) batch and the restart tests pin that no
-        # row is ever re-emitted, for both drained and grown sources.
-        cur = getattr(self, "_cur", 0)
-        nxt = min(cur + self.rows_per_trigger, self.max_rows)
-        self._cur = nxt
+        # `_cur` is driver-memory only; after a checkpoint restart Spark
+        # re-plans the last uncommitted batch via partitions(start, end)
+        # BEFORE asking for a new latestOffset, so the cursor is re-seeded
+        # from the restored offsets on the first engine call that carries
+        # them; restart tests pin that no row is ever re-emitted, for both
+        # drained and grown sources.
+        nxt = min(self._cur + self.rows_per_trigger, self.max_rows)
+        self._seen(nxt)
         return {"offset": nxt}
 
     def partitions(self, start, end):
         lo, hi = start["offset"], end["offset"]
-        # bump with BOTH bounds: after a restart `lo` is the restored
+        # seed with BOTH bounds: after a restart `lo` is the restored
         # committed offset (possibly > a stale latestOffset proposal)
-        self._cur = max(getattr(self, "_cur", 0), lo, hi)
+        self._seen(lo, hi)
         step = max(1, (hi - lo) // self.n_parts or 1)
         bounds = list(range(lo, hi, step)) + [hi]
         return [
@@ -143,7 +151,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     def commit(self, end):
         # offsets are self-describing row counts: nothing to clean up;
         # keep the cursor monotone across checkpoint recovery
-        self._cur = max(getattr(self, "_cur", 0), end["offset"])
+        self._seen(end["offset"])
 
 
 class SyntheticEventsSource(DataSource):

@@ -321,7 +321,11 @@ def heavy_hitters_stream(events: DataFrame) -> DataFrame:
 
     return (
         events.select(
-            (F.abs(F.hash("user_id")) % HH_SHARDS).alias("shard"), "user_id"
+            # pmod, not abs(hash)%n: hash() is int32 and
+            # abs(Integer.MIN_VALUE) stays negative, which would put that
+            # one key outside [0, HH_SHARDS)
+            F.pmod(F.hash("user_id"), F.lit(HH_SHARDS)).alias("shard"),
+            "user_id",
         )
         .groupBy("shard")
         .applyInPandasWithState(

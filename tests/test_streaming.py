@@ -1322,7 +1322,7 @@ def test_streaming_heavy_hitters_mg_guarantee(spark, sf_dir, timesliced_message_
 
     truth = (
         load_table(spark, "events", sf_dir)
-        .select((F.abs(F.hash("user_id")) % HH_SHARDS).alias("shard"), "user_id")
+        .select(F.pmod(F.hash("user_id"), F.lit(HH_SHARDS)).alias("shard"), "user_id")
         .groupBy("shard", "user_id")
         .count()
         .collect()

@@ -127,6 +127,28 @@ def _rows_to_set(rows, colnames):
     return sorted(out, key=repr)
 
 
+def _driver_canon_error(rows, colnames) -> str | None:
+    """Replicate the driver's pandas canonicalizer to the letter: build a
+    DataFrame and sort_values by every column (sorted by name). The driver
+    does exactly this before hashing, and pandas' factorize raises
+    ``TypeError: unhashable type: 'list'`` on list/dict cells — the
+    round-2 ``embedding_centroid``/``embedding_quantize`` FAIL mode that
+    the set-based compare below cannot see (tuples hash fine there).
+    Returns the error string if the driver would crash, else None."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(list(rows), columns=list(colnames))
+        pdf.sort_values(by=sorted(colnames), inplace=True, kind="mergesort")
+        # the driver also hashes cell values — catch anything unhashable
+        # that survived the sort (e.g. a single-column frame of dicts)
+        for c in pdf.columns:
+            pdf[c].map(hash)
+    except Exception as e:  # noqa: BLE001
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     wanted = sys.argv[1:]
@@ -169,6 +191,12 @@ def main() -> int:
             continue
         ok = True
         msgs = []
+        canon_err = _driver_canon_error([tuple(r) for r in srows], scols)
+        if canon_err is None:
+            canon_err = _driver_canon_error(orows, ocols)
+        if canon_err is not None:
+            ok = False
+            msgs.append(f"driver canonicalizer would crash: {canon_err}")
         if len(srows) != len(orows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
