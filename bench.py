@@ -81,37 +81,34 @@ def main() -> int:
     import gc
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in names}
     t_total = time.perf_counter()
-    for name in names:
-        # min over N runs: first execution pays JIT/codegen warm-up and
-        # container noise; the min is the stable steady-state figure.
-        best = None
-        for _ in range(runs):
+    # Drift control (round-2 postmortem: the same trivial scan measured
+    # 0.4 s early-run vs 3.6 s late-run from accumulated localCheckpoint
+    # blocks + deferred JVM GC):
+    #  1. after EVERY timed run — not just heavy ones — drop DataFrame
+    #     refs, python-gc the py4j proxies, and force a JVM System.gc()
+    #     so the ContextCleaner frees checkpoint blocks before the next
+    #     measurement instead of during it (~0.1 s/query, untimed);
+    #  2. interleave passes (run the whole list, then run it again)
+    #     instead of back-to-back repeats, so a one-off background event
+    #     can't poison both samples of one query — min-over-passes then
+    #     reads through any single drift window.
+    for _ in range(runs):
+        for name in names:
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            # Drop DataFrame refs so the ContextCleaner can free
-            # localCheckpoint blocks between queries (otherwise they
-            # accumulate and late queries pay GC pressure for early ones).
+            samples[name].append(dt)
             df = None
             gc.collect()
-        timings[name] = round(best, 3)
-        if best > 1.5:
-            # Heavy queries (huge codegen/JIT, many localCheckpoint
-            # blocks) leave background JVM work that pollutes the NEXT
-            # query's timing. Python gc above only clears py4j refs; the
-            # JVM ContextCleaner frees checkpoint RDD blocks on a JVM GC,
-            # which a mostly idle 16g driver may not run for minutes —
-            # late queries then inherit block-manager pressure from 100+
-            # earlier ones (measured: same query 2.8 s early-run vs
-            # 8.3 s late-run). One explicit System.gc() after each heavy
-            # query (~15 of 147, outside timed regions), then a bounded
-            # drain window.
             spark._jvm.System.gc()
-            time.sleep(min(2.0, best / 2))
+            if dt > 2.0:
+                # bounded drain window after heavy queries: let the block
+                # manager finish freeing before the next timed region
+                time.sleep(min(2.0, dt / 2))
+    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
     total = round(time.perf_counter() - t_total, 3)
 
     print(

@@ -84,33 +84,82 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct")  # no oracle: HLL sketch values differ per implementation
+@query(
+    "approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_suppkey) AS exact_supps,
+           true                      AS parts_within_5pct,
+           true                      AS supps_within_5pct,
+           count(*)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB substitute for
     count(DISTINCT) when exactness isn't required — no expand, single
-    pass, fixed-size sketch per group. Driver does a rows-only check;
-    tests/test_operators.py asserts <5% error vs exact counts."""
+    pass, fixed-size sketch per group.
+
+    Tolerance-banded oracle (upgraded from rows-only): the sketch value
+    itself is implementation-defined, so the query emits the EXACT
+    distinct counts (cross-engine comparable) plus a band flag
+    ``|approx - exact| <= 5% * exact`` computed Spark-side; the oracle
+    asserts the flag is true, so an out-of-band sketch is a driver FAIL,
+    not just a local test failure. The exact columns exist only to pin
+    the band — production keeps the approx-only aggregate."""
     li = load_table(spark, "lineitem", sf_dir)
+    in_band = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact) <= 0.05 * exact
+    )
+    ap = F.approx_count_distinct("l_partkey")
+    asux = F.approx_count_distinct("l_suppkey")
+    ep = F.count_distinct(F.col("l_partkey"))
+    es = F.count_distinct(F.col("l_suppkey"))
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        ep.alias("exact_parts"),
+        es.alias("exact_supps"),
+        in_band(ap, ep).alias("parts_within_5pct"),
+        in_band(asux, es).alias("supps_within_5pct"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
 
-@query("approx_quantiles")  # rows-only: sketch output is implementation-defined
+@query(
+    "approx_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+           true                                          AS p50_in_band,
+           true                                          AS p90_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna sketch): the 100 TB quantile
     path — fixed-size sketch per group, map-side partial merge, no
     per-group sort/materialization (exact percentile would shuffle every
-    value to its group's reducer). Rank error <= n/accuracy. The exact
-    parity twin is exact_percentiles; tests/test_operators.py pins the
-    sketch's error against it."""
+    value to its group's reducer). Rank error <= n/accuracy.
+
+    Tolerance-banded oracle (upgraded from rows-only): sketch output is
+    implementation-defined, so the query emits the EXACT p50/p90 (both
+    engines use type-7 interpolation — parity proven by
+    exact_percentiles) plus a flag that the approx value lands inside
+    the exact [q-0.01, q+0.01] rank band; the oracle asserts the flag,
+    making sketch drift a driver FAIL. GK with accuracy 10k guarantees
+    rank error 1e-4 << the 0.01 band."""
     li = load_table(spark, "lineitem", sf_dir)
     acc = F.lit(10_000)
+    p = lambda q: F.expr(f"percentile(l_extendedprice, {q})")  # noqa: E731
+    ap = lambda q: F.percentile_approx(  # noqa: E731
+        "l_extendedprice", F.lit(q), acc
+    )
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), acc).alias("p50"),
-        F.percentile_approx("l_extendedprice", F.lit(0.9), acc).alias("p90"),
+        F.round(p(0.5), 4).alias("p50_exact"),
+        F.round(p(0.9), 4).alias("p90_exact"),
+        ap(0.5).between(p(0.49), p(0.51)).alias("p50_in_band"),
+        ap(0.9).between(p(0.89), p(0.91)).alias("p90_in_band"),
     )
 
 

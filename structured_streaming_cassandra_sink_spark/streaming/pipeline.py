@@ -59,6 +59,41 @@ def streaming_tumbling(spark: SparkSession, source_dir: str, query_name: str = "
     )
 
 
+def streaming_tumbling_update_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "TumblingUpdateUpsert",
+    watermark: str = WATERMARK,
+):
+    """UPDATE-mode windowed aggregation through the upsert-by-key sink —
+    the reference's exact operating shape (cassandra_sink.scala:125:
+    ``outputMode("update")`` into a Cassandra PK table): each micro-batch
+    emits only the windows that CHANGED, and the sink's upsert makes the
+    end state converge to the full aggregate. This is the mode that
+    scales: complete re-emits every window every batch (state ∝ all
+    history), update re-emits O(windows touched per batch).
+
+    Upsert key is (window_start, event_type) — the Cassandra PK analogue
+    — serialized into one ``wkey`` column; merge order is ``n``, valid
+    because a window's count only grows across its successive update
+    emissions (monotone version stamp). ``watermark`` is parameterized
+    for the same reason as streaming_funnel: equality tests must set it
+    wider than the data span because the file mirror replays out of
+    event-time order."""
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages).withWatermark("ts", watermark)
+    agg = tumbling_agg(events).withColumn(
+        "wkey",
+        F.concat_ws("|", F.col("window_start").cast("string"), F.col("event_type")),
+    )
+    sink = parquet_upsert_sink(sink_dir, key="wkey", order=["n"])
+    return start_to_sink(
+        agg, sink, checkpoint_dir, query_name=query_name, output_mode="update"
+    )
+
+
 def streaming_sliding(spark: SparkSession, source_dir: str, query_name: str = "SlidingAgg"):
     """1-hour windows sliding every 30 min (each event in exactly 2
     windows via Spark's Expand) — complete mode, same rationale as
