@@ -763,3 +763,41 @@ def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interleave_key"),
         )
     )
+
+
+@query(
+    "split_leakage_safe",
+    f"""
+    WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    assigned AS (
+      SELECT doc_id, fp, {_split_sql(_bucket_sql("fp"))} AS split FROM fp
+    )
+    SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_clusters,
+           count(*) - count(DISTINCT fp) AS n_dup_docs
+    FROM assigned GROUP BY split
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: hash the duplicate-cluster key (the exact
+    content fingerprint), not the document, so every copy of a text
+    lands in the SAME split — the guard against val/test contamination
+    when dedup keeps more than one copy (or runs after splitting).
+    Per-split output counts docs vs distinct clusters; n_dup_docs > 0 is
+    exactly the leakage train_val_split's per-doc hash would have let
+    cross splits had the copies hashed apart. Pure map + Spark's
+    two-phase distinct-agg expansion: a shuffle of (split, fp) partials,
+    then a 3-row per-split rollup — both bounded by distinct
+    fingerprints, never raw text, at any scale. The near-dup variant
+    swaps fp for dedup_cluster_assign's component label — same plan
+    shape, iterative label computation (operators/dedup.py) instead of
+    md5."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    assigned = fp.select(
+        "doc_id", "fp", split_of(hash_bucket(F.col("fp"))).alias("split")
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
+    )

@@ -807,3 +807,72 @@ def _chain_walk(spark: SparkSession, ev: DataFrame) -> DataFrame:
         FROM walk GROUP BY user_id, root_id
         """
     )
+
+
+@query(
+    "scd2_build",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                  IS DISTINCT FROM o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM orders
+    ),
+    grp AS (
+      SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS ver
+      FROM seq
+    ),
+    island AS (
+      SELECT o_custkey, ver, min(o_orderstatus) AS status,
+             min(o_orderdate) AS valid_from,
+             count(*) AS n_orders
+      FROM grp GROUP BY o_custkey, ver
+    )
+    SELECT o_custkey, CAST(ver AS INT) AS version, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver)
+             IS NULL AS is_current,
+           n_orders
+    FROM island
+    """,
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each customer's
+    order-status history (ordered by o_orderdate, ties by o_orderkey)
+    into versioned validity intervals [valid_from, valid_to) with an
+    open-ended current row — the dimension-snapshot op of a warehouse
+    ingest (reference scope: the upsert-by-key Cassandra sink,
+    cassandra_sink.scala:30-34, keeps only the LATEST row; SCD2 is its
+    history-preserving generalization). Change points come from a
+    null-safe lag inequality, the running sum of change flags numbers
+    the islands, and `lead(valid_from)` closes each interval. ONE
+    shuffle total at any scale: every stage — both windows and the
+    island aggregate — needs only o_custkey clustering, which the first
+    Exchange provides; no self-join, no range explosion. State per key
+    is bounded by that customer's number of status FLIPS, not orders."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 0
+    ).otherwise(1)
+    grp = o.withColumn("chg", chg).withColumn("ver", F.sum("chg").over(w))
+    island = grp.groupBy("o_custkey", "ver").agg(
+        F.min("o_orderstatus").alias("status"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ver")
+    valid_to = F.lead("valid_from").over(w2)
+    return island.select(
+        "o_custkey",
+        F.col("ver").cast("int").alias("version"),
+        "status",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_orders",
+    )

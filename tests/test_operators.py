@@ -504,3 +504,55 @@ def test_recursive_chain_past_default_recursion_limit(spark):
     assert (7, n) in rows
     assert sorted(c for u, c in rows if u == 8) == [1, 1]
     assert int(spark.conf.get("spark.sql.cteRecursionLevelLimit")) >= n
+
+
+def test_scd2_intervals_are_contiguous_and_single_current(spark, sf_dir):
+    """SCD2 invariants per customer: versions number 1..n consecutively,
+    each non-final interval's valid_to equals the next valid_from
+    (half-open contiguity), exactly one open (is_current) row, and
+    consecutive versions never share a status (else they'd be one
+    island)."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    rows = registry.QUERIES["scd2_build"](spark, sf_dir).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert by_cust
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.status != b.status
+
+
+def test_split_leakage_safe_no_cluster_spans_splits(spark, sf_dir):
+    """Every exact-duplicate cluster lands in exactly one split, and the
+    per-split doc counts add up to the corpus."""
+    from pyspark.sql import functions as SF
+
+    from structured_streaming_cassandra_sink_spark.operators.curation import (
+        hash_bucket,
+        split_of,
+    )
+    from structured_streaming_cassandra_sink_spark.plans import registry
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    assigned = d.select(
+        SF.md5("text").alias("fp"),
+        split_of(hash_bucket(SF.md5("text"))).alias("split"),
+    )
+    spans = (
+        assigned.groupBy("fp")
+        .agg(SF.countDistinct("split").alias("k"))
+        .filter(SF.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    summary = registry.QUERIES["split_leakage_safe"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in summary) == d.count()
+    assert all(r.n_dup_docs == r.n_docs - r.n_clusters for r in summary)
