@@ -426,3 +426,11 @@ def test_zorder_layout_confines_rowgroup_stats(spark, tmp_path):
     assert z_hit / z_total < 0.5, (z_hit, z_total)
     # and the layouts hold identical data
     assert spark.read.parquet(pz).count() == spark.read.parquet(pn).count()
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both windows and the island aggregate of scd2_build reuse the one
+    o_custkey Exchange — the property that keeps it a single-pass op at
+    100 TB."""
+    plan = _plan(spark, sf_dir, "scd2_build")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
