@@ -297,17 +297,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pandas-UDF escape hatch (the documented slow path, used when the math
 # genuinely needs numpy — here: batched matmul top-k)
 # ---------------------------------------------------------------------------
-@query("udf_surface")  # rows-only: demonstrates the Arrow-batched UDF surface
+@query(
+    "udf_surface",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+         sims AS (
+           SELECT c.vec_id, q.query_id,
+                  round(list_cosine_similarity(qvec::DOUBLE[], embedding::DOUBLE[]), 6) AS s
+           FROM c, q)
+    SELECT vec_id, query_id AS best_query_id, s AS best_cos
+    FROM sims
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, query_id) = 1
+    """,
+)
 def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas batched cosine: each Arrow batch of corpus vectors is
     one numpy matmul against the (broadcast) query matrix. ~10-100x a
     row-at-a-time Python UDF; still slower than the Catalyst expression
-    path for dim=64 — kept as the template for heavy per-row math."""
+    path for dim=64 — kept as the template for heavy per-row math.
+    Deterministic, so fully oracle-checked (unlike the probabilistic LSH
+    machinery): queries sort by id and the argmax runs on the rounded
+    similarity grid, so ties break to the lowest query_id on both
+    engines."""
     import numpy as np
     import pandas as pd
 
     corpus, queries_df = _corpus_and_queries(spark, sf_dir)
     qrows = queries_df.collect()  # N_QUERIES rows — driver-side tiny constant
+    qrows.sort(key=lambda r: r.query_id)
     qids = np.array([r.query_id for r in qrows])
     qmat = np.array([r.qvec for r in qrows], dtype=np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -316,13 +335,13 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ qnorm.T  # (batch, n_queries)
-            best = sims.argmax(axis=1)
+            sims = np.round(mat @ qnorm.T, 6)  # (batch, n_queries)
+            best = sims.argmax(axis=1)  # first max = lowest query_id
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "best_query_id": qids[best],
-                    "best_cos": np.round(sims[np.arange(len(best)), best], 6),
+                    "best_cos": sims[np.arange(len(best)), best],
                 }
             )
 
@@ -915,4 +934,80 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select("vec_id", "label", "embedding").mapInPandas(
         project, schema=schema
+    )
+
+
+# Per-family recall floors asserted by the oracle. The synthetic embeddings
+# are (near-)random unit vectors and the 5 probe queries have NO planted
+# neighbors (max true cosine ~0.37 < COS_THRESHOLD) — the WORST case for
+# sub-linear ANN, where top-k recall is bounded by ~the scanned fraction.
+# The bands therefore encode "meaningfully above the scanned-fraction
+# chance floor", not the >=0.9 a clustered real corpus gives:
+# - LSH scans ~L/2^bits = 4/64 ≈ 6% of the corpus → chance recall ≈ 0.06;
+#   measured ≈ 0.2. Band 0.06 keeps >=3σ headroom under data regeneration.
+# - IVF scans nprobe/nlist = 4/16 = 25% → chance ≈ 0.25; measured ≈ 0.4-0.5.
+ANN_LSH_BAND = 0.06
+ANN_IVF_BAND = 0.20
+
+
+@query(
+    "ann_recall_report",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+         sims AS (
+           SELECT q.query_id, c.vec_id,
+                  round(list_cosine_similarity(qvec::DOUBLE[], embedding::DOUBLE[]), 6) AS cos_sim
+           FROM q, c),
+         topk AS (
+           SELECT query_id, vec_id, cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+           FROM sims QUALIFY rnk <= {TOP_K})
+    SELECT count(DISTINCT query_id) AS n_queries, {TOP_K} AS k,
+           round(avg(cos_sim), 4) AS mean_exact_topk_cos,
+           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+    FROM topk
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality contract as a driver-checkable row (tolerance-band
+    pattern, like approx_distinct): the exact brute-force top-{TOP_K}
+    mean cosine is computed on BOTH engines (genuine oracle content),
+    and the Spark side additionally measures each ANN family's recall
+    against that exact set, emitting in-band flags the oracle asserts as
+    TRUE — if LSH recall drops below {ANN_LSH_BAND} or IVF below
+    {ANN_IVF_BAND} (see band derivation above — this corpus is the
+    random-vector worst case), the driver row goes red instead of
+    silently shipping a degraded index.
+    One corpus scan for the exact side + two partition-pruned probe
+    scans; the 50-row comparison join is trivially broadcast."""
+    ex = sim_search_topk(spark, sf_dir).select("query_id", "vec_id", "cos_sim")
+    lsh = (
+        sim_search_ann_lsh(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("lhit", F.lit(1))
+    )
+    ivf = (
+        sim_search_ann_ivf(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("ihit", F.lit(1))
+    )
+    j = ex.join(lsh, ["query_id", "vec_id"], "left").join(
+        ivf, ["query_id", "vec_id"], "left"
+    )
+    n = F.count(F.lit(1))
+    return j.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.lit(TOP_K).alias("k"),
+        F.round(F.avg("cos_sim"), 4).alias("mean_exact_topk_cos"),
+        ((F.sum(F.coalesce(F.col("lhit"), F.lit(0))) / n) >= ANN_LSH_BAND).alias(
+            "lsh_recall_ok"
+        ),
+        ((F.sum(F.coalesce(F.col("ihit"), F.lit(0))) / n) >= ANN_IVF_BAND).alias(
+            "ivf_recall_ok"
+        ),
     )

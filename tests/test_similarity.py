@@ -153,3 +153,13 @@ def test_pca_projection_deterministic(spark, sf_dir):
     }
     for k in a:
         assert abs(a[k][0] - b[k][0]) < 1e-9 and abs(a[k][1] - b[k][1]) < 1e-9, k
+
+
+def test_ann_recall_report_flags(spark, sf_dir):
+    """The driver-facing ANN quality row: exact-side scalars are sane and
+    both family recall flags sit inside their documented worst-case
+    bands."""
+    row = registry.QUERIES["ann_recall_report"](spark, sf_dir).collect()[0]
+    assert row.n_queries == 5 and row.k == 10
+    assert 0.0 < row.mean_exact_topk_cos < 1.0
+    assert row.lsh_recall_ok and row.ivf_recall_ok
