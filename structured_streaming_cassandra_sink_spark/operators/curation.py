@@ -801,3 +801,55 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_clusters"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs"),
     )
+
+
+WSAMPLE_K = 10  # kept per source
+
+
+@query(
+    "weighted_sample_topk",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars AS w,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT source, doc_id, w,
+           row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+             AS rnk
+    FROM keyed QUALIFY rnk <= {WSAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, RNG-free: the
+    Efraimidis-Spirakis exponential-key trick with the uniform drawn
+    from an md5 hash of the doc id — each doc gets key ln(u)/w (w =
+    n_chars here; any positive quality weight works) and the top-{WSAMPLE_K}
+    keys per source ARE a weighted sample. Deterministic under retries
+    and repartitioning (the property rand() lacks), mergeable (the union
+    of two partitions' top-k re-topped is the global top-k — so it's
+    also the streaming/incremental form), and one window shuffle on
+    source at any scale. The float key stays INTERNAL to the ranking
+    (output carries the exact-integer weight and rank) so cross-engine
+    libm ulps can't leak into the hash compare; key collisions closer
+    than an ulp are probability ~0, and doc_id breaks exact ties."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= WSAMPLE_K)
+        .select("source", "doc_id", "w", "rnk")
+    )

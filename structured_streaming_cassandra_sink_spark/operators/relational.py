@@ -1018,3 +1018,49 @@ def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
     )
+
+
+@query(
+    "union_schema_evolution",
+    """
+    WITH old_snap AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F'
+    ),
+    new_snap AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderstatus <> 'F'
+    ),
+    unified AS (
+      SELECT * FROM old_snap UNION ALL BY NAME SELECT * FROM new_snap
+    )
+    SELECT count(*)               AS n_rows,
+           count(o_custkey)       AS n_with_custkey,
+           count(o_orderpriority) AS n_with_priority,
+           round(sum(o_totalprice), 4) AS total
+    FROM unified
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two snapshots of the same feed with added /
+    dropped columns combine by NAME with null fill
+    (`unionByName(allowMissingColumns=True)` — Spark's mergeSchema
+    semantics as an operator), the everyday reality of a long-lived
+    ingest the reference's fixed-schema sink can't absorb. The profile
+    aggregate (count(col) counts non-nulls) proves which columns came
+    from which era. Pure map + one tiny aggregate; at scale the union
+    is zero-cost (no shuffle — both legs stay partition-local)."""
+    o = load_table(spark, "orders", sf_dir)
+    old_snap = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_snap = o.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    u = old_snap.unionByName(new_snap, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_with_custkey"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

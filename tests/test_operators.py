@@ -556,3 +556,44 @@ def test_split_leakage_safe_no_cluster_spans_splits(spark, sf_dir):
     summary = registry.QUERIES["split_leakage_safe"](spark, sf_dir).collect()
     assert sum(r.n_docs for r in summary) == d.count()
     assert all(r.n_dup_docs == r.n_docs - r.n_clusters for r in summary)
+
+
+def test_weighted_sample_is_deterministic_and_complete(spark, sf_dir):
+    """Efraimidis-Spirakis hash sampling: per source exactly min(k, n)
+    docs with consecutive ranks, byte-identical across re-runs (no RNG
+    state anywhere)."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import WSAMPLE_K
+    from structured_streaming_cassandra_sink_spark.plans import registry
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    q = registry.QUERIES["weighted_sample_topk"]
+    a = sorted((r.source, r.doc_id, r.rnk) for r in q(spark, sf_dir).collect())
+    b = sorted((r.source, r.doc_id, r.rnk) for r in q(spark, sf_dir).collect())
+    assert a == b and a
+    per_src = {}
+    for src, _, rnk in a:
+        per_src.setdefault(src, []).append(rnk)
+    totals = {
+        r.source: r.n
+        for r in load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, rnks in per_src.items():
+        assert sorted(rnks) == list(range(1, min(WSAMPLE_K, totals[src]) + 1))
+
+
+def test_union_schema_evolution_null_fill_counts(spark, sf_dir):
+    """unionByName(allowMissingColumns): row count is preserved and each
+    era-specific column is non-null exactly on its own era's rows."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    row = registry.QUERIES["union_schema_evolution"](spark, sf_dir).collect()[0]
+    o = load_table(spark, "orders", sf_dir)
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+    n_o = o.count() - n_f
+    assert row.n_rows == n_f + n_o
+    assert row.n_with_custkey == n_f
+    assert row.n_with_priority == n_o
