@@ -69,3 +69,20 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC — the second columnar format at the edges (Hive-ecosystem
+    drops). Unlike JSONL/CSV it keeps types, stripes, and min/max
+    statistics, so a converted corpus queries with pushdown + pruning
+    like parquet; binary and TIMESTAMP_NTZ columns round-trip natively
+    (no format-string contract needed)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema declared explicitly, same contract as the other readers —
+    ORC files carry their own schema, but declaring pins column ORDER
+    and classes so a drifted producer fails loud instead of silently
+    widening types."""
+    return spark.read.schema(schema).orc(path)

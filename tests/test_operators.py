@@ -597,3 +597,21 @@ def test_union_schema_evolution_null_fill_counts(spark, sf_dir):
     assert row.n_rows == n_f + n_o
     assert row.n_with_custkey == n_f
     assert row.n_with_priority == n_o
+
+
+def test_orc_roundtrip_documents_and_events(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves values and declared schema classes for
+    both a text-heavy table and a timestamp-bearing one (TIMESTAMP_NTZ
+    survives without a format-string contract)."""
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+    from structured_streaming_cassandra_sink_spark.sources.formats import read_orc, write_orc
+
+    for name in ("documents", "events"):
+        df = load_table(spark, name, sf_dir)
+        p = str(tmp_path / f"{name}_orc")
+        write_orc(df, p)
+        back = read_orc(spark, p, df.schema)
+        assert back.schema == df.schema
+        a = sorted(map(repr, df.collect()))
+        b = sorted(map(repr, back.collect()))
+        assert a == b
