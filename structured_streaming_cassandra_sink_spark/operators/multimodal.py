@@ -42,10 +42,20 @@ def _pixels(n: int, seed: int):
     return ((seed * 31 + j * 7) % 256).astype(np.uint8)
 
 
+def encode_ppm_from_array(img) -> bytes:
+    """Serialize an HxWx3 uint8 array as binary PPM (P6): ASCII header,
+    raw RGB24 raster. SINGLE owner of the header format — encode_ppm and
+    the resize kernel both delegate here so a header change can't drift
+    between producer sites."""
+    h, w = img.shape[0], img.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
 def encode_ppm(width: int, height: int, seed: int) -> bytes:
-    """A genuine binary PPM (P6): ASCII header, raw RGB24 raster."""
-    header = f"P6\n{width} {height}\n255\n".encode()
-    return header + _pixels(width * height * 3, seed).tobytes()
+    """A genuine binary PPM (P6) with deterministic pseudo-pixels."""
+    return encode_ppm_from_array(
+        _pixels(width * height * 3, seed).reshape(height, width, 3)
+    )
 
 
 def decode_ppm(buf: bytes):
@@ -418,9 +428,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, img = decode_ppm(bytes(payload))
                 resized = resize_nearest(img, tw, th)
-                out_ppm = (
-                    f"P6\n{tw} {th}\n255\n".encode() + resized.tobytes()
-                )
+                out_ppm = encode_ppm_from_array(resized)
                 rows.append(
                     {
                         "media_id": int(media_id),

@@ -1037,7 +1037,7 @@ def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*)               AS n_rows,
            count(o_custkey)       AS n_with_custkey,
            count(o_orderpriority) AS n_with_priority,
-           round(sum(o_totalprice), 4) AS total
+           round(avg(o_totalprice), 4) AS avg_price
     FROM unified
     """,
 )
@@ -1062,5 +1062,5 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_custkey").alias("n_with_custkey"),
         F.count("o_orderpriority").alias("n_with_priority"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )

@@ -90,8 +90,8 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS exact_parts,
            count(DISTINCT l_suppkey) AS exact_supps,
-           true                      AS parts_within_5pct,
-           true                      AS supps_within_5pct,
+           true                      AS parts_in_band,
+           true                      AS supps_in_band,
            count(*)                  AS n_rows
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -104,13 +104,16 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tolerance-banded oracle (upgraded from rows-only): the sketch value
     itself is implementation-defined, so the query emits the EXACT
     distinct counts (cross-engine comparable) plus a band flag
-    ``|approx - exact| <= 5% * exact`` computed Spark-side; the oracle
+    ``|approx - exact| <= 15% * exact`` computed Spark-side; the oracle
     asserts the flag is true, so an out-of-band sketch is a driver FAIL,
-    not just a local test failure. The exact columns exist only to pin
-    the band — production keeps the approx-only aggregate."""
+    not just a local test failure. The band is 3 sigma of HLL++'s
+    default rsd (0.05) — a 5% band would be 1 sigma, i.e. a coin-flip
+    FAIL on a perfectly in-contract sketch once cardinalities leave the
+    near-exact sparse regime. The exact columns exist only to pin the
+    band — production keeps the approx-only aggregate."""
     li = load_table(spark, "lineitem", sf_dir)
     in_band = lambda approx, exact: (  # noqa: E731
-        F.abs(approx - exact) <= 0.05 * exact
+        F.abs(approx - exact) <= 0.15 * exact
     )
     ap = F.approx_count_distinct("l_partkey")
     asux = F.approx_count_distinct("l_suppkey")
@@ -119,8 +122,8 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         ep.alias("exact_parts"),
         es.alias("exact_supps"),
-        in_band(ap, ep).alias("parts_within_5pct"),
-        in_band(asux, es).alias("supps_within_5pct"),
+        in_band(ap, ep).alias("parts_in_band"),
+        in_band(asux, es).alias("supps_in_band"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -772,8 +772,14 @@ def _chain_walk(spark: SparkSession, ev: DataFrame) -> DataFrame:
         .first()[0]
         or 1
     )
-    # +8 headroom: the walk emits chain_len rows per root, depth = chain
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", str(int(longest) + 8))
+    # +8 headroom: the walk emits chain_len rows per root, depth = chain.
+    # Never LOWER the limit below Spark's default 100 — the conf is
+    # session-global and persists past this query, so a small corpus
+    # (longest chain 12) must not shrink the budget of an unrelated
+    # recursive CTE that runs later in the same long-lived session.
+    spark.conf.set(
+        "spark.sql.cteRecursionLevelLimit", str(max(100, int(longest) + 8))
+    )
     ev.createOrReplaceTempView("__chain_events")
     return spark.sql(
         f"""

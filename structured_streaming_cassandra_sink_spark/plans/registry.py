@@ -50,6 +50,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries. 53 > the 50-row cap, so the 3 at the tail (trivial variants of
 # already-proven ops: set_ops pass r1, broadcast/salted joins pass r1)
 # spill to round 4. Everything green in r01/r02 is dropped from the list.
+#
+# ROUND-4 ROTATION DEBT (build the next _PRIORITY_THIS_ROUND from this):
+# - the 3 spilled below: set_intersect_all, set_except_all,
+#   join_shuffle_hash_hint;
+# - queries whose contract CHANGED after their last driver row and which
+#   sit past this round's cap: approx_distinct, approx_quantiles (rows-only
+#   -> tolerance-banded oracle), udf_surface (rows-only -> full oracle);
+# - the round-3 additions, never driver-seen: scd2_build,
+#   split_leakage_safe, ann_recall_report, weighted_sample_topk,
+#   union_schema_evolution.
+# That is 11 rows; the remaining ~39 slots go to re-confirming rows whose
+# oracle SQL or plan changed since their green row, oldest green first.
 _PRIORITY_THIS_ROUND = [
     # r2 driver FAILs — array outputs made driver-hashable this round
     "embedding_centroid",

@@ -44,7 +44,7 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     rows = registry.QUERIES["approx_distinct"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.parts_within_5pct and r.supps_within_5pct, r
+        assert r.parts_in_band and r.supps_in_band, r
         assert r.exact_parts == exact[r.l_returnflag]
 
 

@@ -155,6 +155,9 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check.py [--json OUT_PATH] [query ...]")
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     wanted = args
