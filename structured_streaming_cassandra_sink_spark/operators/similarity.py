@@ -1015,3 +1015,46 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_recall_ok"
         ),
     )
+
+
+@query(
+    "pca_variance_report",
+    """
+    WITH u AS (SELECT generate_subscripts(embedding, 1) AS d,
+                      unnest(embedding)::DOUBLE AS v
+               FROM embeddings),
+         pv AS (SELECT d, var_pop(v) AS vp FROM u GROUP BY d)
+    SELECT 64 AS dim, 64 AS n_components,
+           round(sum(vp), 4) AS total_var,
+           TRUE AS orthonormal_ok, TRUE AS eigs_descending_ok
+    FROM pv
+    """,
+)
+def pca_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA contract as a driver-checkable row (same pattern as
+    ann_recall_report): eigenVALUES of the covariance are well-defined
+    (unlike the basis-ambiguous vectors that keep embedding_pca_project
+    rows-only), and their sum must equal the covariance trace = the sum
+    of per-dimension population variances — which DuckDB computes
+    INDEPENDENTLY from the raw embeddings. A bug anywhere in the
+    distributed moment pass (dropped partial, wrong n, mean/outer mixup)
+    or the eigensolve breaks the trace and hash-FAILs the row. The
+    Spark-side flags additionally pin the full eigenbasis: C @ C.T == I
+    (orthonormal within 1e-8) and eigenvalues descending and >= -1e-9.
+    Cost: the one moment scan pca_fit always does; nothing else."""
+    import numpy as np
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    dim = 64
+    _, comps, eigvals = pca_fit(emb, dim, dim)  # full basis: all 64
+    total_var = float(np.sum(eigvals))
+    gram = comps @ comps.T
+    ortho = bool(np.allclose(gram, np.eye(dim), atol=1e-8))
+    descending = bool(
+        np.all(np.diff(eigvals) <= 1e-12) and np.all(eigvals >= -1e-9)
+    )
+    return spark.createDataFrame(
+        [(dim, dim, round(total_var, 4), ortho, descending)],
+        "dim int, n_components int, total_var double, "
+        "orthonormal_ok boolean, eigs_descending_ok boolean",
+    )

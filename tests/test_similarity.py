@@ -163,3 +163,20 @@ def test_ann_recall_report_flags(spark, sf_dir):
     assert row.n_queries == 5 and row.k == 10
     assert 0.0 < row.mean_exact_topk_cos < 1.0
     assert row.lsh_recall_ok and row.ivf_recall_ok
+
+
+def test_pca_variance_report_trace_and_flags(spark, sf_dir):
+    """Trace preservation: sum of all eigenvalues equals the sum of
+    per-dimension population variances computed independently; basis
+    flags hold."""
+    import numpy as np
+
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    row = registry.QUERIES["pca_variance_report"](spark, sf_dir).collect()[0]
+    assert row.orthonormal_ok and row.eigs_descending_ok
+    vecs = np.array(
+        [r.embedding for r in load_table(spark, "embeddings", sf_dir).collect()],
+        dtype=np.float64,
+    )
+    assert abs(row.total_var - round(float(vecs.var(axis=0).sum()), 4)) <= 2e-4
