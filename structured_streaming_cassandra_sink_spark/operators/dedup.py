@@ -943,3 +943,66 @@ def edit_distance_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id")
     )
+
+
+@query(
+    "minhash_recall_report",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= {NGRAM_N}
+    ),
+    pairs AS (
+      SELECT round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    )
+    SELECT count(*) AS n_true_pairs,
+           round(avg(jaccard), 4) AS mean_true_jaccard,
+           TRUE AS recall_ok, TRUE AS no_false_positives
+    FROM pairs
+    """,
+)
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH quality contract as a driver-checkable row (the
+    pattern of ann_recall_report / pca_variance_report): the TRUE
+    near-dup pair count and mean Jaccard come from the exact
+    inverted-index pairs and are recomputed independently by the
+    oracle's brute-force CTE (genuine cross-engine content); the Spark
+    side additionally joins the MinHash-LSH pairs against that truth and
+    asserts (a) recall >= 0.9 — banding theory gives P(candidate) =
+    1-(1-j^2)^16 >= 0.996 at j = {JACCARD_THRESHOLD} so a miss means
+    broken signatures, and (b) ZERO false positives — emitted pairs are
+    exact-verified, so any FP means the verification join regressed.
+    Either failure turns the driver row red. Costs one exact pair pass +
+    one LSH pass over the same shingle index."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    t = ngram_jaccard_pairs(docs).withColumn("is_true", F.lit(1))
+    m = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("is_mh", F.lit(1))
+    )
+    j = t.join(m, ["doc_a", "doc_b"], "full_outer")
+    n_true = F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+    n_hit = F.sum(
+        F.when(F.col("is_true").isNotNull() & F.col("is_mh").isNotNull(), 1).otherwise(0)
+    )
+    n_fp = F.sum(
+        F.when(F.col("is_true").isNull() & F.col("is_mh").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        n_true.alias("n_true_pairs"),
+        F.round(F.avg("jaccard"), 4).alias("mean_true_jaccard"),
+        F.when(n_true == 0, F.lit(True))
+        .otherwise(n_hit / n_true >= 0.9)
+        .alias("recall_ok"),
+        (n_fp == F.lit(0)).alias("no_false_positives"),
+    )

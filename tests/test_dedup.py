@@ -107,3 +107,14 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3]), "doc 3 unrelated"
+
+
+def test_minhash_recall_report_flags(spark, sf_dir):
+    """Driver-facing MinHash quality row: truth scalars sane, recall and
+    zero-FP flags hold."""
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    row = registry.QUERIES["minhash_recall_report"](spark, sf_dir).collect()[0]
+    assert row.n_true_pairs > 0
+    assert 0.0 < row.mean_true_jaccard <= 1.0
+    assert row.recall_ok and row.no_false_positives
