@@ -148,6 +148,24 @@ def _lsh_index_dir(sf_dir: str) -> str:
     )
 
 
+def signature_rows(batch: DataFrame) -> DataFrame:
+    """(vec_id, v, t, sig, nv) signature rows for a vector batch — the
+    SINGLE owner of the index row layout, shared by the snapshot build
+    (lsh_build) and the incremental refresh (streaming/index_refresh),
+    so the two index paths stay row-identical by construction."""
+    all_planes = [_planes(table=t) for t in range(LSH_TABLES)]
+    return (
+        with_hyperplane_sigs(batch, "embedding", all_planes)
+        .select(
+            "vec_id",
+            as_double(F.col("embedding")).alias("v"),
+            "t",
+            "sig",
+        )
+        .withColumn("nv", norm(F.col("v")))
+    )
+
+
 def lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) -> str:
     """LSH index build: signature every corpus vector for all
     {LSH_TABLES} tables and persist parquet PARTITIONED BY (t, sig) with
@@ -157,13 +175,7 @@ def lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
 
     index_dir = index_dir or _lsh_index_dir(sf_dir)
     corpus, _ = _corpus_and_queries(spark, sf_dir)
-    all_planes = [_planes(table=t) for t in range(LSH_TABLES)]
-    csig = with_hyperplane_sigs(corpus, "embedding", all_planes).select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-        "t",
-        "sig",
-    ).withColumn("nv", norm(F.col("v")))
+    csig = signature_rows(corpus)
     # Cluster rows by bucket BEFORE the partitioned write: without it
     # every input task writes a sliver into every (t, sig) dir it
     # touches — tasks x buckets tiny files whose listing/open cost

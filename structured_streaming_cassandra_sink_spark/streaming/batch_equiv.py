@@ -67,11 +67,11 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
 )
-def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 30 min: each event lands in exactly 2
-    windows (Spark plans this as one Expand — same trick the oracle's
-    unnest([0,1]) spells out)."""
-    events = load_table(spark, "events", sf_dir)
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 min — shared batch/stream
+    expression tree (like tumbling_agg/session_agg: ONE definition, two
+    execution modes, so the pinned stream==batch equality can't drift
+    through a hand-synced copy)."""
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -83,6 +83,13 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg, batch twin: each event lands in exactly 2
+    windows (Spark plans this as one Expand — same trick the oracle's
+    unnest([0,1]) spells out)."""
+    return sliding_agg(load_table(spark, "events", sf_dir))
 
 
 def session_agg(events: DataFrame) -> DataFrame:

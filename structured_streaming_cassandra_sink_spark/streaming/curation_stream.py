@@ -70,15 +70,10 @@ def streaming_curation(
 ):
     """End-to-end streaming curation into a parquet corpus keyed by
     content fingerprint."""
-    from .sources import file_message_stream
+    from .sources import file_message_stream, parse_message_stream
 
     messages = file_message_stream(spark, source_dir)
-    parsed = (
-        messages.select(F.explode(F.split(F.col("value").cast("string"), "\n")).alias("line"))
-        .filter(F.col("line") != "")
-        .select(F.from_json(F.col("line"), DOC_WIRE).alias("d"))
-        .select("d.*")
-    )
+    parsed = parse_message_stream(messages, schema=DOC_WIRE)
     curated = curate(parsed)
     sink = parquet_upsert_sink(sink_dir, key="fp", order=["keep_priority"])
     return start_to_sink(

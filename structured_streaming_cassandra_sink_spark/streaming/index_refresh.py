@@ -26,27 +26,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..functions.vectorfns import as_double, norm
-from ..operators.similarity import LSH_PLANES, LSH_TABLES, _planes, with_hyperplane_sigs
-
-
-def signature_rows(batch: DataFrame) -> DataFrame:
-    """(vec_id, v, t, sig, nv) signature rows for one vector batch —
-    the same expressions as the snapshot build (lsh_build), so
-    incrementally-built and batch-built indexes are row-identical."""
-    all_planes = [_planes(table=t) for t in range(LSH_TABLES)]
-    return (
-        with_hyperplane_sigs(batch, "embedding", all_planes)
-        .select(
-            "vec_id",
-            as_double(F.col("embedding")).alias("v"),
-            "t",
-            "sig",
-        )
-        .withColumn("nv", norm(F.col("v")))
-    )
+from ..operators.similarity import signature_rows
+# signature_rows re-exported: the incremental refresh and the snapshot
+# build share the ONE index-row definition in operators/similarity.py.
 
 
 def lsh_refresh_batch(batch: DataFrame, epoch_id: int, index_dir: str) -> None:

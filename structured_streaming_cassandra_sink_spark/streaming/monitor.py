@@ -46,7 +46,11 @@ class MetricsCollector(StreamingQueryListener):
                 batch_id=p.get("batchId", -1),
                 num_input_rows=p.get("numInputRows", 0),
                 duration_ms=(p.get("durationMs") or {}).get("triggerExecution"),
-                state_rows=state[0].get("numRowsTotal") if state else None,
+                # SUM over all stateful operators: a join+dedup query reports
+                # several entries, and a leak in any of them must show
+                state_rows=sum(op.get("numRowsTotal", 0) for op in state)
+                if state
+                else None,
             )
         )
 

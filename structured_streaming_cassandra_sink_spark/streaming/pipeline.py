@@ -98,19 +98,11 @@ def streaming_sliding(spark: SparkSession, source_dir: str, query_name: str = "S
     """1-hour windows sliding every 30 min (each event in exactly 2
     windows via Spark's Expand) — complete mode, same rationale as
     streaming_tumbling."""
+    from .batch_equiv import sliding_agg
+
     messages = file_message_stream(spark, source_dir)
     events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
-    agg = (
-        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-    )
+    agg = sliding_agg(events)
     return (
         agg.writeStream.queryName(query_name)
         .outputMode("complete")

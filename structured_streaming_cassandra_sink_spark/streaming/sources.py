@@ -34,13 +34,12 @@ EVENT_WIRE = T.StructType(
 
 VALUE_ONLY = T.StructType([T.StructField("value", T.StringType(), False)])
 
-# Microsecond-precision wire formats: to_json's default SSS truncates
-# micros, so both directions declare SSSSSS. ts is TIMESTAMP_NTZ (the
-# storage convention of the events table — naive UTC, matching the
-# DuckDB oracle), so the NTZ format (no offset) is the one that applies;
-# the offset variant is kept for any tz-aware field a caller adds.
-TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+# Microsecond-precision wire formats — IMPORTED from the batch edge
+# formats (sources/formats.py), the single owner: the streaming JSON
+# wire and the JSONL/CSV edge files must always agree or a corpus
+# written by one path truncates/misparses timestamps read by the other.
+from ..sources.formats import TS_FORMAT, TS_NTZ_FORMAT  # noqa: E402
+
 _JSON_OPTS = {"timestampFormat": TS_FORMAT, "timestampNTZFormat": TS_NTZ_FORMAT}
 
 
@@ -124,18 +123,25 @@ def parse_message_stream_with_quarantine(
     return good, quarantine
 
 
-def parse_message_stream(messages: DataFrame) -> DataFrame:
+def parse_message_stream(
+    messages: DataFrame,
+    schema: T.StructType = EVENT_WIRE,
+    options: dict | None = None,
+) -> DataFrame:
     """The reference's parse chain, PySpark-native (SURVEY.md §2.1 #2-#6):
     cast -> explode(split('\\n')) [NOT a lambda flatMap: stays in Catalyst,
     no object-serialization barrier] -> from_json(declared schema) ->
-    flatten. Works identically on batch and streaming DataFrames."""
+    flatten. Works identically on batch and streaming DataFrames, and on
+    any wire schema (the curation stream passes DOC_WIRE) — ONE parse
+    chain, so split pattern / empty-line policy / timestamp options
+    can't drift between pipelines."""
     return (
         messages.select(F.col("value").cast("string").alias("value"))
         .select(F.explode(F.split(F.col("value"), "\n")).alias("line"))
         .filter(F.col("line") != "")
         .select(
             F.from_json(
-                F.col("line"), EVENT_WIRE, _JSON_OPTS
+                F.col("line"), schema, _JSON_OPTS if options is None else options
             ).alias("data")
         )
         .select("data.*")

@@ -24,6 +24,7 @@ key cardinality needs a timeout policy — pass
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
 STATE_SCHEMA = "n bigint, s double, last_us bigint"
@@ -49,11 +50,31 @@ def _running_totals(key, pdf_iter, state):
     )
 
 
+def require_keys(events: DataFrame, *cols: str) -> DataFrame:
+    """Drop rows whose REQUIRED columns are null before stateful grouping.
+
+    from_json yields an all-null row for any malformed wire record; the
+    quarantine parse variant routes those aside, but a pipeline wired on
+    the plain parse chain would otherwise feed a null-key group into
+    applyInPandasWithState, where int(None)/int(NaN) raises and KILLS
+    the whole streaming query — one bad message must never be a poison
+    pill for a stateful operator. Filtering here (not in the parse
+    chain) keeps the drop policy visible at the operator boundary;
+    pipelines that need the bad rows still use parse_quarantine."""
+    pred = None
+    for c in cols:
+        p_ = F.col(c).isNotNull()
+        pred = p_ if pred is None else pred & p_
+    return events.filter(pred)
+
+
 def running_totals(events: DataFrame) -> DataFrame:
     """Streaming per-user running totals over the parsed event stream."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return require_keys(events, "user_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         _running_totals,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -96,7 +117,9 @@ def streaming_running_totals(spark, source_dir: str, query_name: str = "RunningT
 
 SESSIONIZE_OUTPUT = "event_id bigint, user_id bigint, session_seq bigint"
 SESSIONIZE_STATE = "last_us bigint, seq bigint"
-SESSION_GAP_US = 15 * 60 * 1_000_000  # == operators/timeseries.SESSION_GAP_US
+# THE gap constant — imported, not copied: the stream==batch sessionizer
+# equality depends on it matching the batch twin's rule.
+from ..operators.timeseries import SESSION_GAP_US  # noqa: E402
 
 
 def _sessionize(key, pdf_iter, state):
@@ -125,7 +148,8 @@ def sessionize_events(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.select("event_id", "ts", "user_id")
+        require_keys(events, "user_id", "ts", "event_id")
+        .select("event_id", "ts", "user_id")
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize,
@@ -174,47 +198,56 @@ def streaming_sessionize(spark, source_dir: str, query_name: str = "Sessionize")
 #   state.remove() evicts the key.
 
 SESSION_SUMMARY_OUTPUT = (
-    "user_id bigint, session_seq bigint, n_events bigint, last_ts timestamp"
+    "user_id bigint, session_seq bigint, session_start timestamp, "
+    "n_events bigint, last_ts timestamp"
 )
-SESSION_SUMMARY_STATE = "last_us bigint, seq bigint, n bigint"
+SESSION_SUMMARY_STATE = "last_us bigint, seq bigint, n bigint, start_us bigint"
 
 
 def _session_close(key, pdf_iter, state):
     import pandas as pd
 
     if state.hasTimedOut:
-        last_us, seq, n = state.get
+        last_us, seq, n, start_us = state.get
         state.remove()
         yield pd.DataFrame(
             {
                 "user_id": [int(key[0])],
                 "session_seq": [seq],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
                 "n_events": [n],
                 "last_ts": [pd.Timestamp(last_us, unit="us")],
             }
         )
         return
 
-    last_us, seq, n = state.get if state.exists else (-1, 0, 0)
-    closed_seq, closed_n, closed_last = [], [], []
+    last_us, seq, n, start_us = (
+        state.get if state.exists else (-1, 0, 0, -1)
+    )
+    closed_seq, closed_n, closed_last, closed_start = [], [], [], []
     df = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
     for t in (df["ts"].astype("int64") // 1000).tolist():
         if last_us < 0:
-            seq, n = 1, 1
+            seq, n, start_us = 1, 1, t
         elif t - last_us > SESSION_GAP_US:
             closed_seq.append(seq)
             closed_n.append(n)
             closed_last.append(pd.Timestamp(last_us, unit="us"))
-            seq, n = seq + 1, 1
+            closed_start.append(pd.Timestamp(start_us, unit="us"))
+            seq, n, start_us = seq + 1, 1, t
         else:
             n += 1
+            # a late (within-watermark) event can extend the session
+            # BACKWARD too — keep the earliest event as the start so the
+            # (user_id, session_start) identity is the true first event
+            start_us = min(start_us, t)
         # max, not assignment: a LATE event (older than the session's
         # current end, but within the watermark — the disorder this
         # operator exists to tolerate) must not move the session clock
         # BACKWARD; that would shrink the timeout and fabricate a gap
         # split against the next on-time event.
         last_us = max(last_us, t)
-    state.update((int(last_us), int(seq), int(n)))
+    state.update((int(last_us), int(seq), int(n), int(start_us)))
     # the open session can't grow once the watermark passes last + gap.
     # Clamp: Spark REJECTS (throws, killing the query) a timeout at or
     # below the current watermark. With EventTimeTimeout the engine
@@ -230,6 +263,7 @@ def _session_close(key, pdf_iter, state):
         {
             "user_id": int(key[0]),
             "session_seq": closed_seq,
+            "session_start": closed_start,
             "n_events": closed_n,
             "last_ts": closed_last,
         }
@@ -239,11 +273,21 @@ def _session_close(key, pdf_iter, state):
 def session_close_monitor(events: DataFrame, watermark: str = "1 minutes") -> DataFrame:
     """Closed-session summaries with state eviction on event-time
     timeout; equality with batch session aggregates and the eviction
-    behavior are pinned in tests/test_streaming.py."""
+    behavior are pinned in tests/test_streaming.py.
+
+    Identity contract: the DURABLE key of a summary is
+    ``(user_id, session_start)`` — unique because a user's sessions have
+    strictly increasing starts. ``session_seq`` is monotone only within
+    one state lifetime: after an idle-timeout EVICTS a user's state (the
+    whole point — bounded, finite-lived state), a returning user's seq
+    restarts at 1, so seq alone must NOT key an upsert sink. Keeping the
+    counter alive would mean one state row per user forever — exactly
+    the unbounded growth this operator exists to prevent."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.select("event_id", "ts", "user_id")
+        require_keys(events, "user_id", "ts", "event_id")
+        .select("event_id", "ts", "user_id")
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -320,7 +364,8 @@ def heavy_hitters_stream(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.select(
+        require_keys(events, "user_id")
+        .select(
             # pmod, not abs(hash)%n: hash() is int32 and
             # abs(Integer.MIN_VALUE) stays negative, which would put that
             # one key outside [0, HH_SHARDS)
@@ -424,7 +469,8 @@ def topk_events_stream(events: DataFrame) -> DataFrame:
             "google.protobuf package (its driver worker protocol)"
         )
     return (
-        events.select("user_id", "value", "event_id")
+        require_keys(events, "user_id", "event_id")
+        .select("user_id", "value", "event_id")
         .groupBy("user_id")
         .transformWithStateInPandas(
             TopKEventsProcessor(),

@@ -1631,3 +1631,93 @@ def test_session_close_late_group_does_not_kill_query(spark, tmp_path):
         q.stop()
     assert got[(1, 1)] == 1          # on-time session closes by timeout
     assert not any(u == 2 for u, _ in got)  # late group filtered, no state
+
+
+def test_session_close_returning_user_identity_unique(spark, tmp_path):
+    """After idle-timeout eviction, a returning user's session_seq
+    restarts (bounded state has no memory of evicted counters) — but
+    (user_id, session_start) stays unique across the whole stream, so
+    summaries never collide in an upsert sink keyed on it."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import session_close_monitor
+
+    src = str(tmp_path / "sess_return_src")
+
+    def write_batch(rows, mode):
+        pdf = pd.DataFrame({"value": rows})
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(src)
+
+    def ev(eid, ts, uid):
+        return (
+            f'{{"event_id": {eid}, "ts": "{ts}", "user_id": {uid},'
+            f' "event_type": "x", "value": 1.0, "props": null}}'
+        )
+
+    write_batch([ev(1, "2024-01-01T10:00:00.000000Z", 7)], "overwrite")
+    messages = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        session_close_monitor(parse_message_stream(messages))
+        .writeStream.queryName("t_sess_return")
+        .outputMode("append").format("memory").start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance watermark far past 10:00+gap -> user 7's state evicts
+        write_batch([ev(50, "2024-01-01T12:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        write_batch([ev(51, "2024-01-01T13:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        # user 7 RETURNS; then advance watermark to close + evict again
+        write_batch([ev(2, "2024-01-01T14:00:00.000000Z", 7)], "append")
+        q.processAllAvailable()
+        write_batch([ev(52, "2024-01-01T16:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        write_batch([ev(53, "2024-01-01T17:00:00.000000Z", 99)], "append")
+        q.processAllAvailable()
+        rows = [
+            r
+            for r in spark.sql("SELECT * FROM t_sess_return").collect()
+            if r.user_id == 7
+        ]
+        assert len(rows) == 2
+        # seq restarts after eviction (documented contract)...
+        assert sorted(r.session_seq for r in rows) == [1, 1]
+        # ...but the durable identity does not collide
+        starts = {r.session_start for r in rows}
+        assert len(starts) == 2
+        assert all(r.n_events == 1 for r in rows)
+    finally:
+        q.stop()
+
+
+def test_stateful_ops_survive_malformed_record(spark, tmp_path):
+    """A malformed wire line (null from_json row) must be dropped by the
+    stateful operators' require_keys guard, not crash the query."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import sessionize_events
+
+    src = str(tmp_path / "poison_src")
+    good = (
+        '{"event_id": 1, "ts": "2024-01-01T10:00:00.000000Z", "user_id": 3,'
+        ' "event_type": "x", "value": 1.0, "props": null}'
+    )
+    pdf = pd.DataFrame({"value": [good + "\nTHIS IS NOT JSON\n" + good.replace('"event_id": 1', '"event_id": 2')]})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    messages = spark.readStream.schema("value string").parquet(src)
+    q = (
+        sessionize_events(parse_message_stream(messages))
+        .writeStream.queryName("t_poison")
+        .outputMode("append").format("memory").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+        rows = spark.sql("SELECT * FROM t_poison").collect()
+        assert sorted(r.event_id for r in rows) == [1, 2]
+        assert all(r.user_id == 3 and r.session_seq == 1 for r in rows)
+    finally:
+        q.stop()
