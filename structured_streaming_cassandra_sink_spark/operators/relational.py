@@ -1064,3 +1064,57 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join — Spark's third scale lever for
+    fact-fact joins after broadcast and bucketing: when NEITHER side can
+    broadcast, the optimizer builds a Bloom filter from the SELECTIVE
+    side's join keys (here: urgent orders) and pushes a might_contain()
+    probe into the big side's scan, so most lineitem rows drop BEFORE
+    the shuffle instead of after the join — at 100 TB that is the
+    difference between shuffling the whole fact table and shuffling the
+    matching ~20%.
+
+    The plan runs in a conf-isolated ``spark.newSession()`` (same
+    SparkContext, private SQLConf — nothing leaks into other queries'
+    sessions):
+    - autoBroadcastJoinThreshold=-1 stands in for the at-scale regime
+      where the orders side is too big to broadcast (locally it would
+      broadcast and a broadcast join needs no Bloom filter);
+    - applicationSideScanSizeThreshold=0 because local lineitem is ~1 MB
+      while the production default (10 GB) gates injection to scans
+      where the filter actually pays.
+    Injection is plan-asserted in tests/test_plans.py (bloom_filter_agg
+    on the creation side, might_contain in the application-side scan
+    filter); the join HINT path is deliberately not used — Catalyst
+    skips runtime-filter injection on hinted joins."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    o = load_table(s2, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(s2, "lineitem", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )

@@ -434,3 +434,15 @@ def test_scd2_single_shuffle(spark, sf_dir):
     100 TB."""
     plan = _plan(spark, sf_dir, "scd2_build")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_bloom_prefilter_injected(spark, sf_dir):
+    """Runtime Bloom filter: creation-side bloom_filter_agg over the
+    selective orders keys, might_contain probe pushed into the lineitem
+    side, and the join stays SortMergeJoin (the no-broadcast regime the
+    operator models)."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    low = plan.lower()
+    assert "bloom_filter_agg" in low, plan
+    assert "might_contain" in low, plan
+    assert "SortMergeJoin" in plan, plan
