@@ -1118,3 +1118,86 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         )
     )
+
+
+def _dpp_dir(sf_dir: str) -> str:
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo_root, "spark-warehouse", "dpp_tables",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def dpp_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
+    """Once-per-snapshot layout job for `join_dpp_prune`: the lineitem
+    fact re-written PARTITIONED BY ship month (the ingest-time layout a
+    date-partitioned warehouse always has) plus the derived calendar
+    dimension (month -> quarter). One file per partition (repartition
+    before the partitioned write — same small-files rule as lsh_build)."""
+    import os
+
+    out_dir = out_dir or _dpp_dir(sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    li.repartition(12, "ship_month").write.mode("overwrite").partitionBy(
+        "ship_month"
+    ).parquet(os.path.join(out_dir, "lineitem_by_month"))
+    cal = (
+        li.select("ship_month")
+        .distinct()
+        # floor, not bare float->int cast: Spark truncates but DuckDB
+        # rounds on that cast (the scalar.py trap) — floor is identical
+        # on both engines, so the oracle can mirror this expression
+        .withColumn(
+            "quarter", (F.floor((F.col("ship_month") - 1) / 3) + 1).cast("int")
+        )
+    )
+    cal.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "calendar"))
+    return out_dir
+
+
+@query(
+    "join_dpp_prune",
+    """
+    SELECT month(l_shipdate) AS ship_month,
+           count(*) AS n_items,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    WHERE CAST(floor((month(l_shipdate) - 1) / 3) + 1 AS INT) = 1
+    GROUP BY month(l_shipdate)
+    """,
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the scale lever for star joins over a
+    PARTITIONED fact: the dim-side filter (calendar quarter = 1) can't
+    prune the fact statically (the predicate is on the dim), so Catalyst
+    plants a dynamicpruning subquery that broadcasts the surviving dim
+    keys and skips every non-matching fact PARTITION at scan time — at
+    100 TB with daily partitions, a one-quarter query reads ~90 of
+    ~3650 partition directories instead of all of them. The fact layout
+    comes from `dpp_build` (lazy once per dataset, like the ANN
+    indexes); the pruning subquery is plan-asserted in
+    tests/test_plans.py. The oracle expresses the identical semantics
+    directly against the unpartitioned table."""
+    import os
+
+    out_dir = _dpp_dir(sf_dir)
+    if not os.path.isdir(os.path.join(out_dir, "calendar")):
+        dpp_build(spark, sf_dir, out_dir)
+    fact = spark.read.parquet(os.path.join(out_dir, "lineitem_by_month"))
+    dim = spark.read.parquet(os.path.join(out_dir, "calendar")).filter(
+        F.col("quarter") == 1
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )

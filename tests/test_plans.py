@@ -446,3 +446,11 @@ def test_bloom_prefilter_injected(spark, sf_dir):
     assert "bloom_filter_agg" in low, plan
     assert "might_contain" in low, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """Dynamic partition pruning: the partitioned fact scan carries a
+    dynamicpruning expression fed by the dim-side subquery — the fact
+    reads only quarter-1 month directories at execution time."""
+    plan = _plan(spark, sf_dir, "join_dpp_prune")
+    assert "dynamicpruning" in plan.lower(), plan
