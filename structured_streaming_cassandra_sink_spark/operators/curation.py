@@ -853,3 +853,61 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= WSAMPLE_K)
         .select("source", "doc_id", "w", "rnk")
     )
+
+
+COMPACT_TARGET = 64_000  # target output-file payload (chars stand in for bytes)
+
+
+@query(
+    "compaction_plan",
+    f"""
+    WITH sized AS (
+      SELECT source, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS bytes_before
+      FROM documents)
+    SELECT source,
+           CAST(floor(bytes_before / {COMPACT_TARGET}) AS INT) AS bin,
+           count(*)                       AS file_count,
+           CAST(sum(n_chars) AS BIGINT)   AS bin_bytes
+    FROM sized
+    GROUP BY source, bin
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance operator every
+    100 TB lakehouse needs: pack each partition's small files into
+    ~target-size output bins. Files (here: docs, n_chars as payload
+    size) are binned by the CUMULATIVE size before them, so bin k holds
+    a contiguous run totalling ~{COMPACT_TARGET}; the assignment is one
+    running-sum window per partition + one hash agg — two exchanges
+    total, and the window parallelizes across partitions (per-partition
+    file manifests are thousands of entries, not billions, so a
+    sequential scan per `source` is the right regime). Deterministic:
+    bin ids depend only on (source, doc_id) order, never on RNG or
+    cluster layout."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("bytes_before"),
+    )
+    return (
+        sized.withColumn(
+            "bin", F.floor(F.col("bytes_before") / COMPACT_TARGET).cast("int")
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("n_chars").alias("bin_bytes"),
+        )
+    )

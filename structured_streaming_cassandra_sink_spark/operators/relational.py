@@ -1201,3 +1201,83 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         )
     )
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: the hierarchical prefix subset of CUBE — (status,
+    priority), (status), () — the report-subtotal shape (ref capability
+    class: grouped aggregation, `cassandra_sink.scala:117-121`
+    generalized). Same single Expand + hash-agg pass as `cube_agg` but
+    the Expand factor is k+1 (not 2^k) rows per input, which is why
+    ROLLUP is the scale-preferred form when the dimensions really are a
+    hierarchy."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+@query(
+    "cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    latest AS (
+      SELECT user_id, ts, value, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*)     OVER (PARTITION BY user_id)            AS n_ops
+      FROM log)
+    SELECT user_id, ts AS last_ts,
+           round(value, 4) AS last_value, n_ops
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — materialize the current snapshot from an
+    ordered change stream with DELETE tombstones (the batch twin of the
+    reference's PK-upsert sink, `cassandra_sink.scala:30-34`, extended
+    with delete semantics). `error` events are tombstones: a key whose
+    LATEST change is a tombstone is absent from the snapshot; any later
+    change resurrects it. ONE shuffle on the key; ties on ts break by
+    event_id so replays are deterministic. At 100 TB this is the
+    standard log-compaction shape: the window only ever keeps rank-1
+    rows per key, and AQE coalesces the post-filter output."""
+    e = load_table(spark, "events", sf_dir)
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = log.select(
+        "user_id",
+        "ts",
+        "value",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_ops"),
+    )
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.round("value", 4).alias("last_value"),
+        "n_ops",
+    )

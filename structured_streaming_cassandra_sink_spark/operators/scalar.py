@@ -839,3 +839,50 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 4).alias("mean_value"),
         F.round(F.sqrt(var), 4).alias("std_value"),
     )
+
+
+@query(
+    "decimal_money_agg",
+    """
+    WITH money AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_discount      AS DECIMAL(4,2))  AS disc
+      FROM lineitem)
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(CAST(sum(price * (1 - disc)) AS DOUBLE), 4) AS revenue,
+           round(CAST(sum(price) AS DOUBLE), 4)              AS gross
+    FROM money
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation — the fixed-point twin of the
+    float revenue aggregates elsewhere in the registry. Why it exists:
+    a DOUBLE sum over billions of rows is order-dependent (partial
+    aggregation reorders additions, so the 4th decimal can flip between
+    runs/cluster layouts), while DECIMAL addition is associative —
+    the sum is EXACT and bit-stable no matter how AQE re-partitions.
+    This is the correct type discipline for revenue at 100 TB; the cast
+    to DOUBLE happens once, after the exact aggregate. Plan-wise it is
+    the same single partial+final hash-agg as `groupby_agg` — decimals
+    stay inside whole-stage codegen (Tungsten fixed-precision
+    arithmetic), no UDF, no Python."""
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    money = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        price.alias("price"),
+        disc.alias("disc"),
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    return money.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("price") * (one - F.col("disc"))).cast("double"), 4
+        ).alias("revenue"),
+        F.round(F.sum("price").cast("double"), 4).alias("gross"),
+    )

@@ -882,3 +882,104 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "n_orders",
     )
+
+
+EWMA_ALPHA = 0.1
+EWMA_MAX_N = 40  # first N events per key: bounds oracle recursion depth
+
+
+@query(
+    "ewma_smooth",
+    f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      QUALIFY rn <= {EWMA_MAX_N}),
+    rec AS (
+      SELECT user_id, rn, round(value, 4) AS y FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             round((1 - {EWMA_ALPHA}) * r.y + {EWMA_ALPHA} * s.value, 4)
+      FROM seq s JOIN rec r
+        ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+    SELECT user_id, rn, y AS ewma FROM rec
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per key — the inherently
+    SEQUENTIAL recurrence y_i = (1-α)·y_{i-1} + α·x_i that no window
+    frame expresses (every prior row contributes, with decaying weight).
+    This is the canonical case for grouped-map pandas: shuffle once by
+    key, hand each COMPLETE ordered series to an Arrow batch, run the
+    O(n) recurrence in-process. State per task = one key's history —
+    at 100 TB the bound is max-events-per-key (here capped at
+    {EWMA_MAX_N} to match the oracle's recursion budget; production
+    would cap by retention window instead), keys fan out across
+    executors, and skew salting does not apply (the recurrence cannot
+    split). The closed-form segmented-scan alternative (chunked powers
+    + cross-chunk linear recurrence) trades Python for 2 extra shuffles
+    and only wins when single keys outgrow a task.
+
+    Oracle: DuckDB recursive CTE running the identical recurrence.
+    Cross-engine FP parity trick: the state is QUANTIZED to the 1e-4
+    grid after EVERY step on both sides — raw f64 recurrences drift by
+    ulps and a drifted value that straddles a rounding midpoint flips
+    the last digit (observed: 3 rows in 6000 before quantization).
+    With on-grid state the step inputs are bit-identical, so both
+    engines' round() pick the same neighbor regardless of their
+    half-rule. rn recursion depth == {EWMA_MAX_N}, far under any
+    recursion limit."""
+    import pandas as pd
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EWMA_MAX_N)
+        .select("user_id", "rn", "value")
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        p = 10.0**4
+
+        def rnd(v: float) -> float:
+            # DuckDB round(DOUBLE, n) == std::round(v * 10^n) / 10^n:
+            # scale-multiply then HALF-AWAY-FROM-ZERO. Python's round()
+            # is correctly-rounded half-EVEN — the two disagree exactly
+            # on the decimal midpoints this low-decimal data produces
+            # (0.9*grid + 0.1*x lands on .00005 constantly). Replicate
+            # DuckDB's algorithm so the quantized states stay
+            # bit-identical.
+            s = v * p
+            f = math.floor(s)
+            d = s - f
+            if d > 0.5:
+                f += 1.0
+            elif d == 0.5:
+                f = f + 1.0 if s >= 0 else f
+            return f / p
+
+        pdf = pdf.sort_values("rn")
+        vals = pdf["value"].to_numpy()
+        out = vals.copy()
+        if len(out):
+            # explicit loop, not pandas .ewm(): pins the exact FP op
+            # order ((1-a)*y + a*x) AND the per-step grid quantization
+            # the oracle's recursive CTE uses
+            out[0] = rnd(float(vals[0]))
+        for i in range(1, len(out)):
+            out[i] = rnd(
+                (1.0 - EWMA_ALPHA) * out[i - 1] + EWMA_ALPHA * float(vals[i])
+            )
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "rn": pdf["rn"], "ewma": out}
+        )
+
+    return seq.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, rn int, ewma double"
+    )

@@ -60,7 +60,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # - the round-3 additions, never driver-seen: scd2_build,
 #   split_leakage_safe, ann_recall_report, weighted_sample_topk,
 #   union_schema_evolution, pca_variance_report, minhash_recall_report,
-#   join_bloom_prefilter, join_dpp_prune.
+#   join_bloom_prefilter, join_dpp_prune, rollup_agg, cdc_apply,
+#   ewma_smooth, compaction_plan, decimal_money_agg.
 # That is 15 rows; the remaining ~39 slots go to re-confirming rows whose
 # oracle SQL or plan changed since their green row, oldest green first.
 _PRIORITY_THIS_ROUND = [

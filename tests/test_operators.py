@@ -615,3 +615,110 @@ def test_orc_roundtrip_documents_and_events(spark, sf_dir, tmp_path):
         a = sorted(map(repr, df.collect()))
         b = sorted(map(repr, back.collect()))
         assert a == b
+
+
+def test_rollup_is_hierarchical_prefix(spark, sf_dir):
+    """ROLLUP = detail + per-status subtotal + grand total, and the
+    (NULL, priority) combination CUBE would emit never appears."""
+    df = registry.QUERIES["rollup_agg"](spark, sf_dir).collect()
+    detail = [r for r in df if r.o_orderstatus is not None and r.o_orderpriority is not None]
+    status_sub = [r for r in df if r.o_orderstatus is not None and r.o_orderpriority is None]
+    grand = [r for r in df if r.o_orderstatus is None and r.o_orderpriority is None]
+    bad = [r for r in df if r.o_orderstatus is None and r.o_orderpriority is not None]
+    assert len(grand) == 1 and not bad
+    assert grand[0].n == sum(r.n for r in detail) == sum(r.n for r in status_sub)
+
+
+def test_cdc_apply_tombstone_semantics(spark, sf_dir):
+    """A key whose LATEST change is a tombstone is absent; every present
+    key's value matches an independent max-struct recomputation."""
+    e = load_table(spark, "events", sf_dir)
+    snap = {r.user_id: r for r in registry.QUERIES["cdc_apply"](spark, sf_dir).collect()}
+    last = (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+        .collect()
+    )
+    for r in last:
+        if r.m.event_type == "error":
+            assert r.user_id not in snap
+        else:
+            assert r.user_id in snap
+            assert snap[r.user_id].last_ts == r.m.ts
+            assert abs(snap[r.user_id].last_value - round(r.m.value, 4)) < 1e-9
+
+
+def test_ewma_matches_pandas_reference(spark, sf_dir):
+    """Cross-implementation: the grouped-map recurrence agrees with
+    pandas' own ewm(adjust=False) to within the per-step quantization
+    budget (1e-4 per step, contraction-bounded)."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import EWMA_ALPHA, EWMA_MAX_N
+
+    e = load_table(spark, "events", sf_dir)
+    uid = e.groupBy("user_id").count().orderBy(F.desc("count")).first().user_id
+    ours = (
+        registry.QUERIES["ewma_smooth"](spark, sf_dir)
+        .filter(F.col("user_id") == uid)
+        .orderBy("rn")
+        .toPandas()
+    )
+    raw = (
+        e.filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .limit(EWMA_MAX_N)
+        .select("value")
+        .toPandas()
+    )
+    ref = raw["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+    assert len(ours) == len(ref) > 1
+    # per-step rounding injects <=5e-5; the (1-a) contraction keeps the
+    # accumulated gap under ~5e-5/a
+    assert (ours["ewma"].to_numpy() - ref.to_numpy()).max() < 5e-5 / EWMA_ALPHA + 1e-9
+
+
+def test_compaction_plan_conserves_and_bounds(spark, sf_dir):
+    """Bins conserve bytes/files exactly, bin ids are dense from 0, and
+    no bin exceeds target + one file (the greedy-cumsum guarantee)."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import COMPACT_TARGET
+
+    d = load_table(spark, "documents", sf_dir)
+    plan = registry.QUERIES["compaction_plan"](spark, sf_dir).collect()
+    truth = {
+        r.source: (r.files, r.bytes)
+        for r in d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("files"), F.sum("n_chars").alias("bytes"))
+        .collect()
+    }
+    max_file = d.agg(F.max("n_chars")).first()[0]
+    per_src: dict[str, list] = {}
+    for r in plan:
+        per_src.setdefault(r.source, []).append(r)
+        assert r.bin_bytes < COMPACT_TARGET + max_file
+    for src, rows in per_src.items():
+        assert sorted(r.bin for r in rows) == list(range(len(rows)))
+        assert sum(r.file_count for r in rows) == truth[src][0]
+        assert sum(r.bin_bytes for r in rows) == truth[src][1]
+
+
+def test_decimal_money_agg_partition_invariant(spark, sf_dir):
+    """The DECIMAL sum is associative: re-partitioning the input cannot
+    change a single bit of the output (the claim that motivates the
+    operator; a DOUBLE sum gives no such guarantee)."""
+    a = registry.QUERIES["decimal_money_agg"](spark, sf_dir)
+    rows_a = {tuple(r) for r in a.collect()}
+    li = load_table(spark, "lineitem", sf_dir).repartition(17, "l_partkey")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    b = (
+        li.select("l_returnflag", "l_linestatus", price.alias("price"), disc.alias("disc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("price") * (one - F.col("disc"))).cast("double"), 4).alias("revenue"),
+            F.round(F.sum("price").cast("double"), 4).alias("gross"),
+        )
+    )
+    assert {tuple(r) for r in b.collect()} == rows_a
