@@ -1006,3 +1006,87 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ok"),
         (n_fp == F.lit(0)).alias("no_false_positives"),
     )
+
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+# reuse the shared shingle->pairs CTE prefix (toks, sh, pairs) verbatim so
+# the PageRank oracle runs on the IDENTICAL graph as the CC/degree oracles
+_PR_PREFIX = _CLUSTER_ORACLE.split("edges AS")[0]
+
+_PR_ITER_TMPL = """
+    r{i} AS (
+      SELECT e.dst AS node,
+             round(0.15 / (SELECT nd FROM nv)
+                   + {damp} * sum(r.r / d.deg), 9) AS r
+      FROM edges e
+      JOIN r{prev} r ON r.node = e.src
+      JOIN deg d     ON d.node = e.src
+      GROUP BY e.dst),"""
+
+_PR_ORACLE = (
+    _PR_PREFIX
+    + """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM deg),
+    r0 AS (SELECT node, round(1.0 / (SELECT nd FROM nv), 9) AS r FROM deg),"""
+    + "".join(
+        _PR_ITER_TMPL.format(i=i, prev=i - 1, damp=PR_DAMP)
+        for i in range(1, PR_ITERS + 1)
+    ).rstrip(",")
+    + f"""
+    SELECT node AS doc_id, r AS pagerank FROM r{PR_ITERS}
+    """
+)
+
+
+@query("dup_graph_pagerank", _PR_ORACLE)
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the near-dup pair graph — ranks the
+    'hub' documents (templates matching many pages) that degree counts
+    only hint at. The iterative-join shape is the general message-
+    passing template (label propagation, HITS, belief prop): per
+    iteration ONE shuffle (edges ⋈ ranks on src, re-agg on dst); the
+    edge list is localCheckpointed once so the shingle pipeline never
+    re-runs, and rank state is one row per clustered node. At 100 TB
+    the iteration count is fixed (not until-convergence), so the plan
+    is {PR_ITERS} bounded shuffles, and the rank table stays
+    partitioned by node between iterations.
+
+    Symmetric graph, min degree 1 → no dangling-mass term needed.
+    Cross-engine FP parity: ranks are quantized to the 1e-9 grid each
+    iteration (the ewma_smooth trick), so both engines feed bit-
+    identical state into the next iteration and the sum-order noise
+    (~1e-15) can't accumulate across iterations."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    pairs = (
+        ngram_jaccard_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # checkpoint BEFORE the union: the
+        # shingle pipeline runs once, both edge directions read the
+        # materialized pairs
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = float(deg.count())  # bounded driver scalar: one number, like text.py's corpus count
+    ranks = deg.select(
+        F.col("src").alias("node"), F.round(F.lit(1.0) / F.lit(n), 9).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst"), (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            F.round(
+                F.lit(1 - PR_DAMP) / F.lit(n) + F.lit(PR_DAMP) * F.sum("c"), 9
+            ).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank"))

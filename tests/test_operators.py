@@ -722,3 +722,24 @@ def test_decimal_money_agg_partition_invariant(spark, sf_dir):
         )
     )
     assert {tuple(r) for r in b.collect()} == rows_a
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    """Symmetric graph, no dangling nodes: total rank stays 1 (teleport
+    redistributes but never leaks); every rank positive; one row per
+    clustered node."""
+    from structured_streaming_cassandra_sink_spark.operators.dedup import ngram_jaccard_pairs
+    from structured_streaming_cassandra_sink_spark.sources import spread
+
+    pr = registry.QUERIES["dup_graph_pagerank"](spark, sf_dir).collect()
+    docs = spread(load_table(spark, "documents", sf_dir))
+    pairs = ngram_jaccard_pairs(docs)
+    n_nodes = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionAll(pairs.select(F.col("doc_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert len(pr) == n_nodes
+    assert all(r.pagerank > 0 for r in pr)
+    assert abs(sum(r.pagerank for r in pr) - 1.0) < 1e-6 * max(n_nodes, 1)
