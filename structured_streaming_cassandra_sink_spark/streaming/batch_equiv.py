@@ -51,22 +51,6 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(load_table(spark, "events", sf_dir))
 
 
-@query(
-    "stream_sliding",
-    """
-    SELECT window_start,
-           window_start + INTERVAL 1 HOUR AS window_end,
-           event_type,
-           count(*)             AS n,
-           round(sum(value), 4) AS sum_value
-    FROM (
-      SELECT time_bucket(INTERVAL '30 minutes', ts)
-               - k * (INTERVAL '30 minutes')  AS window_start,
-             event_type, value
-      FROM events, unnest([0, 1]) AS t(k))
-    GROUP BY 1, 2, 3
-    """,
-)
 def sliding_agg(events: DataFrame) -> DataFrame:
     """1-hour windows sliding every 30 min — shared batch/stream
     expression tree (like tumbling_agg/session_agg: ONE definition, two
@@ -85,6 +69,22 @@ def sliding_agg(events: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "stream_sliding",
+    """
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * (INTERVAL '30 minutes')  AS window_start,
+             event_type, value
+      FROM events, unnest([0, 1]) AS t(k))
+    GROUP BY 1, 2, 3
+    """,
+)
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window agg, batch twin: each event lands in exactly 2
     windows (Spark plans this as one Expand — same trick the oracle's

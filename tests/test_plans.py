@@ -454,3 +454,27 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     reads only quarter-1 month directories at execution time."""
     plan = _plan(spark, sf_dir, "join_dpp_prune")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_every_registered_query_has_driver_signature():
+    """Regression guard: the driver calls every registry entry as
+    fn(spark, sf_dir). A decorator landing on the wrong function (it
+    happened: @query('stream_sliding') on the 1-arg shared agg) produces
+    a callable the driver can't invoke — catch it by arity, without
+    running anything."""
+    import inspect
+
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    registry.load_all()
+    for name, fn in registry.QUERIES.items():
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty
+        ]
+        assert len(params) == 2, (
+            f"{name}: registered callable must take exactly (spark, sf_dir); "
+            f"got {inspect.signature(fn)}"
+        )
