@@ -77,6 +77,20 @@ def main() -> int:
         t0 = time.perf_counter()
         lsh_build(spark, SF_DIR)
         extras["lsh_build_sec"] = round(time.perf_counter() - t0, 3)
+    _graph_probes = {
+        "dedup_cluster_assign", "dup_graph_degree", "dup_graph_triangles",
+        "dup_graph_pagerank", "dedup_pipeline_keep_canonical",
+        "minhash_recall_report",
+    }
+    if _graph_probes & set(names):
+        # Pair generation is the amortized cost of the dup graph (one
+        # build per corpus snapshot, like the ANN indexes); the graph
+        # analytics below time the probe path.
+        from structured_streaming_cassandra_sink_spark.operators.dedup import dupgraph_build
+
+        t0 = time.perf_counter()
+        dupgraph_build(spark, SF_DIR)
+        extras["dupgraph_build_sec"] = round(time.perf_counter() - t0, 3)
 
     import gc
 
