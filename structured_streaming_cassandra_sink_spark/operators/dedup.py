@@ -585,11 +585,15 @@ def dupgraph_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None)
     end-to-end."""
     import os
 
+    from structured_streaming_cassandra_sink_spark.operators.similarity import _atomic_publish
+
     out_dir = out_dir or _dupgraph_dir(sf_dir)
     docs = spread(load_table(spark, "documents", sf_dir))
+    tmp = f"{out_dir}.build-{os.getpid()}"
     ngram_jaccard_pairs(docs).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "pairs")
+        os.path.join(tmp, "pairs")
     )
+    _atomic_publish(tmp, out_dir)  # readers never see a half-built graph
     return out_dir
 
 

@@ -148,6 +148,30 @@ def _lsh_index_dir(sf_dir: str) -> str:
     )
 
 
+def _atomic_publish(tmp_dir: str, final_dir: str) -> None:
+    """Swap a freshly-built index directory into place with renames.
+
+    Spark's `mode("overwrite")` deletes the destination FIRST and then
+    writes — a concurrent probe (or test) that lists the dir in that
+    window sees an empty/partial index and dies with
+    UNABLE_TO_INFER_SCHEMA. Building into a sibling tmp dir and renaming
+    keeps the old index fully readable until the instant the new one
+    replaces it (same-filesystem rename is atomic on POSIX; on an object
+    store this maps to the usual publish-by-pointer manifest commit)."""
+    import os
+    import shutil
+
+    os.makedirs(os.path.dirname(final_dir) or ".", exist_ok=True)
+    trash = f"{final_dir}.old-{os.getpid()}"
+    try:
+        os.rename(final_dir, trash)
+    except FileNotFoundError:
+        trash = None
+    os.rename(tmp_dir, final_dir)
+    if trash is not None:
+        shutil.rmtree(trash, ignore_errors=True)
+
+
 def signature_rows(batch: DataFrame) -> DataFrame:
     """(vec_id, v, t, sig, nv) signature rows for a vector batch — the
     SINGLE owner of the index row layout, shared by the snapshot build
@@ -181,9 +205,11 @@ def lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
     # touches — tasks x buckets tiny files whose listing/open cost
     # dominates the probe (measured 5000 files -> 2.8 s probe at sf0.1).
     # After: one file per bucket. At 100 TB add maxRecordsPerFile.
+    tmp = f"{index_dir}.build-{os.getpid()}"
     csig.repartition(LSH_TABLES * (1 << LSH_PLANES), "t", "sig").write.mode(
         "overwrite"
-    ).partitionBy("t", "sig").parquet(os.path.join(index_dir, "corpus"))
+    ).partitionBy("t", "sig").parquet(os.path.join(tmp, "corpus"))
+    _atomic_publish(tmp, index_dir)
     return index_dir
 
 
@@ -477,13 +503,15 @@ def ivf_build(
     ).withColumn("nv", norm(F.col("v")))
     # One file per cell (see lsh_build: unclustered partitioned writes
     # leave tasks x cells tiny files; at 100 TB add maxRecordsPerFile).
+    tmp = f"{index_dir}.build-{os.getpid()}"
     assigned.repartition(nlist, "cell").write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(os.path.join(index_dir, "corpus"))
+    ).parquet(os.path.join(tmp, "corpus"))
     centroids = [(cid, [float(x) for x in c]) for cid, c in enumerate(C)]
     spark.createDataFrame(centroids, "cell int, centroid array<double>").coalesce(
         1
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    _atomic_publish(tmp, index_dir)  # corpus + centroids appear in ONE swap
     _CENTROID_CACHE.pop(index_dir, None)
     return index_dir
 
