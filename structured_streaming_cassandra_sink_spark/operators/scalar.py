@@ -886,3 +886,51 @@ def decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.round(F.sum("price").cast("double"), 4).alias("gross"),
     )
+
+
+@query(
+    "impute_group_median",
+    """
+    WITH m AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    med AS (
+      SELECT event_type, round(median(v), 6) AS med FROM m GROUP BY 1)
+    SELECT m.event_id, m.event_type,
+           CASE WHEN m.v IS NULL THEN 1 ELSE 0 END AS was_imputed,
+           coalesce(m.v, med.med) AS filled
+    FROM m JOIN med USING (event_type)
+    """,
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation by per-group exact median — the standard feature-
+    cleaning op (fill missing sensor values with the group's central
+    tendency). A deterministic mask (event_id % 11) stands in for real
+    nulls so the query is reproducible against the oracle.
+
+    Shape: one aggregation shuffle builds the per-event_type median
+    table (|event_types| rows), which broadcasts back onto the fact
+    scan — the fact table itself never shuffles for the join. Exact
+    median is a TypedImperativeAggregate that buffers each group's
+    values; safe here because groups are few, but at 100 TB with
+    heavy groups swap `F.median` for `F.percentile_approx("v", 0.5)`
+    (mergeable KLL-style sketch, bounded memory) — same plan shape,
+    the buffer becomes O(1/eps). Both sides round the median to 6
+    before the fill so the interpolation convention can't skew bits;
+    unmasked values pass through raw and match exactly."""
+    e = load_table(spark, "events", sf_dir)
+    m = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    med = m.groupBy("event_type").agg(F.round(F.median("v"), 6).alias("med"))
+    return m.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_imputed"),
+        F.coalesce("v", "med").alias("filled"),
+    )

@@ -1038,3 +1038,51 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@query(
+    "bpe_merge_step",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      FROM documents),
+    w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+    idx AS (
+      SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM w2),
+    pairs AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair FROM idx)
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration at character level: count every adjacent
+    symbol pair inside words across the corpus and rank the top merge
+    candidates — the inner loop of byte-pair-encoding vocabulary
+    induction (tokenizer training), run distributed. A full trainer
+    repeats this with the winning pair merged into the symbol stream;
+    one step exercises the whole distributed shape.
+
+    Shape: explode words, then explode each word's length-1 adjacent
+    pair list via a Catalyst `transform(sequence(...))` — no Python in
+    the loop. The pair space is bounded (<= 26^2 for a-z), so the
+    count aggregation collapses map-side to a few hundred partials per
+    task regardless of corpus size, and the global top-20 is a
+    TakeOrderedAndProject, not a full sort. This is why BPE counting
+    scales to 100 TB: the shuffle carries |alphabet|^2 rows per task,
+    never the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

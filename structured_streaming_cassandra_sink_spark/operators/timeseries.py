@@ -983,3 +983,157 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("user_id").applyInPandas(
         ewma, "user_id long, rn int, ewma double"
     )
+
+
+@query(
+    "markov_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS dst
+      FROM events),
+    p AS (
+      SELECT src, dst, count(*) AS n
+      FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE),
+                 6) AS p
+    FROM p
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type). The sequence-
+    model shape behind session modeling, next-action prediction
+    features, and curriculum statistics for behavioral training data.
+
+    Shape: one shuffle for the per-user lead() window (same
+    (user_id, ts, event_id) ordering every sequence op here shares),
+    one partial-aggregated shuffle on the (src, dst) pair whose
+    cardinality is |event_types|^2 — single digits squared — so the
+    normalizing window runs over a trivially small result. The raw
+    event volume only ever crosses the wire once, pre-aggregated
+    map-side. At 100 TB nothing changes: state per user in the window
+    is one row, and the pair space stays tiny."""
+    e = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "interpolate_linear",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    m AS (
+      SELECT event_id, user_id, tus, v,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+          OVER wp AS pt,
+        first_value(v IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+          OVER wf AS nt
+      FROM b
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_interp,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                        THEN pv + (nv - pv) * (tus - pt) / (nt - pt)
+                      ELSE coalesce(pv, nv) END, 6) AS filled
+    FROM m
+    """,
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor values per user: a
+    deterministic mask (event_id % 7) stands in for real gaps, and each
+    masked value is reconstructed from the time-weighted line between
+    its nearest observed neighbors — pandas `interpolate(method="time")`
+    semantics, but distributed. Edge rows with only one neighbor carry
+    that neighbor (ffill/bfill); identical-timestamp neighbors fall back
+    to the previous value rather than divide by zero.
+
+    Shape: TWO frame directions (unbounded-preceding last + unbounded-
+    following first, both IGNORE NULLS) over the SAME (user_id, ts,
+    event_id) sort — one shuffle, one sort, two frame scans within the
+    sorted run; all four neighbor columns come out of that single
+    exchange. Arithmetic runs on integer microseconds with one fixed op
+    order mirrored in the oracle, so the rounded doubles hash-match.
+    At 100 TB the window state is O(1) per direction — this is the
+    scale-safe form of gap repair (vs collecting series driver-side)."""
+    e = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    base = e.select(
+        "event_id",
+        "user_id",
+        tus.alias("tus"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    order = [F.col("tus"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("tus"))
+    m = base.select(
+        "event_id",
+        "user_id",
+        "tus",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(t_obs, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(t_obs, ignorenulls=True).over(wf).alias("nt"),
+    )
+    line = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("tus") - F.col("pt")
+    ) / (F.col("nt") - F.col("pt"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt")),
+            line,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interp"),
+        F.round(filled, 6).alias("filled"),
+    )

@@ -743,3 +743,73 @@ def test_pagerank_conserves_mass(spark, sf_dir):
     assert len(pr) == n_nodes
     assert all(r.pagerank > 0 for r in pr)
     assert abs(sum(r.pagerank for r in pr) - 1.0) < 1e-6 * max(n_nodes, 1)
+
+
+def test_markov_transitions_rows_sum_to_one(spark, sf_dir):
+    """Per-src transition probabilities form a distribution: each row of
+    the matrix sums to ~1 and every probability is in (0, 1]."""
+    df = registry.QUERIES["markov_transitions"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "transition matrix is empty"
+    by_src = {}
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_src.setdefault(r.src, 0.0)
+        by_src[r.src] += r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+def test_interpolate_linear_bounds_and_identity(spark, sf_dir):
+    """Observed rows pass through untouched; interpolated rows lie
+    within [min(neighbors), max(neighbors)] by linearity (checked via
+    the global observed value range) and every row is non-null."""
+    df = registry.QUERIES["interpolate_linear"](spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    n_events = ev.count()
+    rows = df.collect()
+    assert len(rows) == n_events
+    assert all(r.filled is not None for r in rows)
+    obs = ev.filter(F.col("event_id") % 7 != 0).agg(
+        F.min("value"), F.max("value")
+    ).first()
+    lo, hi = obs[0], obs[1]
+    for r in rows:
+        if r.is_interp:
+            assert lo - 1e-6 <= r.filled <= hi + 1e-6
+
+
+def test_bpe_merge_step_counts_match_manual(spark, sf_dir):
+    """Recompute pair counts in plain Python on the collected corpus and
+    compare the top-20 exactly (deterministic tie-break)."""
+    import re as _re
+    from collections import Counter
+
+    docs = load_table(spark, "documents", sf_dir).select("text").collect()
+    c = Counter()
+    for row in docs:
+        for w in _re.split(r"[^a-z]+", row.text.lower()):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.pair, r.n) for r in registry.QUERIES["bpe_merge_step"](spark, sf_dir).collect()]
+    assert got == expected
+
+
+def test_impute_group_median_fills_all_masked(spark, sf_dir):
+    """Every masked row is filled with its group median; unmasked rows
+    carry their original value bit-for-bit."""
+    df = registry.QUERIES["impute_group_median"](spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    orig = {r.event_id: r.value for r in ev.select("event_id", "value").collect()}
+    meds = {}
+    rows = df.collect()
+    for r in rows:
+        assert r.filled is not None
+        if r.was_imputed:
+            meds.setdefault(r.event_type, set()).add(r.filled)
+        else:
+            assert r.filled == orig[r.event_id]
+    # one distinct fill value per group — the group median
+    for et, vals in meds.items():
+        assert len(vals) == 1, (et, vals)
