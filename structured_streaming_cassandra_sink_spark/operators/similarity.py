@@ -1098,3 +1098,62 @@ def pca_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim int, n_components int, total_var double, "
         "orthonormal_ok boolean, eigs_descending_ok boolean",
     )
+
+
+HN_K = 5  # hard negatives per probe
+
+
+@query(
+    "hard_negative_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding, label
+               FROM embeddings WHERE vec_id >= {N_QUERIES}),
+         sims AS (
+           SELECT q.query_id, c.vec_id, c.label,
+                  round(list_cosine_similarity(qvec::DOUBLE[], embedding::DOUBLE[]), 6) AS cos_sim
+           FROM q, c WHERE c.label <> q.qlabel)
+    SELECT query_id, vec_id, label, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM sims
+    QUALIFY rnk <= {HN_K}
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the {HN_K} most-similar corpus vectors carrying a DIFFERENT
+    label — the near-misses that make the best negatives in a triplet/
+    InfoNCE batch. (Easy negatives are random; hard ones are the high-
+    cosine wrong-label neighbors this query surfaces.)
+
+    Shape: identical to sim_search_topk — probes broadcast, ONE corpus
+    scan, norms computed corpus-linear, per-query window top-k — plus a
+    label-inequality predicate applied BEFORE ranking so the window
+    never sees same-class rows. At 100 TB swap the brute-force scan for
+    the IVF/LSH candidate path and keep the label filter on the
+    candidate set; the ranking contract stays the same."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    joined = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select("query_id", "vec_id", "label", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HN_K)
+        .select("query_id", "vec_id", "label", "cos_sim", "rnk")
+    )

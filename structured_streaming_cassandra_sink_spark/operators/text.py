@@ -8,7 +8,7 @@ the 100 TB-friendly shape), aggregations shuffle only tiny group keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import fingerprint, tokens
@@ -1085,4 +1085,60 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
+    )
+
+
+VOCAB_THRESHOLDS = [100, 500, 1000, 5000]
+_VOCAB_TH_SQL = "[" + ", ".join(str(t) for t in VOCAB_THRESHOLDS) + "]"
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM counts),
+    th AS (SELECT unnest({_VOCAB_TH_SQL}) AS top_n)
+    SELECT th.top_n,
+           CAST(sum(CASE WHEN r.rnk <= th.top_n THEN r.n ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(sum(r.n) AS BIGINT) AS total_tokens,
+           round(sum(CASE WHEN r.rnk <= th.top_n THEN r.n ELSE 0 END)::DOUBLE
+                 / sum(r.n), 6) AS coverage
+    FROM ranked r CROSS JOIN th
+    GROUP BY th.top_n
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token occurrences
+    a top-N frequency-ranked vocabulary explains, at several N — the
+    question a tokenizer/vocab-size decision hangs on (coverage at 32k
+    vs 50k entries), evaluated corpus-wide.
+
+    Shape: the corpus crosses the wire ONCE, pre-aggregated map-side
+    into per-token partial counts (vocabulary-sized, orders of magnitude
+    below token count). Ranking is a window over the distinct-token
+    table; at this corpus's vocab size a single-partition sort of the
+    count table is trivial, and at web-scale vocab (~1e8 tokens) the
+    same rank comes from the two-pass range-partitioned prefix-sum used
+    by running_total — the plan below is unchanged above that node. The
+    threshold table is a 4-row literal cross join; the final aggregate
+    is |thresholds| rows."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = counts.select("n", F.row_number().over(wr).alias("rnk"))
+    th = spark.createDataFrame([(t,) for t in VOCAB_THRESHOLDS], "top_n int")
+    covered = F.sum(F.when(F.col("rnk") <= F.col("top_n"), F.col("n")).otherwise(0))
+    return (
+        ranked.crossJoin(F.broadcast(th))
+        .groupBy("top_n")
+        .agg(
+            covered.cast("bigint").alias("covered_tokens"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.round(covered.cast("double") / F.sum("n"), 6).alias("coverage"),
+        )
     )

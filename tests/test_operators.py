@@ -813,3 +813,21 @@ def test_impute_group_median_fills_all_masked(spark, sf_dir):
     # one distinct fill value per group — the group median
     for et, vals in meds.items():
         assert len(vals) == 1, (et, vals)
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """Coverage is monotone in top_n, bounded by (0, 1], and
+    total_tokens is constant across thresholds."""
+    rows = sorted(
+        registry.QUERIES["vocab_coverage"](spark, sf_dir).collect(),
+        key=lambda r: r.top_n,
+    )
+    assert [r.top_n for r in rows] == [100, 500, 1000, 5000]
+    totals = {r.total_tokens for r in rows}
+    assert len(totals) == 1
+    last = 0.0
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        assert r.coverage >= last
+        assert r.covered_tokens <= r.total_tokens
+        last = r.coverage

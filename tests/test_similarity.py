@@ -180,3 +180,30 @@ def test_pca_variance_report_trace_and_flags(spark, sf_dir):
         dtype=np.float64,
     )
     assert abs(row.total_var - round(float(vecs.var(axis=0).sum()), 4)) <= 2e-4
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    """No hard negative shares its probe's label, and each negative's
+    cosine is <= the unfiltered top-1 for that probe (the filter can
+    only remove candidates, never improve them)."""
+    from pyspark.sql import functions as F
+
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "label")
+        .filter(F.col("vec_id") < 5)
+        .collect()
+    }
+    hn = registry.QUERIES["hard_negative_topk"](spark, sf_dir).collect()
+    assert hn
+    best_any = {
+        r.query_id: r.cos_sim
+        for r in registry.QUERIES["sim_search_topk"](spark, sf_dir).collect()
+        if r.rnk == 1
+    }
+    for r in hn:
+        assert r.label != labels[r.query_id]
+        assert r.cos_sim <= best_any[r.query_id] + 1e-9
