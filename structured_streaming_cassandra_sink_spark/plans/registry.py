@@ -61,7 +61,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   split_leakage_safe, ann_recall_report, weighted_sample_topk,
 #   union_schema_evolution, pca_variance_report, minhash_recall_report,
 #   join_bloom_prefilter, join_dpp_prune, rollup_agg, cdc_apply,
-#   ewma_smooth, compaction_plan, decimal_money_agg, dup_graph_pagerank.
+#   ewma_smooth, compaction_plan, decimal_money_agg, dup_graph_pagerank,
+#   markov_transitions, interpolate_linear, bpe_merge_step,
+#   impute_group_median, hard_negative_topk, vocab_coverage (+ any
+#   later round-3 additions — diff OPERATORS.md against CORRECTNESS_r0*).
 # That is 15 rows; the remaining ~39 slots go to re-confirming rows whose
 # oracle SQL or plan changed since their green row, oldest green first.
 _PRIORITY_THIS_ROUND = [

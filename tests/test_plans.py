@@ -478,3 +478,34 @@ def test_every_registered_query_has_driver_signature():
             f"{name}: registered callable must take exactly (spark, sf_dir); "
             f"got {inspect.signature(fn)}"
         )
+
+
+def test_interpolate_single_shuffle(spark, sf_dir):
+    """Both IGNORE NULLS frame directions share one (user_id, ts,
+    event_id) sort: exactly one Exchange in the plan."""
+    plan = _plan(spark, sf_dir, "interpolate_linear")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_markov_pair_agg_is_partial(spark, sf_dir):
+    """The (src, dst) count collapses map-side: HashAggregate below AND
+    above its Exchange (partial + final), so the wire carries the pair
+    space, not the event stream."""
+    plan = _plan(spark, sf_dir, "markov_transitions")
+    assert re.search(r"HashAggregate", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hard_negative_broadcasts_probes(spark, sf_dir):
+    """Probe side is broadcast — no corpus shuffle for the candidate
+    product; ranking is the only window."""
+    plan = _plan(spark, sf_dir, "hard_negative_topk")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_vocab_coverage_partial_agg_and_broadcast_thresholds(spark, sf_dir):
+    """Token counts are partial-aggregated map-side; the 4-row threshold
+    table joins via broadcast."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
