@@ -911,3 +911,55 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("bin_bytes"),
         )
     )
+
+
+DP_EPSILON = 1.0  # per-release privacy budget; b = sensitivity/epsilon = 1
+
+
+@query(
+    "dp_noisy_counts",
+    f"""
+    WITH c AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    u AS (
+      SELECT event_type, n,
+             (('0x' || substr(md5(event_type), 1, 8))::BIGINT)::DOUBLE
+               / 4294967296.0 AS unif
+      FROM c)
+    SELECT event_type,
+           round(n + (unif - 0.5) * 2.0 / {DP_EPSILON}, 4) AS n_noisy
+    FROM u
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-perturbed count release — the shape of a differentially-
+    private histogram publish (count + additive noise scaled by
+    sensitivity/epsilon, sensitivity 1 for a count).
+
+    DETERMINISM CAVEAT, stated loudly: real DP draws Laplace noise from
+    a secure RNG; an oracle-checkable query can't. This uses a uniform
+    perturbation in [-1/eps, +1/eps] derived from md5(group_key) — the
+    same cross-engine hash-uniform used by train_val_split — so the
+    release pipeline SHAPE (group, count, perturb, round, never expose
+    the raw count column) is exercised and verified end-to-end, while a
+    production deployment swaps one expression for
+    `rand_laplace(scale)`. ln()-based Laplace inversion is deliberately
+    avoided: libm ulp skew across engines would make the hash compare
+    flaky.
+
+    Plan: one map-side-collapsed count shuffle over |event_types|
+    groups; the perturbation is a pure projection. Scale-free."""
+    e = load_table(spark, "events", sf_dir)
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    unif = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
+            "bigint"
+        ).cast("double")
+        / 4294967296.0
+    )
+    return c.select(
+        "event_type",
+        F.round(
+            F.col("n") + (unif - 0.5) * 2.0 / DP_EPSILON, 4
+        ).alias("n_noisy"),
+    )

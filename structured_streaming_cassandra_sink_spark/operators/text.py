@@ -1142,3 +1142,85 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(covered.cast("double") / F.sum("n"), 6).alias("coverage"),
         )
     )
+
+
+LM_TOP_BIGRAMS = 30
+LM_ADD_K = 0.5
+
+
+@query(
+    "bigram_lm_probs",
+    f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(len(t) - 1),
+                 i -> concat_ws(' ', t[i+1], t[i+2]))) AS gram
+      FROM toks WHERE len(t) >= 2),
+    bg AS (SELECT gram, count(*) AS n FROM grams GROUP BY 1),
+    top AS (SELECT gram, n FROM bg ORDER BY n DESC, gram LIMIT {LM_TOP_BIGRAMS}),
+    u AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, count(*) AS cw FROM u GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM uc)
+    SELECT split_part(top.gram, ' ', 1) AS w1,
+           split_part(top.gram, ' ', 2) AS w2,
+           top.n,
+           round((top.n + {LM_ADD_K}) / (uc.cw + {LM_ADD_K} * vocab.v), 6)
+             AS p_smooth
+    FROM top
+    JOIN uc ON uc.w = split_part(top.gram, ' ', 1)
+    CROSS JOIN vocab
+    """,
+)
+def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram LM estimation for the corpus's top
+    bigrams: P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k|V|) — the model-
+    build half of n-gram perplexity filtering (lm_score is the scoring
+    half; this produces the conditional table a scorer would read).
+
+    Shape: three aggregations, each collapsing map-side (bigram space,
+    unigram space, and a 1-row vocab count); the top-{LM_TOP_BIGRAMS}
+    cut is TakeOrderedAndProject. The tiny winner set then BROADCASTS
+    against the vocabulary-sized unigram table, and |V| rides along as
+    a broadcast 1-row cross join — no data-sized shuffle after the
+    counts. At 100 TB the full conditional table (no LIMIT) is the same
+    plan with the broadcast flipped (unigram marginals are the smaller
+    side) — the smoothing arithmetic is unchanged."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    t = d.select(tokens(F.col("text")).alias("t"))
+    grams = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                )
+            ).alias("gram")
+        )
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(LM_TOP_BIGRAMS)
+        .select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n",
+        )
+    )
+    uc = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    vocab = uc.agg(F.count(F.lit(1)).alias("v"))
+    joined = uc.join(F.broadcast(top), uc.w == top.w1).crossJoin(
+        F.broadcast(vocab)
+    )
+    p = F.round(
+        (F.col("n") + F.lit(LM_ADD_K))
+        / (F.col("cw") + F.lit(LM_ADD_K) * F.col("v")),
+        6,
+    )
+    return joined.select("w1", "w2", "n", p.alias("p_smooth"))

@@ -831,3 +831,29 @@ def test_vocab_coverage_monotone(spark, sf_dir):
         assert r.coverage >= last
         assert r.covered_tokens <= r.total_tokens
         last = r.coverage
+
+
+def test_bigram_lm_probs_valid_distribution_fragment(spark, sf_dir):
+    """Each smoothed probability is in (0, 1); counts positive; the
+    top-30 cut is sorted by (n desc, gram) determinism."""
+    rows = registry.QUERIES["bigram_lm_probs"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.n >= 1
+        assert 0.0 < r.p_smooth < 1.0
+
+
+def test_dp_noisy_counts_bounded_noise(spark, sf_dir):
+    """|noisy - true| <= 1/epsilon for every group, and the raw count
+    column is NOT exposed in the release."""
+    df = registry.QUERIES["dp_noisy_counts"](spark, sf_dir)
+    assert "n" not in df.columns
+    truth = {
+        r.event_type: r.cnt
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in df.collect():
+        assert abs(r.n_noisy - truth[r.event_type]) <= 1.0 + 1e-9
