@@ -1281,3 +1281,80 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("last_value"),
         "n_ops",
     )
+
+
+AQP_SAMPLE_PCT = 10   # deterministic 10% hash sample
+AQP_REL_BAND = 0.05   # 5% relative-error contract on the estimates
+
+
+@query(
+    "aqp_sampled_agg",
+    f"""
+    WITH base AS (
+      SELECT l_returnflag, l_extendedprice,
+             (('0x' || substr(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 8))::BIGINT
+              % 100)::INT < {AQP_SAMPLE_PCT} AS in_sample
+      FROM lineitem),
+    agg AS (
+      SELECT l_returnflag,
+             count(*)                                         AS n_exact,
+             CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                  * (100 / {AQP_SAMPLE_PCT}) AS BIGINT)        AS n_est,
+             round(sum(l_extendedprice), 2)                   AS sum_exact,
+             round(sum(CASE WHEN in_sample THEN l_extendedprice ELSE 0 END)
+                   * (100.0 / {AQP_SAMPLE_PCT}), 2)           AS sum_est
+      FROM base GROUP BY 1)
+    SELECT l_returnflag, n_exact, n_est, sum_exact, sum_est,
+           abs(n_est - n_exact) <= {AQP_REL_BAND} * n_exact     AS n_within_band,
+           abs(sum_est - sum_exact) <= {AQP_REL_BAND} * sum_exact AS sum_within_band
+    FROM agg
+    """,
+)
+def aqp_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (the BlinkDB shape): answer an
+    aggregate from a deterministic hash sample with inverse-probability
+    scaling, next to the exact answer and a relative-error contract the
+    oracle asserts. At 100 TB the point is the sample TABLE is what you
+    maintain (1% stratified, kept hot); a 100x-cheaper scan answers
+    dashboard-grade questions and the band columns say when it's safe.
+
+    The sample is the engine-portable md5 bucket (train_val_split's
+    trick), NOT rand(): both engines pick the IDENTICAL sample, so the
+    estimates hash-match exactly AND carry the band contract — a
+    re-run, a retry, or an AQE re-plan can never change the answer.
+    One scan, one map-side-collapsed aggregate: exact and estimated
+    columns are conditional sums in the SAME HashAggregate."""
+    from .curation import hash_bucket
+
+    li = load_table(spark, "lineitem", sf_dir)
+    scale = 100 // AQP_SAMPLE_PCT
+    in_sample = (
+        hash_bucket(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")))
+        < AQP_SAMPLE_PCT
+    )
+    base = li.select("l_returnflag", "l_extendedprice", in_sample.alias("in_sample"))
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        (F.sum(F.when(F.col("in_sample"), 1).otherwise(0)) * scale)
+        .cast("bigint")
+        .alias("n_est"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_exact"),
+        F.round(
+            F.sum(F.when(F.col("in_sample"), F.col("l_extendedprice")).otherwise(0.0))
+            * (100.0 / AQP_SAMPLE_PCT),
+            2,
+        ).alias("sum_est"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        "n_est",
+        "sum_exact",
+        "sum_est",
+        (F.abs(F.col("n_est") - F.col("n_exact")) <= AQP_REL_BAND * F.col("n_exact"))
+        .alias("n_within_band"),
+        (
+            F.abs(F.col("sum_est") - F.col("sum_exact"))
+            <= AQP_REL_BAND * F.col("sum_exact")
+        ).alias("sum_within_band"),
+    )

@@ -199,17 +199,47 @@ def _manifest_latest(path: str) -> dict | None:
         return json.load(fh)
 
 
-def read_manifest_table(spark, path: str):
-    """Snapshot read: resolve the CURRENT committed version from the log
-    and read exactly its file set. Uncommitted/orphaned data dirs are
-    invisible — this is what makes the sink's crash window harmless."""
-    m = _manifest_latest(path)
-    if m is None:
-        raise FileNotFoundError(f"no committed manifest under {path}")
+def manifest_versions(path: str) -> list[int]:
+    """All committed version numbers, ascending. Only ``<int>.json``
+    log entries count — tmp files from a crashed commit are invisible."""
+    log = _manifest_log_dir(path)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+    )
+
+
+def read_manifest_table(spark, path: str, version: int | None = None):
+    """Snapshot read: resolve a committed version from the log and read
+    exactly its file set. ``version=None`` reads the CURRENT version;
+    passing an older committed version is TIME TRAVEL — every version's
+    data dir is immutable once its manifest commits (the sink writes
+    ``data/v{N}`` fresh and never mutates a published one), so an old
+    snapshot is byte-identical to what a reader saw at its commit
+    instant. Uncommitted/orphaned data dirs are invisible either way —
+    this is what makes the sink's crash window harmless."""
+    import json
+
+    if version is None:
+        m = _manifest_latest(path)
+        if m is None:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+    else:
+        f = os.path.join(_manifest_log_dir(path), f"{int(version)}.json")
+        if not os.path.isfile(f):
+            raise FileNotFoundError(
+                f"version {version} not committed under {path}; "
+                f"have {manifest_versions(path)}"
+            )
+        with open(f) as fh:
+            m = json.load(fh)
     return spark.read.parquet(os.path.join(path, m["data_dir"]))
 
 
-def manifest_merge_sink(path: str, key: str, order: list[str]):
+def manifest_merge_sink(path: str, key: str, order: list[str], retain: int | None = 2):
     """MERGE-by-key sink committed through a transaction log — the
     production idiom (Delta/Iceberg MERGE INTO) expressed with plain
     parquet + an atomic manifest rename, no library needed:
@@ -222,12 +252,16 @@ def manifest_merge_sink(path: str, key: str, order: list[str]):
     4. COMMIT = write ``_log/.tmp-*`` then os.rename to
        ``_log/{V+1}.json`` — one atomic filesystem op is the only
        publish point;
-    5. GC superseded data dirs, KEEPING the one immediately-previous
-       version: an in-flight reader pinned to version V survives the
-       commit of V+1 (its files outlive the scan); only V-1 and older
-       are deleted. That is the minimal retention that honors the
-       concurrent-reader claim below — a production log keeps deeper
-       history for snapshot isolation / time travel.
+    5. GC superseded data dirs, keeping the newest ``retain`` versions
+       (default 2 = current + immediately-previous): an in-flight reader
+       pinned to version V survives the commit of V+1 (its files outlive
+       the scan). ``retain=None`` keeps every version — full time-travel
+       history; any committed version stays readable via
+       ``read_manifest_table(spark, path, version=N)``. 2 is the minimal
+       retention that honors the concurrent-reader claim below; a
+       production deployment sets this from its snapshot-isolation /
+       time-travel policy (Delta's ``delta.deletedFileRetentionDuration``
+       analog, expressed in versions).
 
     Every crash window is safe: die before the rename and readers still
     see version V (the orphan data dir is invisible and re-used by the
@@ -264,15 +298,24 @@ def manifest_merge_sink(path: str, key: str, order: list[str]):
                 fh,
             )
         os.rename(tmp, os.path.join(log, f"{version}.json"))  # the commit
-        # GC: drop versions older than the PREVIOUS one. Keeping v-1
-        # alive means a reader that resolved the manifest just before
-        # this commit can still finish scanning its pinned data dir.
-        keep = {data_dir}
-        if m is not None:
-            keep.add(m["data_dir"])
+        # GC: keep the newest `retain` versions' data dirs (and their
+        # manifests — a log entry must never outlive its files). Keeping
+        # at least v-1 means a reader that resolved the manifest just
+        # before this commit can still finish scanning its pinned dir.
+        if retain is None:
+            return
+        versions = manifest_versions(path)
+        keep_versions = set(versions[-max(int(retain), 2):])
+        keep_dirs = set()
+        for v in keep_versions:
+            with open(os.path.join(log, f"{v}.json")) as fh:
+                keep_dirs.add(json.load(fh)["data_dir"])
         droot = os.path.join(path, "data")
         for d in os.listdir(droot):
-            if os.path.join("data", d) not in keep:
+            if os.path.join("data", d) not in keep_dirs:
                 shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
+        for v in versions:
+            if v not in keep_versions:
+                os.remove(os.path.join(log, f"{v}.json"))
 
     return write

@@ -857,3 +857,19 @@ def test_dp_noisy_counts_bounded_noise(spark, sf_dir):
     }
     for r in df.collect():
         assert abs(r.n_noisy - truth[r.event_type]) <= 1.0 + 1e-9
+
+
+def test_aqp_estimates_within_sampling_error(spark, sf_dir):
+    """Estimates sit within 4 sigma of the Bernoulli sampling error
+    (rel sigma = sqrt((1-p)/(p*n))) — holds at ANY sf, unlike the
+    query's fixed 5% band, which is a product contract meant for the
+    sf0.01+ group sizes the driver checks. Estimates are exact
+    multiples of the inverse sampling rate."""
+    import math
+
+    p = 0.1
+    for r in registry.QUERIES["aqp_sampled_agg"](spark, sf_dir).collect():
+        bound = 4 * math.sqrt((1 - p) / (p * r.n_exact))
+        assert abs(r.n_est - r.n_exact) <= bound * r.n_exact, (r, bound)
+        assert abs(r.sum_est - r.sum_exact) <= 2 * bound * r.sum_exact, (r, bound)
+        assert r.n_est % 10 == 0

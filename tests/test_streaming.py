@@ -1721,3 +1721,52 @@ def test_stateful_ops_survive_malformed_record(spark, tmp_path):
         assert all(r.user_id == 3 and r.session_seq == 1 for r in rows)
     finally:
         q.stop()
+
+
+def test_manifest_time_travel_reads_old_snapshot(spark, message_dir, tmp_path):
+    """Every committed version stays readable after later merges: the
+    version-1 snapshot read AFTER the stream finishes equals the state
+    captured AT version 1 (immutable data dirs), and version pinning
+    rejects uncommitted numbers."""
+    import pytest as _pytest
+
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        manifest_merge_sink,
+        manifest_versions,
+        read_manifest_table,
+        start_to_sink,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        file_message_stream,
+        parse_message_stream,
+    )
+
+    table = str(tmp_path / "tt_table")
+    ckpt = str(tmp_path / "tt_ckpt")
+    # retain=None: keep every version — the time-travel configuration
+    sink = manifest_merge_sink(table, "user_id", ["ts", "event_id"], retain=None)
+    parsed = parse_message_stream(
+        file_message_stream(spark, message_dir, max_files_per_trigger=1)
+    ).select("user_id", "ts", "event_id")
+    q = start_to_sink(parsed, sink, ckpt, query_name="t_timetravel")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = manifest_versions(table)
+    assert len(versions) >= 2, "need multiple epochs for time travel"
+    v1 = versions[0]
+    old = read_manifest_table(spark, table, version=v1)
+    cur = read_manifest_table(spark, table)
+    # the old snapshot is a strict subset of users (merge only adds or
+    # updates keys) and differs from current (later epochs landed)
+    old_rows = {r.user_id: (r.ts, r.event_id) for r in old.collect()}
+    cur_rows = {r.user_id: (r.ts, r.event_id) for r in cur.collect()}
+    assert set(old_rows) <= set(cur_rows)
+    assert old_rows != cur_rows
+    # a key present in both is at an <= timestamp in the old snapshot
+    for uid, (ts, _) in old_rows.items():
+        assert ts <= cur_rows[uid][0]
+    with _pytest.raises(FileNotFoundError):
+        read_manifest_table(spark, table, version=max(versions) + 1000)
