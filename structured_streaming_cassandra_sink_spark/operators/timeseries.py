@@ -1137,3 +1137,118 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interp"),
         F.round(filled, 6).alias("filled"),
     )
+
+
+CUSUM_H = 4.0  # decision threshold, in std units of the hourly series
+
+
+@query(
+    "cusum_changepoint",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+             round(avg(value), 6) AS rate
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             round(avg(rate), 6)        AS mu,
+             round(stddev_pop(rate), 6) AS sigma
+      FROM hourly GROUP BY 1),
+    dev AS (
+      SELECT h.event_type, h.hour_ts,
+             round((h.rate - s.mu) / s.sigma, 6) AS z
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE s.sigma > 0),
+    cusum AS (
+      SELECT event_type, hour_ts, z,
+             round(sum(z) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                ROWS UNBOUNDED PRECEDING), 6) AS s_cum
+      FROM dev)
+    SELECT event_type, hour_ts, z, s_cum,
+           CASE WHEN abs(s_cum) > {CUSUM_H} THEN 1 ELSE 0 END AS drifted
+    FROM cusum
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over hourly rates per event_type: running
+    sum of standardized deviations from the series mean; |S| above the
+    threshold flags sustained drift a point-anomaly z-score
+    (anomaly_rolling_z) cannot see — the mean-shift monitor of a data-
+    quality pipeline (feed silently degrading vs one bad record).
+
+    Shape: hourly pre-aggregation is the only full-data pass (map-side
+    collapsed). Everything after runs on the hours-x-types table: the
+    per-type (mu, sigma) profile broadcasts back, and the running sum is
+    one window over the tiny hourly series. Two-sided textbook CUSUM
+    (V-mask); the one-sided max(0, .) recurrences don't translate to a
+    window frame, so this is the form that stays declarative — and at
+    100 TB the hourly table is still only |types| x hours rows."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("rate"))
+    stats = hourly.groupBy("event_type").agg(
+        F.round(F.avg("rate"), 6).alias("mu"),
+        F.round(F.stddev_pop("rate"), 6).alias("sigma"),
+    )
+    dev = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            "hour_ts",
+            F.round((F.col("rate") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dev.select(
+        "event_type",
+        "hour_ts",
+        "z",
+        F.round(F.sum("z").over(w), 6).alias("s_cum"),
+    ).withColumn(
+        "drifted",
+        F.when(F.abs(F.col("s_cum")) > CUSUM_H, 1).otherwise(0),
+    )
+
+
+@query(
+    "period_over_period",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day_ts, n,
+           lag(n) OVER w AS n_prev,
+           round((n - lag(n) OVER w) * 100.0 / lag(n) OVER w, 4) AS pct_change
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_ts)
+    """,
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth per event_type — the BI staple (DoD/WoW/MoM
+    deltas). First period carries NULL prev/change, division is exact
+    integer-count arithmetic scaled before rounding.
+
+    Shape: the daily count is the only full-data pass (map-side
+    collapse to |types| x days partials); the lag window sorts the tiny
+    daily table. Missing days: compose with gap_fill's spine first when
+    calendar-dense deltas are required — kept separate here so each
+    query stays one capability."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_ts")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "event_type",
+        "day_ts",
+        "n",
+        prev.alias("n_prev"),
+        F.round((F.col("n") - prev) * 100.0 / prev, 4).alias("pct_change"),
+    )
