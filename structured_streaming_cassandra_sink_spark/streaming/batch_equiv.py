@@ -140,3 +140,44 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the classic gaps-and-islands construction (session_end = last
     event + gap, matching Spark's definition)."""
     return session_agg(load_table(spark, "events", sf_dir))
+
+
+def tumbling_distinct_agg(events: DataFrame, exact: bool = True) -> DataFrame:
+    """Hourly distinct-user cardinality per event_type — the streaming
+    cardinality rollup. Batch mode counts EXACTLY; the streaming twin
+    (streaming/pipeline.py streaming_tumbling_distinct) swaps in
+    approx_count_distinct, because exact distinct needs per-window
+    distinct state (unbounded per key) where the HLL sketch is O(1) and
+    MERGEABLE across micro-batches — at 100 TB the sketch form is the
+    only one that streams. The 5% rsd contract between the two is
+    pinned in tests/test_streaming.py."""
+    agg = (
+        F.count_distinct(F.col("user_id"))
+        if exact
+        else F.approx_count_distinct("user_id")
+    )
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(agg.alias("users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "users",
+        )
+    )
+
+
+@query(
+    "stream_tumbling_distinct",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR  AS window_end,
+           event_type,
+           count(DISTINCT user_id)                               AS users
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_distinct_agg(load_table(spark, "events", sf_dir), exact=True)

@@ -206,3 +206,25 @@ def streaming_dedup_events(spark: SparkSession, source_dir: str, query_name: str
         .format("memory")
         .start()
     )
+
+
+def streaming_tumbling_distinct(
+    spark: SparkSession, source_dir: str, query_name: str = "TumblingDistinct"
+):
+    """Streaming cardinality rollup: hourly approx distinct users per
+    type. approx_count_distinct's HLL buffer is the mergeable,
+    bounded-size state that makes distinct-count streamable (exact
+    distinct would hold every user id per open window); complete mode
+    over the file-mirror, converges to within HLL rsd of the batch
+    exact count (pinned in tests)."""
+    from .batch_equiv import tumbling_distinct_agg
+
+    messages = file_message_stream(spark, source_dir)
+    events = parse_message_stream(messages).withWatermark("ts", WATERMARK)
+    return (
+        tumbling_distinct_agg(events, exact=False)
+        .writeStream.queryName(query_name)
+        .outputMode("complete")
+        .format("memory")
+        .start()
+    )

@@ -1770,3 +1770,33 @@ def test_manifest_time_travel_reads_old_snapshot(spark, message_dir, tmp_path):
         assert ts <= cur_rows[uid][0]
     with _pytest.raises(FileNotFoundError):
         read_manifest_table(spark, table, version=max(versions) + 1000)
+
+
+def test_streaming_tumbling_distinct_within_hll_band(spark, message_dir):
+    """Streaming approx distinct per (window, type) lands within the
+    HLL++ default-rsd band (5% at 3 sigma-ish) of the batch EXACT
+    count, for every window — the streamable form of the cardinality
+    rollup is quantitatively honest, not just row-shaped."""
+    from structured_streaming_cassandra_sink_spark.streaming.batch_equiv import (
+        tumbling_distinct_agg,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.pipeline import (
+        streaming_tumbling_distinct,
+    )
+
+    q = streaming_tumbling_distinct(spark, message_dir, query_name="t_tdist")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.window_end, r.event_type): r.users
+            for r in spark.sql("SELECT * FROM t_tdist").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.window_start, r.window_end, r.event_type): r.users
+        for r in tumbling_distinct_agg(_batch_parsed(spark, message_dir)).collect()
+    }
+    assert set(got) == set(want)
+    for k, exact in want.items():
+        assert abs(got[k] - exact) <= max(2, 0.15 * exact), (k, got[k], exact)
