@@ -1358,3 +1358,72 @@ def aqp_sampled_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= AQP_REL_BAND * F.col("sum_exact")
         ).alias("sum_within_band"),
     )
+
+
+@query(
+    "table_diff",
+    """
+    WITH newt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 3),
+    oldt AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 37 = 0
+                  THEN round(o_totalprice * 0.9, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 50 <> 0)
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM newt n FULL OUTER JOIN oldt o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR n.o_totalprice  IS DISTINCT FROM o.o_totalprice
+       OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions by key into
+    added / removed / changed rows — the audit op behind CDC validation,
+    backfill verification, and manifest-version comparison (pair with
+    read_manifest_table(version=N)). The two versions here are derived
+    deterministically from orders (keys dropped from each side, a price
+    restatement on one) so the oracle sees identical inputs.
+
+    Shape: ONE full-outer sort-merge join on the key, value columns
+    compared with null-safe inequality (never a stringified row hash —
+    cross-engine float formatting is not canonical), unchanged rows
+    filtered before anything ships. At 100 TB both snapshots come from
+    the same bucketed layout, so the join elides its shuffles entirely
+    (see sources/bucketed.py); the output is only the churn, which is
+    what a reconciliation report wants to be sized by."""
+    o = load_table(spark, "orders", sf_dir)
+    newt = o.filter(F.col("o_orderkey") % 97 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    oldt = o.filter(F.col("o_orderkey") % 50 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 37 == 0, F.round(F.col("o_totalprice") * 0.9, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    n, old = newt.alias("n"), oldt.alias("o")
+    j = n.join(old, F.col("n.o_orderkey") == F.col("o.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+    )
+    differs = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | ~F.col("n.o_totalprice").eqNullSafe(F.col("o.o_totalprice"))
+        | ~F.col("n.o_orderstatus").eqNullSafe(F.col("o.o_orderstatus"))
+    )
+    return j.filter(differs).select(
+        F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")).alias("o_orderkey"),
+        status.alias("status"),
+    )

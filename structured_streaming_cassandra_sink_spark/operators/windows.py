@@ -373,3 +373,108 @@ def first_last_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value(F.col("props"), ignoreNulls=True).over(w).alias("first_props"),
         F.last_value(F.col("props"), ignoreNulls=True).over(w).alias("last_props"),
     ).distinct()
+
+
+@query(
+    "weighted_percentile",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS v, l_quantity AS wt
+      FROM lineitem),
+    tot AS (SELECT grp, round(sum(wt), 4) AS total_w FROM w GROUP BY 1),
+    cum AS (
+      SELECT grp, v, wt,
+             round(sum(wt) OVER (PARTITION BY grp ORDER BY v, wt
+                                 ROWS UNBOUNDED PRECEDING), 4) AS cw
+      FROM w)
+    SELECT c.grp, min(c.v) AS weighted_median
+    FROM cum c JOIN tot t USING (grp)
+    WHERE c.cw >= 0.5 * t.total_w
+    GROUP BY c.grp
+    """,
+)
+def weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose running
+    weight crosses half the total — quantity-weighted price here, token-
+    weighted quality score in a curation pipeline (a 10k-token doc
+    should pull the cutoff 10k times harder than a tweet). Spark has no
+    weighted percentile aggregate; the cumulative-weight window IS the
+    textbook definition, executed distributed.
+
+    Shape: one shuffle sorts each group once for the running weight; the
+    per-group total broadcasts back (|groups| rows); the crossing row
+    falls out of a min() aggregate — no second sort. Weights and the
+    running sum round at 4 on both engines so the crossing comparison
+    can't flip on FP dust. At 100 TB this is still one sort shuffle,
+    same cost class as any windowed analytic; for repeated quantiles at
+    many q's, derive them all from the SAME cum table (the window is
+    shared)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("wt"),
+    )
+    tot = w.groupBy("grp").agg(F.round(F.sum("wt"), 4).alias("total_w"))
+    cw = (
+        Window.partitionBy("grp")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w.select(
+        "grp", "v", "wt", F.round(F.sum("wt").over(cw), 4).alias("cw")
+    )
+    return (
+        cum.join(F.broadcast(tot), "grp")
+        .filter(F.col("cw") >= 0.5 * F.col("total_w"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
+@query(
+    "max_drawdown",
+    """
+    WITH series AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+             max(value) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events)
+    SELECT user_id,
+           round(max(peak - value), 4) AS max_drawdown,
+           round(max(CASE WHEN peak > 0 THEN (peak - value) / peak
+                          ELSE 0 END), 6) AS max_drawdown_frac
+    FROM series
+    GROUP BY user_id
+    """,
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the deepest drop from a running peak,
+    absolute and as a fraction of the peak — the running-extreme window
+    class (peak tracking, high-water marks, SLA floors), distinct from
+    running sums (sessionize) and running distincts.
+
+    Shape: ONE window (running max) and the final aggregate share the
+    user_id partitioning — a single shuffle; the drawdown math is pure
+    codegen projection between them. State per row in the frame is
+    O(1) (a running max), so 100 TB changes nothing structurally."""
+    e = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(tus, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = e.select(
+        "user_id",
+        "value",
+        F.max("value").over(w).alias("peak"),
+    )
+    dd = F.col("peak") - F.col("value")
+    return series.groupBy("user_id").agg(
+        F.round(F.max(dd), 4).alias("max_drawdown"),
+        F.round(
+            F.max(F.when(F.col("peak") > 0, dd / F.col("peak")).otherwise(0.0)), 6
+        ).alias("max_drawdown_frac"),
+    )
