@@ -1252,3 +1252,71 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("n_prev"),
         F.round((F.col("n") - prev) * 100.0 / prev, 4).alias("pct_change"),
     )
+
+
+ATTRIB_WINDOW_US = 3600 * 1_000_000  # last-touch lookback: 1 hour
+
+
+@query(
+    "last_touch_attribution",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ptus
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS ctus, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    m AS (
+      SELECT p.purchase_id, p.user_id, j.click_id,
+             (p.ptus - j.ctus) // 1000000 AS lag_raw,
+             j.click_id IS NOT NULL
+               AND (p.ptus - j.ctus) <= {ATTRIB_WINDOW_US} AS ok
+      FROM p ASOF LEFT JOIN c j
+        ON p.user_id = j.user_id AND p.ptus >= j.ctus)
+    SELECT purchase_id, user_id,
+           CASE WHEN ok THEN click_id END AS click_id,
+           CASE WHEN ok THEN lag_raw END  AS lag_sec,
+           CASE WHEN ok THEN 1 ELSE 0 END AS attributed
+    FROM m
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click at most one hour before it — the marketing/causality
+    join (conversion -> triggering touchpoint). It is an as-of join
+    between two FILTERED VIEWS OF THE SAME STREAM, plus a staleness
+    gate: a click older than the window leaves the purchase
+    unattributed (NULL, not dropped — unattributed rate is the metric).
+
+    Shape: reuses the union+window as-of kernel (`asof_join`) — one
+    user_id shuffle, no range explosion however many clicks precede a
+    purchase. Clicks pre-dedupe per (user, ts) to max event_id on BOTH
+    engines, so tie-breaking is by construction, not engine whim.
+    Lag math in integer microseconds; `div` truncation == DuckDB `//`
+    floor on the non-negative domain."""
+    e = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", tus.alias("ptus")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", tus.alias("ctus"), "event_id")
+        .groupBy("user_id", "ctus")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    m = asof_join(
+        p, c, key="user_id", left_ts="ptus", right_ts="ctus",
+        value_cols=["click_id", "ctus"],
+    )
+    ok = F.col("click_id").isNotNull() & (
+        (F.col("ptus") - F.col("ctus")) <= ATTRIB_WINDOW_US
+    )
+    lag = F.expr("(ptus - ctus) div 1000000")
+    return m.select(
+        "purchase_id",
+        "user_id",
+        F.when(ok, F.col("click_id")).alias("click_id"),
+        F.when(ok, lag).alias("lag_sec"),
+        F.when(ok, 1).otherwise(0).alias("attributed"),
+    )
