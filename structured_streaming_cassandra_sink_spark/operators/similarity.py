@@ -1157,3 +1157,94 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= HN_K)
         .select("query_id", "vec_id", "label", "cos_sim", "rnk")
     )
+
+
+@query(
+    "cluster_quality_report",
+    """
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS e
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim, avg(e) AS c FROM ex GROUP BY 1, 2),
+    d2 AS (
+      SELECT ex.vec_id, ex.label, sum((ex.e - cent.c) ^ 2) AS dist2
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+      GROUP BY 1, 2),
+    intra AS (
+      SELECT label, count(*) AS n_members,
+             round(avg(sqrt(dist2)), 4) AS intra_mean_dist
+      FROM d2 GROUP BY 1),
+    cpair AS (
+      SELECT a.label AS la, b.label AS lb, sqrt(sum((a.c - b.c) ^ 2)) AS cd
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY 1, 2),
+    inter AS (
+      SELECT la AS label, round(min(cd), 4) AS inter_min_dist
+      FROM cpair GROUP BY 1)
+    SELECT i.label, i.n_members, i.intra_mean_dist, t.inter_min_dist,
+           round(t.inter_min_dist / i.intra_mean_dist, 4) AS separation_ratio
+    FROM intra i JOIN inter t USING (label)
+    """,
+)
+def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion/separation report per label: mean member-to-
+    centroid distance (intra), nearest other-centroid distance (inter),
+    and their ratio — the Dunn-index-style health check run after any
+    clustering/labeling pass (a ratio near or below 1 says the classes
+    bleed into each other; embedding_cluster_assign + this = assign then
+    audit).
+
+    Scale shape: everything flows through the dimension-exploded
+    (vec, label, dim, e) form — per-(label, dim) centroid partials are
+    map-side combinable, the member-distance join fans each row out
+    against a |labels| x dim BROADCAST centroid table, and per-vector
+    distances re-aggregate on vec_id. The only data-sized shuffles carry
+    scalar rows; centroid-pair distances are |labels|^2 x dim — dust.
+    Float discipline: distances aggregate unrounded and round once at
+    the report boundary (4 dp), same op order both engines."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim0", "e"),
+    ).select(
+        "vec_id", "label", (F.col("dim0") + 1).cast("int").alias("dim"), "e"
+    )
+    cent = ex.groupBy("label", "dim").agg(F.avg("e").alias("c"))
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.pow(F.col("e") - F.col("c"), 2)).alias("dist2"))
+    )
+    intra = d2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg(F.sqrt("dist2")), 4).alias("intra_mean_dist"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    cpair = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("la"), F.col("b.label").alias("lb"))
+        .agg(F.sqrt(F.sum(F.pow(F.col("a.c") - F.col("b.c"), 2))).alias("cd"))
+    )
+    inter = cpair.groupBy(F.col("la").alias("label")).agg(
+        F.round(F.min("cd"), 4).alias("inter_min_dist")
+    )
+    return (
+        intra.join(inter, "label")
+        .select(
+            "label",
+            "n_members",
+            "intra_mean_dist",
+            "inter_min_dist",
+            F.round(
+                F.col("inter_min_dist") / F.col("intra_mean_dist"), 4
+            ).alias("separation_ratio"),
+        )
+    )

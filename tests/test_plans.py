@@ -509,3 +509,25 @@ def test_vocab_coverage_partial_agg_and_broadcast_thresholds(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vocab_coverage")
     assert plan.count("HashAggregate") >= 2, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_weighted_percentile_single_sort_shuffle(spark, sf_dir):
+    """The cumulative-weight window is the only data-sized Exchange;
+    group totals come back as a broadcast."""
+    plan = _plan(spark, sf_dir, "weighted_percentile")
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_cluster_quality_centroids_broadcast(spark, sf_dir):
+    """Member-to-centroid distances join against a BROADCAST centroid
+    table — the data-sized side never shuffles for the join."""
+    plan = _plan(spark, sf_dir, "cluster_quality_report")
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """The as-of kernel unions both sides then windows per user: no
+    range-join explosion (no BroadcastNestedLoopJoin on the match)."""
+    plan = _plan(spark, sf_dir, "last_touch_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
