@@ -1427,3 +1427,86 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")).alias("o_orderkey"),
         status.alias("status"),
     )
+
+
+BASKET_TOP_PAIRS = 20
+
+
+@query(
+    "market_basket_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    part_n AS (
+      SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    top AS (
+      SELECT part_a, part_b, n_ab FROM pairs
+      ORDER BY n_ab DESC, part_a, part_b LIMIT {BASKET_TOP_PAIRS})
+    SELECT t.part_a, t.part_b, t.n_ab,
+           round(CAST(t.n_ab AS DOUBLE) / na.n_orders, 6) AS conf_a_to_b,
+           round(CAST(t.n_ab AS DOUBLE) / nb.n_orders, 6) AS conf_b_to_a
+    FROM top t
+    JOIN part_n na ON na.l_partkey = t.part_a
+    JOIN part_n nb ON nb.l_partkey = t.part_b
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought in the
+    same order, with both directional confidences (n_ab/n_a, n_ab/n_b)
+    — the association-rule primitive behind also-bought recommenders
+    and co-retrieval analysis.
+
+    Shape: distinct (order, part) first (multi-line orders collapse),
+    then the pair generation is an equi-join ON THE ORDER KEY — fan-out
+    is Σ basket_size² over orders, never |parts|². The top-{BASKET_TOP_PAIRS}
+    cut is TakeOrderedAndProject, and only the tiny winner set joins the
+    per-part order counts (winners broadcast). At 100 TB the guard is
+    basket-size capping before the self-join (a 10k-item basket
+    contributes 5·10^7 pairs — cap or salt it) plus min-support pruning
+    of rare parts BEFORE pairing; both compose ahead of this plan
+    without changing it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    top = pairs.orderBy(F.col("n_ab").desc(), "part_a", "part_b").limit(
+        BASKET_TOP_PAIRS
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
+    )
+    return (
+        na.join(F.broadcast(top), "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("nb"), 6).alias(
+                "conf_b_to_a"
+            ),
+        )
+    )

@@ -67,7 +67,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   bigram_lm_probs, dp_noisy_counts, aqp_sampled_agg,
 #   cusum_changepoint, period_over_period, stream_tumbling_distinct,
 #   weighted_percentile, max_drawdown, table_diff,
-#   last_touch_attribution, cluster_quality_report (+ any
+#   last_touch_attribution, cluster_quality_report, market_basket_pairs (+ any
 #   later round-3 additions — diff OPERATORS.md against CORRECTNESS_r0*).
 # That is 15 rows; the remaining ~39 slots go to re-confirming rows whose
 # oracle SQL or plan changed since their green row, oldest green first.
