@@ -155,13 +155,19 @@ def main() -> int:
     line["queries"] = {}
     line["queries_n_total"] = len(timings)
     line["full_results"] = "BENCH_FULL.json"
+    # placeholder at MAX width BEFORE the trim loop, so the final value
+    # (always <= len(timings), so never wider) cannot push the line back
+    # over the budget the loop just enforced
+    line["queries_omitted"] = len(timings)
     for k, v in slowest:
         line["queries"][k] = v
         if len(json.dumps(line, separators=(",", ":"))) > budget:
             del line["queries"][k]
             break
     line["queries_omitted"] = len(timings) - len(line["queries"])
-    print(json.dumps(line, separators=(",", ":")))
+    out = json.dumps(line, separators=(",", ":"))
+    assert len(out) <= 1900, f"bench line {len(out)}B exceeds tail budget"
+    print(out)
     spark.stop()
     return 0
 

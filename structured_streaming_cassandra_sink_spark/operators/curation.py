@@ -62,6 +62,24 @@ def _bucket_sql(col: str = "text") -> str:
     return f"(('0x' || substr(md5({col}), 1, 8))::BIGINT % 100)::INT"
 
 
+def hash_unif(col: Column, offset: float = 0.0) -> Column:
+    """Deterministic uniform in [offset/2^32, 1): first 8 md5 hex chars
+    scaled by 2^32. ``offset=0.5`` centers the lattice away from 0
+    (safe under ln(), used by weighted sampling); 0.0 is the plain
+    CDF-style uniform. SINGLE owner of the md5-to-uniform convention —
+    mirror with `_unif_sql` so the engine pair can't drift."""
+    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    return (h + F.lit(offset)) / F.lit(4294967296.0)
+
+
+def _unif_sql(col: str, offset: str = "0") -> str:
+    """DuckDB twin of `hash_unif` — same hash, same offset, same scale."""
+    return (
+        f"((('0x' || substr(md5({col}), 1, 8))::BIGINT + {offset})"
+        f" / 4294967296.0)"
+    )
+
+
 def split_of(bucket: Column) -> Column:
     return (
         F.when(bucket < TRAIN_PCT, "train")
@@ -811,8 +829,7 @@ WSAMPLE_K = 10  # kept per source
     f"""
     WITH keyed AS (
       SELECT source, doc_id, n_chars AS w,
-             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                 + 0.5) / 4294967296.0) / n_chars AS k
+             ln({_unif_sql("CAST(doc_id AS VARCHAR)", "0.5")}) / n_chars AS k
       FROM documents
     )
     SELECT source, doc_id, w,
@@ -835,10 +852,7 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm ulps can't leak into the hash compare; key collisions closer
     than an ulp are probability ~0, and doc_id breaks exact ties."""
     d = load_table(spark, "documents", sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    u = hash_unif(F.col("doc_id").cast("string"), offset=0.5)
     keyed = d.select(
         "source",
         "doc_id",
@@ -923,8 +937,7 @@ DP_EPSILON = 1.0  # per-release privacy budget; b = sensitivity/epsilon = 1
       SELECT event_type, count(*) AS n FROM events GROUP BY 1),
     u AS (
       SELECT event_type, n,
-             (('0x' || substr(md5(event_type), 1, 8))::BIGINT)::DOUBLE
-               / 4294967296.0 AS unif
+             {_unif_sql("event_type")} AS unif
       FROM c)
     SELECT event_type,
            round(n + (unif - 0.5) * 2.0 / {DP_EPSILON}, 4) AS n_noisy
@@ -951,12 +964,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups; the perturbation is a pure projection. Scale-free."""
     e = load_table(spark, "events", sf_dir)
     c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    unif = (
-        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
-            "bigint"
-        ).cast("double")
-        / 4294967296.0
-    )
+    unif = hash_unif(F.col("event_type"))
     return c.select(
         "event_type",
         F.round(

@@ -590,9 +590,15 @@ def dupgraph_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None)
     out_dir = out_dir or _dupgraph_dir(sf_dir)
     docs = spread(load_table(spark, "documents", sf_dir))
     tmp = f"{out_dir}.build-{os.getpid()}"
-    ngram_jaccard_pairs(docs).write.mode("overwrite").parquet(
-        os.path.join(tmp, "pairs")
-    )
+    try:
+        ngram_jaccard_pairs(docs).write.mode("overwrite").parquet(
+            os.path.join(tmp, "pairs")
+        )
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # no half-built leak
+        raise
     _atomic_publish(tmp, out_dir)  # readers never see a half-built graph
     return out_dir
 

@@ -1283,7 +1283,12 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-AQP_SAMPLE_PCT = 10   # deterministic 10% hash sample
+AQP_SAMPLE_PCT = 10   # deterministic 10% hash sample; must divide 100 so
+                      # the count scale is exact INTEGER arithmetic on
+                      # both engines (Python // below == DuckDB // in the
+                      # oracle; a float scale would round differently at
+                      # the BIGINT cast: Spark truncates, DuckDB rounds)
+assert 100 % AQP_SAMPLE_PCT == 0, "sample pct must divide 100"
 AQP_REL_BAND = 0.05   # 5% relative-error contract on the estimates
 
 
@@ -1299,7 +1304,7 @@ AQP_REL_BAND = 0.05   # 5% relative-error contract on the estimates
       SELECT l_returnflag,
              count(*)                                         AS n_exact,
              CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
-                  * (100 / {AQP_SAMPLE_PCT}) AS BIGINT)        AS n_est,
+                  * {100 // AQP_SAMPLE_PCT} AS BIGINT)         AS n_est,
              round(sum(l_extendedprice), 2)                   AS sum_exact,
              round(sum(CASE WHEN in_sample THEN l_extendedprice ELSE 0 END)
                    * (100.0 / {AQP_SAMPLE_PCT}), 2)           AS sum_est
@@ -1465,7 +1470,8 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the pair generation is an equi-join ON THE ORDER KEY — fan-out
     is Σ basket_size² over orders, never |parts|². The top-{BASKET_TOP_PAIRS}
     cut is TakeOrderedAndProject, and only the tiny winner set joins the
-    per-part order counts (winners broadcast). At 100 TB the guard is
+    per-part order counts (the winner set broadcasts onto BOTH count
+    probes — part_n is scanned, never shuffled, for either join). At 100 TB the guard is
     basket-size capping before the self-join (a 10k-item basket
     contributes 5·10^7 pairs — cap or salt it) plus min-support pruning
     of rare parts BEFORE pairing; both compose ahead of this plan
@@ -1495,9 +1501,9 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = part_n.select(
         F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb")
     )
+    enriched = na.join(F.broadcast(top), "part_a")
     return (
-        na.join(F.broadcast(top), "part_a")
-        .join(nb, "part_b")
+        nb.join(F.broadcast(enriched), "part_b")
         .select(
             "part_a",
             "part_b",

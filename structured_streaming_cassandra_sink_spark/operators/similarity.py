@@ -149,27 +149,61 @@ def _lsh_index_dir(sf_dir: str) -> str:
 
 
 def _atomic_publish(tmp_dir: str, final_dir: str) -> None:
-    """Swap a freshly-built index directory into place with renames.
+    """Publish a freshly-built index directory by POINTER SWAP.
 
     Spark's `mode("overwrite")` deletes the destination FIRST and then
-    writes — a concurrent probe (or test) that lists the dir in that
-    window sees an empty/partial index and dies with
-    UNABLE_TO_INFER_SCHEMA. Building into a sibling tmp dir and renaming
-    keeps the old index fully readable until the instant the new one
-    replaces it (same-filesystem rename is atomic on POSIX; on an object
-    store this maps to the usual publish-by-pointer manifest commit)."""
+    writes — a concurrent probe that lists the dir in that window sees
+    an empty/partial index and dies with UNABLE_TO_INFER_SCHEMA. A
+    rename PAIR (final→trash, tmp→final) still has a gap where the path
+    does not exist. The gapless form is the manifest-sink idiom: the
+    published path is a SYMLINK; each build lands in an immutable
+    ``.pub-*`` sibling and one `os.rename` of a pre-made symlink flips
+    the pointer — readers either resolve the old version or the new
+    one, never nothing. (On an object store this maps to the usual
+    publish-by-pointer manifest commit.)
+
+    Retention mirrors the manifest sink: the previous version's dir
+    survives one more publish, so a reader that resolved the pointer
+    just before the swap can finish its scan; older ``.pub-*`` dirs are
+    GC'd. In-flight ``.build-*`` dirs are never touched."""
     import os
     import shutil
+    import uuid
 
-    os.makedirs(os.path.dirname(final_dir) or ".", exist_ok=True)
-    trash = f"{final_dir}.old-{os.getpid()}"
-    try:
-        os.rename(final_dir, trash)
-    except FileNotFoundError:
-        trash = None
-    os.rename(tmp_dir, final_dir)
-    if trash is not None:
-        shutil.rmtree(trash, ignore_errors=True)
+    parent = os.path.dirname(final_dir) or "."
+    base = os.path.basename(final_dir)
+    os.makedirs(parent, exist_ok=True)
+
+    # migrate a legacy real-directory layout (pre-pointer builds) into a
+    # version dir; the one-time gap only exists for layouts written by
+    # the old scheme
+    if os.path.isdir(final_dir) and not os.path.islink(final_dir):
+        os.rename(final_dir, f"{final_dir}.pub-legacy-{uuid.uuid4().hex[:8]}")
+
+    prev = os.path.realpath(final_dir) if os.path.islink(final_dir) else None
+
+    pub_dir = f"{final_dir}.pub-{uuid.uuid4().hex[:8]}"
+    os.rename(tmp_dir, pub_dir)
+    link_tmp = f"{final_dir}.lnk-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.abspath(pub_dir), link_tmp)
+    os.rename(link_tmp, final_dir)  # the atomic pointer swap
+
+    keep = {os.path.abspath(pub_dir)}
+    if prev is not None:
+        keep.add(os.path.abspath(prev))
+    for d in os.listdir(parent):
+        p = os.path.join(parent, d)
+        if d == base:
+            continue
+        if d.startswith(f"{base}.lnk-") and os.path.islink(p):
+            os.remove(p)  # stale pointer from a crashed publish
+        elif (
+            d.startswith(f"{base}.pub-")
+            and not os.path.islink(p)
+            and os.path.isdir(p)
+            and os.path.abspath(p) not in keep
+        ):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def signature_rows(batch: DataFrame) -> DataFrame:
@@ -206,9 +240,15 @@ def lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
     # dominates the probe (measured 5000 files -> 2.8 s probe at sf0.1).
     # After: one file per bucket. At 100 TB add maxRecordsPerFile.
     tmp = f"{index_dir}.build-{os.getpid()}"
-    csig.repartition(LSH_TABLES * (1 << LSH_PLANES), "t", "sig").write.mode(
-        "overwrite"
-    ).partitionBy("t", "sig").parquet(os.path.join(tmp, "corpus"))
+    try:
+        csig.repartition(LSH_TABLES * (1 << LSH_PLANES), "t", "sig").write.mode(
+            "overwrite"
+        ).partitionBy("t", "sig").parquet(os.path.join(tmp, "corpus"))
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # no half-built leak
+        raise
     _atomic_publish(tmp, index_dir)
     return index_dir
 
@@ -504,13 +544,19 @@ def ivf_build(
     # One file per cell (see lsh_build: unclustered partitioned writes
     # leave tasks x cells tiny files; at 100 TB add maxRecordsPerFile).
     tmp = f"{index_dir}.build-{os.getpid()}"
-    assigned.repartition(nlist, "cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(tmp, "corpus"))
-    centroids = [(cid, [float(x) for x in c]) for cid, c in enumerate(C)]
-    spark.createDataFrame(centroids, "cell int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    try:
+        assigned.repartition(nlist, "cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(os.path.join(tmp, "corpus"))
+        centroids = [(cid, [float(x) for x in c]) for cid, c in enumerate(C)]
+        spark.createDataFrame(centroids, "cell int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # no half-built leak
+        raise
     _atomic_publish(tmp, index_dir)  # corpus + centroids appear in ONE swap
     _CENTROID_CACHE.pop(index_dir, None)
     return index_dir

@@ -69,8 +69,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   weighted_percentile, max_drawdown, table_diff,
 #   last_touch_attribution, cluster_quality_report, market_basket_pairs (+ any
 #   later round-3 additions — diff OPERATORS.md against CORRECTNESS_r0*).
-# That is 15 rows; the remaining ~39 slots go to re-confirming rows whose
-# oracle SQL or plan changed since their green row, oldest green first.
+# That list now EXCEEDS the 50-row cap on its own (~40 never-driver-seen
+# rows after this session's additions): round 4 should spend its whole
+# budget on them plus the 3 spilled + 3 contract-changed rows, and any
+# re-confirmation of stale green rows waits for round 5.
 _PRIORITY_THIS_ROUND = [
     # r2 driver FAILs — array outputs made driver-hashable this round
     "embedding_centroid",

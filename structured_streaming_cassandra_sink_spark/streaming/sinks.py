@@ -310,12 +310,16 @@ def manifest_merge_sink(path: str, key: str, order: list[str], retain: int | Non
         for v in keep_versions:
             with open(os.path.join(log, f"{v}.json")) as fh:
                 keep_dirs.add(json.load(fh)["data_dir"])
+        # manifests BEFORE data dirs: a log entry must never outlive its
+        # files, so if we crash mid-GC the worst case is an orphan data
+        # dir (invisible, harmless), never a manifest pointing at
+        # deleted files.
+        for v in versions:
+            if v not in keep_versions:
+                os.remove(os.path.join(log, f"{v}.json"))
         droot = os.path.join(path, "data")
         for d in os.listdir(droot):
             if os.path.join("data", d) not in keep_dirs:
                 shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
-        for v in versions:
-            if v not in keep_versions:
-                os.remove(os.path.join(log, f"{v}.json"))
 
     return write

@@ -207,3 +207,48 @@ def test_hard_negatives_exclude_query_label(spark, sf_dir):
     for r in hn:
         assert r.label != labels[r.query_id]
         assert r.cos_sim <= best_any[r.query_id] + 1e-9
+
+
+def test_atomic_publish_pointer_swap(tmp_path):
+    """The published index path is NEVER absent or empty across a
+    republish: pointer stays resolvable, previous version's dir
+    survives one publish (in-flight readers), older versions are GC'd,
+    stale tmp links cleaned."""
+    import os
+
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        _atomic_publish,
+    )
+
+    final = str(tmp_path / "idx" / "sf0.001")
+
+    def build(n):
+        tmp = f"{final}.build-test{n}"
+        os.makedirs(os.path.join(tmp, "corpus"))
+        with open(os.path.join(tmp, "corpus", "data.txt"), "w") as fh:
+            fh.write(f"version {n}")
+        return tmp
+
+    _atomic_publish(build(1), final)
+    assert os.path.islink(final)
+    v1_target = os.path.realpath(final)
+    assert open(os.path.join(final, "corpus", "data.txt")).read() == "version 1"
+
+    _atomic_publish(build(2), final)
+    assert open(os.path.join(final, "corpus", "data.txt")).read() == "version 2"
+    # previous version survives one publish for in-flight readers
+    assert os.path.isdir(v1_target)
+
+    _atomic_publish(build(3), final)
+    assert open(os.path.join(final, "corpus", "data.txt")).read() == "version 3"
+    # version 1 is now two publishes old -> GC'd
+    assert not os.path.isdir(v1_target)
+
+    # legacy real-dir layout migrates without breaking the pointer
+    legacy = str(tmp_path / "idx2" / "sf0.01")
+    os.makedirs(os.path.join(legacy, "corpus"))
+    with open(os.path.join(legacy, "corpus", "data.txt"), "w") as fh:
+        fh.write("legacy")
+    _atomic_publish(build(4), legacy)
+    assert os.path.islink(legacy)
+    assert open(os.path.join(legacy, "corpus", "data.txt")).read() == "version 4"

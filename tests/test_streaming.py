@@ -1800,3 +1800,40 @@ def test_streaming_tumbling_distinct_within_hll_band(spark, message_dir):
     assert set(got) == set(want)
     for k, exact in want.items():
         assert abs(got[k] - exact) <= max(2, 0.15 * exact), (k, got[k], exact)
+
+
+def test_manifest_gc_log_never_outlives_files(spark, message_dir, tmp_path):
+    """Default retention (2): after the stream, every manifest still in
+    the log points at an existing data dir (log entries must never
+    outlive their files), and only `retain` versions remain."""
+    import json
+    import os
+
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        _manifest_log_dir,
+        manifest_merge_sink,
+        manifest_versions,
+        start_to_sink,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        file_message_stream,
+        parse_message_stream,
+    )
+
+    table = str(tmp_path / "gc_table")
+    sink = manifest_merge_sink(table, "user_id", ["ts", "event_id"])
+    parsed = parse_message_stream(
+        file_message_stream(spark, message_dir, max_files_per_trigger=1)
+    ).select("user_id", "ts", "event_id")
+    q = start_to_sink(parsed, sink, str(tmp_path / "gc_ckpt"), query_name="t_gc")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = manifest_versions(table)
+    assert len(versions) == 2  # retain=2 default
+    for v in versions:
+        with open(os.path.join(_manifest_log_dir(table), f"{v}.json")) as fh:
+            m = json.load(fh)
+        assert os.path.isdir(os.path.join(table, m["data_dir"])), m
