@@ -1145,3 +1145,48 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         ).select(F.col("dst").alias("node"), "r")
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+@query(
+    "dedup_survivorship_merge",
+    """
+    WITH fp AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT fp,
+           count(*)                          AS n_members,
+           min(doc_id)                       AS golden_id,
+           max(n_chars)                      AS best_n_chars,
+           arg_min(lang, doc_id)             AS lang,
+           arg_min(source, doc_id)           AS source
+    FROM fp
+    GROUP BY fp
+    """,
+)
+def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction (survivorship): exact-dup clusters
+    merge into ONE record whose fields come from DIFFERENT members by
+    per-field rules — smallest id as the stable golden key, the LONGEST
+    char count (best-content rule), first-seen lang/source (min-doc_id
+    rule). This is the master-data-management step past
+    dedup_pipeline_keep_canonical, which picks one whole ROW; real
+    curation merges field-wise (keep the longest text but the earliest
+    provenance).
+
+    Shape: ONE hash aggregate on the 128-bit fingerprint; every
+    survivorship rule is an associative aggregate (min/max/min_by), so
+    the merge is fully map-side combinable and skew-free — the same
+    cost as dedup_exact regardless of how the rules mix. min_by's
+    deterministic tie-break is doc_id, mirrored by DuckDB's arg_min."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    d = docs.select(
+        "doc_id", "lang", "source", "n_chars", fingerprint(F.col("text")).alias("fp")
+    )
+    return d.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("golden_id"),
+        F.max("n_chars").alias("best_n_chars"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+    )

@@ -1320,3 +1320,53 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, lag).alias("lag_sec"),
         F.when(ok, 1).otherwise(0).alias("attributed"),
     )
+
+
+PATH_TOP_K = 10
+
+
+@query(
+    "top_event_paths",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+      FROM s WHERE e3 IS NOT NULL GROUP BY 1)
+    SELECT path, n FROM paths ORDER BY n DESC, path LIMIT {PATH_TOP_K}
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user journeys: the most frequent ordered event-type
+    triples within a user's stream — the path-analysis complement to
+    markov_transitions (full short sequences, not one-step conditionals;
+    'view > click > purchase' vs P(click|view)).
+
+    Shape: one per-user window shuffle computes both leads in one sort;
+    the path space is |types|^3 (hundreds), so the count collapses
+    map-side and the top-k is TakeOrderedAndProject. For longer paths at
+    100 TB the same plan holds until |types|^k stops being small — past
+    that, switch to sessionized sequence sampling (sequence_packing's
+    territory) rather than exact counting."""
+    e = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
