@@ -971,3 +971,101 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") + (unif - 0.5) * 2.0 / DP_EPSILON, 4
         ).alias("n_noisy"),
     )
+
+
+@query(
+    "right_to_erasure_apply",
+    """
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id % 53 = 7),
+    kept AS (
+      SELECT e.event_type,
+             count(*) AS n_kept
+      FROM events e ANTI JOIN del d ON e.user_id = d.user_id
+      GROUP BY 1),
+    audit AS (
+      SELECT e.event_type,
+             count(*) AS n_erased,
+             count(DISTINCT e.user_id) AS n_subjects
+      FROM events e SEMI JOIN del d ON e.user_id = d.user_id
+      GROUP BY 1)
+    SELECT k.event_type, k.n_kept,
+           coalesce(a.n_erased, 0)   AS n_erased,
+           coalesce(a.n_subjects, 0) AS n_subjects
+    FROM kept k LEFT JOIN audit a ON k.event_type = a.event_type
+    """,
+)
+def right_to_erasure_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) application pass: given a
+    deletion-request list of data subjects, produce the retained table
+    and the compliance audit (how many records and distinct subjects
+    were erased, per category). The request list here derives
+    deterministically from the data (user_id % 53 = 7) so the oracle
+    sees identical inputs; in production it is a small keyed table.
+
+    Shape: the deletion list broadcasts against ONE scan each for the
+    keep (anti join) and audit (semi join) sides — the fact table never
+    shuffles for either; both joins prune to the key column before
+    anything wide moves. At 100 TB pair this with the manifest sink:
+    the retained table is a new committed version, the audit row is the
+    log entry, and old versions age out by retention policy (erasure
+    becomes effective when the last retaining snapshot is GC'd —
+    exactly how Delta/Iceberg vacuum interacts with GDPR)."""
+    e = load_table(spark, "events", sf_dir)
+    del_list = (
+        e.filter(F.col("user_id") % 53 == 7).select("user_id").distinct()
+    )
+    kept = (
+        e.join(F.broadcast(del_list), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    audit = (
+        e.join(F.broadcast(del_list), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_erased"),
+            F.count_distinct(F.col("user_id")).alias("n_subjects"),
+        )
+    )
+    return kept.join(audit, "event_type", "left").select(
+        "event_type",
+        "n_kept",
+        F.coalesce("n_erased", F.lit(0)).alias("n_erased"),
+        F.coalesce("n_subjects", F.lit(0)).alias("n_subjects"),
+    )
+
+
+@query(
+    "pseudonymize_keys",
+    """
+    SELECT event_id,
+           md5('v1:' || CAST(user_id AS VARCHAR)) AS user_token,
+           event_type, value
+    FROM events
+    """,
+)
+def pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization of the subject key: user_id is
+    replaced by a salted-hash token that preserves JOIN-ability and
+    groupBy semantics (same user -> same token, ever) while removing
+    the raw identifier from the analytical surface — the standard
+    privacy tier between raw data and dp_noisy_counts' released
+    aggregates. The 'v1:' prefix is the rotation salt: bump it and
+    every token rotates at once (re-keying = one pure-map pass).
+
+    Production notes in-code: md5 here is the cross-engine-checkable
+    stand-in for a KEYED hash (HMAC with a secret salt) — an unkeyed
+    hash of a small id space is re-identifiable by enumeration; swap
+    the expression, keep the plan. Pure projection, zero shuffle,
+    whole-stage codegen."""
+    e = load_table(spark, "events", sf_dir)
+    return e.select(
+        "event_id",
+        F.md5(F.concat(F.lit("v1:"), F.col("user_id").cast("string"))).alias(
+            "user_token"
+        ),
+        "event_type",
+        "value",
+    )

@@ -873,3 +873,28 @@ def test_aqp_estimates_within_sampling_error(spark, sf_dir):
         assert abs(r.n_est - r.n_exact) <= bound * r.n_exact, (r, bound)
         assert abs(r.sum_est - r.sum_exact) <= 2 * bound * r.sum_exact, (r, bound)
         assert r.n_est % 10 == 0
+
+
+def test_erasure_removes_all_subject_rows(spark, sf_dir):
+    """No retained row belongs to a deletion subject; kept + erased
+    partitions the table exactly."""
+    ev = load_table(spark, "events", sf_dir)
+    total = ev.count()
+    rows = registry.QUERIES["right_to_erasure_apply"](spark, sf_dir).collect()
+    assert sum(r.n_kept + r.n_erased for r in rows) == total
+    subjects = {
+        r.user_id for r in ev.filter(F.col("user_id") % 53 == 7).select("user_id").distinct().collect()
+    }
+    if subjects:
+        assert sum(r.n_erased for r in rows) > 0
+
+
+def test_pseudonymize_preserves_joinability(spark, sf_dir):
+    """Same user -> same token (groupBy cardinality preserved); raw
+    user_id absent from the output schema."""
+    df = registry.QUERIES["pseudonymize_keys"](spark, sf_dir)
+    assert "user_id" not in df.columns
+    ev = load_table(spark, "events", sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    n_tokens = df.select("user_token").distinct().count()
+    assert n_tokens == n_users
