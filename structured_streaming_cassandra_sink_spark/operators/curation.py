@@ -1069,3 +1069,88 @@ def pseudonymize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+AB_SALT = "exp42:"  # experiment namespace — new salt = fresh assignment
+
+
+@query(
+    "ab_test_readout",
+    f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substr(md5('{AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 50
+                  THEN 'treatment' ELSE 'control' END AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2),
+    arms AS (
+      SELECT variant, count(*) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted,
+             round(avg(CAST(converted AS DOUBLE)), 6) AS conv_rate
+      FROM assigned GROUP BY 1)
+    SELECT t.n_users  AS n_treat, t.n_converted AS conv_treat, t.conv_rate AS rate_treat,
+           c.n_users  AS n_ctrl,  c.n_converted AS conv_ctrl,  c.conv_rate AS rate_ctrl,
+           round(t.conv_rate - c.conv_rate, 6) AS uplift,
+           CASE WHEN sqrt( (CAST(t.n_converted + c.n_converted AS DOUBLE) / (t.n_users + c.n_users))
+                        * (1 - CAST(t.n_converted + c.n_converted AS DOUBLE) / (t.n_users + c.n_users))
+                        * (1.0 / t.n_users + 1.0 / c.n_users) ) > 0
+                THEN round((t.conv_rate - c.conv_rate)
+                 / sqrt( (CAST(t.n_converted + c.n_converted AS DOUBLE) / (t.n_users + c.n_users))
+                        * (1 - CAST(t.n_converted + c.n_converted AS DOUBLE) / (t.n_users + c.n_users))
+                        * (1.0 / t.n_users + 1.0 / c.n_users) ), 4)
+           END AS z_score
+    FROM (SELECT * FROM arms WHERE variant = 'treatment') t
+    CROSS JOIN (SELECT * FROM arms WHERE variant = 'control') c
+    """,
+)
+def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: deterministic 50/50 hash assignment of users
+    to arms (salted per experiment — the same trick production
+    experimentation platforms use, so a user's arm is stable across
+    sessions and re-runs without an assignment table), per-arm
+    conversion to 'purchase', uplift, and the two-proportion pooled
+    z-score. The full A/B analysis loop as one declarative query.
+
+    Shape: one pass computes per-user conversion (map-side collapsed on
+    user_id), one tiny aggregate per arm, and the readout is a 1x1
+    cross join of two single-row sides. The z arithmetic mirrors the
+    oracle token-for-token so the rounded score hash-matches. At 100 TB
+    only the per-user collapse is data-sized — a single shuffle."""
+    e = load_table(spark, "events", sf_dir)
+    variant = F.when(
+        hash_bucket(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) < 50,
+        "treatment",
+    ).otherwise("control")
+    assigned = e.groupBy(F.col("user_id"), variant.alias("variant")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.avg(F.col("converted").cast("double")), 6).alias("conv_rate"),
+    )
+    t = arms.filter(F.col("variant") == "treatment").alias("t")
+    c = arms.filter(F.col("variant") == "control").alias("c")
+    pooled = (
+        F.col("t.n_converted") + F.col("c.n_converted")
+    ).cast("double") / (F.col("t.n_users") + F.col("c.n_users"))
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("t.n_users") + 1.0 / F.col("c.n_users"))
+    )
+    # degenerate arms (0% or 100% pooled conversion) have zero standard
+    # error: z is undefined -> NULL on both engines (ANSI Spark would
+    # otherwise raise DIVIDE_BY_ZERO)
+    return t.crossJoin(c).select(
+        F.col("t.n_users").alias("n_treat"),
+        F.col("t.n_converted").alias("conv_treat"),
+        F.col("t.conv_rate").alias("rate_treat"),
+        F.col("c.n_users").alias("n_ctrl"),
+        F.col("c.n_converted").alias("conv_ctrl"),
+        F.col("c.conv_rate").alias("rate_ctrl"),
+        F.round(F.col("t.conv_rate") - F.col("c.conv_rate"), 6).alias("uplift"),
+        F.when(se > 0, F.round((F.col("t.conv_rate") - F.col("c.conv_rate")) / se, 4)).alias("z_score"),
+    )

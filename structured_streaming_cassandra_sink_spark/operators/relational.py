@@ -1516,3 +1516,95 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Data-quality rules AS DATA: (rule_id, kind, params). The operator
+# compiles each rule row into a Catalyst predicate — the metadata-driven
+# plan-construction pattern (a contracts file drives the checks, not
+# hand-written SQL per rule).
+DQ_RULES = [
+    ("orders_key_not_null",    "not_null",   "o_orderkey"),
+    ("orders_price_positive",  "min_value",  "o_totalprice:0"),
+    ("orders_status_domain",   "in_set",     "o_orderstatus:O,F,P"),
+    ("orders_date_bounds",     "date_range", "o_orderdate:1992-01-01,1999-01-01"),
+]
+
+
+def _dq_predicate(kind: str, param: str):
+    """Compile one rule row to a Column predicate (True = PASS)."""
+    if kind == "not_null":
+        return F.col(param).isNotNull()
+    if kind == "min_value":
+        col, lo = param.split(":")
+        return F.col(col) > float(lo)
+    if kind == "in_set":
+        col, vals = param.split(":")
+        return F.col(col).isin(vals.split(","))
+    if kind == "date_range":
+        col, rng = param.split(":")
+        lo, hi = rng.split(",")
+        return (F.col(col) >= F.lit(lo).cast("timestamp_ntz")) & (
+            F.col(col) < F.lit(hi).cast("timestamp_ntz")
+        )
+    raise ValueError(f"unknown rule kind {kind!r}")
+
+
+def _dq_sql(kind: str, param: str) -> str:
+    """DuckDB twin of _dq_predicate."""
+    if kind == "not_null":
+        return f"{param} IS NOT NULL"
+    if kind == "min_value":
+        col, lo = param.split(":")
+        return f"{col} > {lo}"
+    if kind == "in_set":
+        col, vals = param.split(":")
+        quoted = ", ".join(f"'{v}'" for v in vals.split(","))
+        return f"{col} IN ({quoted})"
+    if kind == "date_range":
+        col, rng = param.split(":")
+        lo, hi = rng.split(",")
+        return f"{col} >= TIMESTAMP '{lo}' AND {col} < TIMESTAMP '{hi}'"
+    raise ValueError(kind)
+
+
+_DQ_UNION_SQL = "\nUNION ALL\n".join(
+    f"""    SELECT '{rid}' AS rule_id,
+           count(*) AS n_checked,
+           CAST(sum(CASE WHEN {_dq_sql(kind, param)} THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_violations
+    FROM orders"""
+    for rid, kind, param in DQ_RULES
+)
+
+
+@query("dq_rule_check", _DQ_UNION_SQL)
+def dq_rule_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven data-quality gate: a rule TABLE (id, kind,
+    params) compiles into predicates evaluated in ONE scan — the
+    contracts-as-data pattern (Deequ/GreatExpectations shape) where
+    adding a check is a config row, not new code.
+
+    Shape: every rule becomes a conditional-sum aggregate over the SAME
+    pass (no per-rule scan — contrast the oracle's UNION ALL spelling,
+    which DuckDB also collapses); the result unpivots to one row per
+    rule. A 100 TB contract run is therefore exactly one table scan
+    regardless of rule count, and rules compose with partition pruning
+    when they carry partition predicates."""
+    o = load_table(spark, "orders", sf_dir)
+    aggs = []
+    for rid, kind, param in DQ_RULES:
+        pred = _dq_predicate(kind, param)
+        aggs.append(F.count(F.lit(1)).alias(f"__checked_{rid}"))
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"__viol_{rid}")
+        )
+    wide = o.agg(*aggs)
+    rows = None
+    for rid, _, _ in DQ_RULES:
+        one = wide.select(
+            F.lit(rid).alias("rule_id"),
+            F.col(f"__checked_{rid}").alias("n_checked"),
+            F.col(f"__viol_{rid}").alias("n_violations"),
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows
