@@ -1370,3 +1370,94 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """FORWARD as-of join: every left row + `value_cols` from the right
+    row with the SMALLEST right_ts >= left_ts for the same key (null
+    when nothing follows) — pandas merge_asof(direction='forward').
+    Mirror of `asof_join`: union + one ordered window per key, but the
+    frame looks FORWARD (first non-null over CURRENT..FOLLOWING) and
+    left rows sort BEFORE right rows at equal ts so the tie is
+    inclusive, matching DuckDB's `ASOF ... ON l.ts <= r.ts`. Callers
+    must make (key, right_ts) unique on the right (same contract as the
+    backward form)."""
+    left_cols = left.columns
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # left first at ties => inclusive match
+        *[F.col(c) for c in left_cols if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != key],
+        *[F.col(c) for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.first(c, ignorenulls=True).over(w).alias(f"__filled_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 0).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"__filled_{c}").alias(c) for c in value_cols],
+    )
+
+
+@query(
+    "join_asof_forward",
+    """
+    WITH rates AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS hour_ts,
+             round(avg(value), 4)               AS hourly_rate
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, r.hourly_rate AS next_rate
+    FROM events e ASOF LEFT JOIN rates r
+      ON e.event_type = r.event_type AND e.ts <= r.hour_ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking enrichment: each event picks up the NEXT hourly
+    rate at-or-after its timestamp — the settlement-price / next-fixing
+    lookup (label construction in forecasting joins future outcomes to
+    features; the backward twin would leak nothing, this one is the
+    labeled side). Same single-shuffle union+window kernel as join_asof,
+    frame reversed; oracle is DuckDB's native forward ASOF (l.ts <=
+    r.hour_ts)."""
+    events = load_table(spark, "events", sf_dir)
+    rates = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("hourly_rate"))
+        .select("event_type", F.col("w.start").alias("hour_ts"), "hourly_rate")
+    )
+    joined = asof_join_forward(
+        events.select("event_id", "ts", "event_type"),
+        rates,
+        key="event_type",
+        left_ts="ts",
+        right_ts="hour_ts",
+        value_cols=["hourly_rate"],
+    )
+    return joined.select(
+        "event_id", "event_type", F.col("hourly_rate").alias("next_rate")
+    )

@@ -898,3 +898,27 @@ def test_pseudonymize_preserves_joinability(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     n_tokens = df.select("user_token").distinct().count()
     assert n_tokens == n_users
+
+
+def test_asof_forward_semantics(spark):
+    """Forward as-of: earliest right at-or-after each left ts; inclusive
+    tie; null when nothing follows."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import asof_join_forward
+
+    left = spark.createDataFrame(
+        [("a", 5, 1), ("a", 10, 2), ("a", 20, 3), ("b", 1, 4)],
+        ["k", "ts", "row_id"],
+    )
+    right = spark.createDataFrame(
+        [("a", 6, 60), ("a", 10, 100), ("a", 15, 150)],
+        ["k", "ts", "price"],
+    )
+    got = {
+        r.row_id: r.price
+        for r in asof_join_forward(left, right, "k", "ts", "ts", ["price"]).collect()
+    }
+    #   row 1 (a,5):  earliest right >=5 is (a,6)->60
+    #   row 2 (a,10): tie -> inclusive -> 100
+    #   row 3 (a,20): nothing after -> null
+    #   row 4 (b,1):  no right for key -> null
+    assert got == {1: 60, 2: 100, 3: None, 4: None}
