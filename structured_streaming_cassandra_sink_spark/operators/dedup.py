@@ -1190,3 +1190,79 @@ def dedup_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("lang", "doc_id").alias("lang"),
         F.min_by("source", "doc_id").alias("source"),
     )
+
+
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 97
+
+
+@query(
+    "dup_graph_bfs_depth",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM toks WHERE len(toks) >= {NGRAM_N}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk AS (
+      SELECT doc_id AS node, 0 AS dist FROM documents
+      WHERE doc_id % {BFS_SEED_MOD} = 0
+      UNION ALL
+      SELECT e.d, w.dist + 1
+      FROM walk w JOIN edges e ON e.s = w.node
+      WHERE w.dist < {BFS_MAX_HOPS})
+    SELECT node, CAST(min(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def dup_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the near-dup graph: min hop distance from
+    a seed set (known-bad documents) within {BFS_MAX_HOPS} hops — the
+    contamination-spread / guilt-by-association query (how far does a
+    flagged template's dup neighborhood reach?). Completes the graph
+    battery: degree (shape), triangles (density), CC (membership),
+    PageRank (centrality), BFS (reachability).
+
+    Shape: frontier-expansion BFS — per hop, ONE join of the frontier
+    against the materialized symmetric edge list, an anti-join against
+    visited, `localCheckpoint` to cut the growing lineage (the CC/
+    PageRank discipline). Visited-set semantics mean each node's FIRST
+    visit is its min distance, so no per-path explosion — contrast the
+    oracle's recursive CTE, which walks every path and min-aggregates;
+    the frontier form is the one that scales. Fixed hop budget keeps
+    the driver loop bounded at any data size."""
+    docs = load_table(spark, "documents", sf_dir)
+    p = dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = p.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionAll(p.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+    edges = edges.localCheckpoint(eager=True)
+    dist = (
+        docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0)
+        .select(F.col("doc_id").alias("node"))
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = dist.select("node")
+    for k in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(nxt)
+        frontier = nxt.select("node")
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))

@@ -949,3 +949,56 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_imputed"),
         F.coalesce("v", "med").alias("filled"),
     )
+
+
+@query(
+    "benford_check",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT o.digit, o.n,
+           round(CAST(o.n AS DOUBLE) / t.total, 6)      AS obs_freq,
+           round(log10(1 + 1.0 / o.digit), 6)           AS exp_freq,
+           round(pow(CAST(o.n AS DOUBLE) / t.total
+                     - log10(1 + 1.0 / o.digit), 2)
+                 / log10(1 + 1.0 / o.digit), 6)         AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformity check on a monetary column: observed
+    first-significant-digit frequencies vs log10(1 + 1/d), with each
+    digit's chi-square contribution — the forensic data-quality test
+    for fabricated or truncated numeric feeds (a synthetic uniform
+    price book, like this one, FAILS loudly — that's the point of the
+    report; the op is the machinery, not a claim about the data).
+
+    Cross-engine discipline: the leading digit comes from an INTEGER
+    formatted to string (floor -> bigint -> varchar), never from float
+    formatting (engines disagree on float-to-string) and never from
+    log10-based digit math (ulp at exact powers of ten). One map-side
+    collapsed digit count; the 9-row result cross-joins the 1-row
+    total. Scale-free."""
+    o = load_table(spark, "orders", sf_dir)
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp_freq = F.log10(1 + 1.0 / F.col("digit"))
+    obs_freq = F.col("n").cast("double") / F.col("total")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(obs_freq, 6).alias("obs_freq"),
+        F.round(exp_freq, 6).alias("exp_freq"),
+        F.round(F.pow(obs_freq - exp_freq, 2) / exp_freq, 6).alias("chi2_term"),
+    )

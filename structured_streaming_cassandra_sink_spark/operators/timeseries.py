@@ -1461,3 +1461,65 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "event_type", F.col("hourly_rate").alias("next_rate")
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                  IS DISTINCT FROM o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM orders),
+    grp AS (
+      SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS ver
+      FROM seq),
+    dim AS (
+      SELECT o_custkey, ver, min(o_orderstatus) AS status,
+             min(o_orderdate) AS valid_from
+      FROM grp GROUP BY o_custkey, ver),
+    closed AS (
+      SELECT o_custkey, ver, status, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY ver)
+               AS valid_to
+      FROM dim)
+    SELECT o.o_orderkey, o.o_custkey, d.status AS status_at_order
+    FROM orders o JOIN closed d
+      ON o.o_custkey = d.o_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against the SCD2 dimension: each order
+    picks the customer-status version VALID AT its date — the temporal
+    lookup every warehouse fact load runs against a type-2 dimension
+    (and the leakage-safe way to join historical features in ML: the
+    version as-of event time, never the current row).
+
+    Shape: the oracle spells the textbook interval join (valid_from <=
+    d < valid_to); the engine exploits that SCD2 intervals are
+    CONTIGUOUS per key, so the interval join degenerates to a backward
+    as-of on valid_from — the union+window kernel, ONE shuffle, no
+    range-join explosion. Same-date version stacks (zero-length
+    intervals) resolve by the version tie-break: max ver at equal
+    valid_from is the interval actually in force."""
+    o = load_table(spark, "orders", sf_dir)
+    dim = scd2_build(spark, sf_dir).select(
+        "o_custkey", "version", "status", "valid_from"
+    )
+    joined = asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        dim,
+        key="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        value_cols=["status"],
+        right_tie="version",
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", F.col("status").alias("status_at_order")
+    )
