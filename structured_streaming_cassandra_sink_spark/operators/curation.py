@@ -1154,3 +1154,61 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t.conv_rate") - F.col("c.conv_rate"), 6).alias("uplift"),
         F.when(se > 0, F.round((F.col("t.conv_rate") - F.col("c.conv_rate")) / se, 4)).alias("z_score"),
     )
+
+
+EMBARGO_DAYS = 7
+
+
+@query(
+    "temporal_split_embargo",
+    f"""
+    WITH bounds AS (
+      SELECT epoch_us(min(ts)) AS lo_us, epoch_us(max(ts)) AS hi_us
+      FROM events),
+    marked AS (
+      SELECT e.event_type,
+             CASE
+               WHEN epoch_us(e.ts) <  b.lo_us + (b.hi_us - b.lo_us) * 0.7
+                 THEN 'train'
+               WHEN epoch_us(e.ts) >= b.lo_us + (b.hi_us - b.lo_us) * 0.7
+                    + CAST({EMBARGO_DAYS} AS BIGINT) * 86400 * 1000000
+                 THEN 'test'
+               ELSE 'embargo'
+             END AS split
+      FROM events e CROSS JOIN bounds b)
+    SELECT event_type, split, count(*) AS n
+    FROM marked GROUP BY 1, 2
+    """,
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with an embargo gap: everything
+    before the 70% timeline point trains, everything after cutoff +
+    {EMBARGO_DAYS} days tests, and the gap rows are EMBARGOED (dropped
+    from both) — the leakage control for forecasting/behavioral models,
+    where a random split (train_val_split) leaks future information
+    through temporally-correlated rows. The split is a pure function of
+    the timestamp, so it is stable under retries and reshuffles.
+
+    Shape: one 1-row bounds aggregate broadcast back over the scan; the
+    assignment is a codegen CASE and the report a map-side-collapsed
+    count. The interval arithmetic runs on both engines' native
+    timestamp type with identical 0.7 scaling on integer microsecond
+    deltas."""
+    e = load_table(spark, "events", sf_dir)
+    b = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    lo_us = F.unix_micros(F.col("lo").cast("timestamp"))
+    hi_us = F.unix_micros(F.col("hi").cast("timestamp"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff = lo_us + (hi_us - lo_us) * 0.7
+    test_from = cutoff + EMBARGO_DAYS * 86400 * 1_000_000
+    split = (
+        F.when(ts_us < cutoff, "train")
+        .when(ts_us >= test_from, "test")
+        .otherwise("embargo")
+    )
+    return (
+        e.crossJoin(F.broadcast(b))
+        .select("event_type", split.alias("split"))
+        .groupBy("event_type", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -478,3 +478,58 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("peak") > 0, dd / F.col("peak")).otherwise(0.0)), 6
         ).alias("max_drawdown_frac"),
     )
+
+
+H2D_VALUE_BINS = 10
+
+
+@query(
+    "histogram2d_heatmap",
+    f"""
+    WITH b AS (
+      SELECT min(value) AS vlo, max(value) AS vhi FROM events),
+    binned AS (
+      SELECT CAST(hour(e.ts) AS INTEGER) AS hour_of_day,
+             least(1 + CAST(floor((e.value - b.vlo)
+                                  / ((b.vhi - b.vlo) / {H2D_VALUE_BINS}))
+                            AS INTEGER),
+                   {H2D_VALUE_BINS}) AS value_bin
+      FROM events e CROSS JOIN b)
+    SELECT hour_of_day, value_bin, count(*) AS n
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def histogram2d_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate histogram (hour-of-day x value decile): the heatmap
+    backing data for load/usage dashboards and the 2-D drift check
+    (is tonight's value distribution shaped like last night's?).
+
+    Shape: a 1-row min/max bounds aggregate broadcasts back over the
+    scan; binning is pure codegen — the SAME floor arithmetic on both engines
+    (width_bucket's internal FP op order is engine-defined, so it is
+    avoided), with the max value clamped into the top bin — and the
+    (24 x {H2D_VALUE_BINS})-cell result collapses map-side. One
+    data-sized pass, scale-free output."""
+    e = load_table(spark, "events", sf_dir)
+    b = e.agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
+    return (
+        e.crossJoin(F.broadcast(b))
+        .select(
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            # identical floor arithmetic on BOTH engines (width_bucket's
+            # internal FP op order is not specified cross-engine; a
+            # boundary value must bin the same way on both sides)
+            F.least(
+                (
+                    1
+                    + F.floor(
+                        (F.col("value") - F.col("vlo"))
+                        / ((F.col("vhi") - F.col("vlo")) / H2D_VALUE_BINS)
+                    ).cast("int")
+                ),
+                F.lit(H2D_VALUE_BINS),
+            ).alias("value_bin"),
+        )
+        .groupBy("hour_of_day", "value_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
