@@ -1599,12 +1599,16 @@ def dq_rule_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"__viol_{rid}")
         )
     wide = o.agg(*aggs)
-    rows = None
-    for rid, _, _ in DQ_RULES:
-        one = wide.select(
-            F.lit(rid).alias("rule_id"),
-            F.col(f"__checked_{rid}").alias("n_checked"),
-            F.col(f"__viol_{rid}").alias("n_violations"),
+    # unpivot the 1-row wide aggregate with stack(): a union of per-rule
+    # SELECTs over `wide` re-plans the aggregate per branch (measured 8
+    # parquet scans for 4 rules — no ReusedExchange); stack() keeps the
+    # promised single scan regardless of rule count
+    stack_args = ", ".join(
+        f"'{rid}', __checked_{rid}, __viol_{rid}" for rid, _, _ in DQ_RULES
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(DQ_RULES)}, {stack_args})"
+            " as (rule_id, n_checked, n_violations)"
         )
-        rows = one if rows is None else rows.unionAll(one)
-    return rows
+    )

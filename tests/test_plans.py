@@ -531,3 +531,17 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "last_touch_attribution")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_dq_rule_check_single_scan(spark, sf_dir):
+    """All rules evaluate in one pass: the stack() unpivot must not
+    re-plan the aggregate per rule (union form measured 8 scans)."""
+    plan = _plan(spark, sf_dir, "dq_rule_check")
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_pit_join_no_range_explosion(spark, sf_dir):
+    """SCD2 PIT join runs through the as-of window kernel — no
+    BroadcastNestedLoopJoin range product."""
+    plan = _plan(spark, sf_dir, "scd2_point_in_time_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
