@@ -1523,3 +1523,90 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "o_orderkey", "o_custkey", F.col("status").alias("status_at_order")
     )
+
+
+CEP_WINDOW_US = 3600 * 1_000_000  # B must follow A within 1 hour
+
+
+@query(
+    "cep_pattern_match",
+    f"""
+    WITH a AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ats
+      FROM events WHERE event_type = 'view'),
+    b AS (
+      SELECT DISTINCT user_id, epoch_us(ts) AS bts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT DISTINCT user_id, epoch_us(ts) AS cts
+      FROM events WHERE event_type = 'click'),
+    nb AS (
+      SELECT a.event_id, a.user_id, a.ats,
+             (SELECT min(b.bts) FROM b
+              WHERE b.user_id = a.user_id AND b.bts > a.ats) AS next_b,
+             (SELECT min(c.cts) FROM c
+              WHERE c.user_id = a.user_id AND c.cts > a.ats) AS next_c
+      FROM a)
+    SELECT event_id, user_id,
+           CASE WHEN next_b IS NOT NULL
+                     AND next_b - ats <= {CEP_WINDOW_US}
+                     AND (next_c IS NULL OR next_c >= next_b)
+                THEN (next_b - ats) // 1000000 END AS match_lag_sec,
+           CASE WHEN next_b IS NOT NULL
+                     AND next_b - ats <= {CEP_WINDOW_US}
+                     AND (next_c IS NULL OR next_c >= next_b)
+                THEN 1 ELSE 0 END AS matched
+    FROM nb
+    """,
+)
+def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern: for every 'view' (A), did a
+    'purchase' (B) follow within an hour with NO 'click' (C) strictly
+    between? — the MATCH_RECOGNIZE / Flink-CEP `A NOT C* B within T`
+    shape, expressed relationally. (C >= B does not block: the pattern
+    is about the A->B gap.)
+
+    Shape: the oracle spells correlated min-subqueries (decorrelated by
+    the optimizer); the engine runs TWO forward as-of joins from the
+    SAME A stream (next B after A, next C after A) — each one shuffle
+    on user_id through the union+window kernel, strictly-after
+    semantics via a +1 microsecond probe timestamp (exact integer
+    arithmetic, mirrored by the oracle's `>`). No per-pattern state
+    machine and no range join: at 100 TB this is two windowed passes,
+    and adding pattern steps adds passes, not state."""
+    e = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    a = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", tus.alias("ats")
+    ).withColumn("probe_ts", F.col("ats") + 1)
+    b = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", tus.alias("bts"))
+        .distinct()
+        .withColumn("b_val", F.col("bts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", tus.alias("cts"))
+        .distinct()
+        .withColumn("c_val", F.col("cts"))
+    )
+    with_b = asof_join_forward(
+        a, b, key="user_id", left_ts="probe_ts", right_ts="bts",
+        value_cols=["b_val"],
+    )
+    with_bc = asof_join_forward(
+        with_b, c, key="user_id", left_ts="probe_ts", right_ts="cts",
+        value_cols=["c_val"],
+    )
+    ok = (
+        F.col("b_val").isNotNull()
+        & ((F.col("b_val") - F.col("ats")) <= CEP_WINDOW_US)
+        & (F.col("c_val").isNull() | (F.col("c_val") >= F.col("b_val")))
+    )
+    return with_bc.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.expr("(b_val - ats) div 1000000")).alias("match_lag_sec"),
+        F.when(ok, 1).otherwise(0).alias("matched"),
+    )
