@@ -1612,3 +1612,60 @@ def dq_rule_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (rule_id, n_checked, n_violations)"
         )
     )
+
+
+@query(
+    "fk_orphan_check",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    """,
+)
+def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for each declared
+    foreign key (child rows whose parent is missing) — the conformance
+    check a warehouse runs after every load, since distributed stores
+    don't enforce FKs. Zero orphans expected on consistent data; the
+    COLUMNS are the contract (any nonzero is a quarantine trigger).
+
+    Shape: one anti join per FK edge, each with the PARENT side's key
+    column broadcast (dimension keys are small even when the dimension
+    is wide — only the join key ships); child tables scan once per
+    declared edge, never shuffle. At 100 TB prefer running the edges
+    off shared scans batched by child table; the per-edge plan here
+    keeps each contract independently readable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+
+    def edge(name, child, ckey, parent, pkey):
+        orphans = child.join(
+            F.broadcast(parent.select(pkey).distinct()),
+            child[ckey] == F.col(pkey),
+            "left_anti",
+        )
+        return child.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+
+    return (
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(
+            edge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )

@@ -533,3 +533,85 @@ def histogram2d_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_of_day", "value_bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+ROLLCORR_HOURS = 24
+
+
+@query(
+    "window_rolling_corr",
+    f"""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+             round(avg(CASE WHEN event_type = 'view'  THEN value END), 6) AS x,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS y
+      FROM events GROUP BY 1),
+    dense AS (SELECT * FROM hourly WHERE x IS NOT NULL AND y IS NOT NULL),
+    win AS (
+      SELECT hour_ts,
+             count(*)   OVER w AS n,
+             sum(x)     OVER w AS sx,
+             sum(y)     OVER w AS sy,
+             sum(x * x) OVER w AS sxx,
+             sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM dense
+      WINDOW w AS (ORDER BY hour_ts ROWS BETWEEN {ROLLCORR_HOURS - 1} PRECEDING
+                   AND CURRENT ROW))
+    SELECT hour_ts, CAST(n AS INTEGER) AS n,
+           CASE WHEN n >= 2
+                     AND (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 4)
+           END AS rolling_corr
+    FROM win
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between two metric series (hourly
+    view-rate vs click-rate) over a trailing {ROLLCORR_HOURS}-hour
+    frame — the co-movement monitor (are these feeds decoupling?) that
+    static corr (column_corr) can't time-localize.
+
+    Shape: the only data-sized pass is the conditional-avg hourly
+    pivot; all six correlation components come from ONE window over the
+    tiny hourly series (shared frame, one sort), and the Pearson
+    formula is spelled EXPLICITLY with one op order on both engines —
+    engine-native corr() aggregates use different accumulation schemes
+    (Welford vs power sums) whose last-ulp disagreement would flip the
+    rounded value. Degenerate frames (n<2 or zero variance) yield NULL
+    on both sides. Inputs quantize at 6dp so the power sums start from
+    identical doubles."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.round(
+            F.avg(F.when(F.col("event_type") == "view", F.col("value"))), 6
+        ).alias("x"),
+        F.round(
+            F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6
+        ).alias("y"),
+    )
+    dense = hourly.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    w = Window.orderBy("hour_ts").rowsBetween(-(ROLLCORR_HOURS - 1), 0)
+    win = dense.select(
+        "hour_ts",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return win.select(
+        "hour_ts",
+        F.col("n").cast("int").alias("n"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4),
+        ).alias("rolling_corr"),
+    )
