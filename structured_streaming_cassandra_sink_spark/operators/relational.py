@@ -1669,3 +1669,44 @@ def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             edge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+@query(
+    "surrogate_key_assign",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY source, doc_id) AS sk
+    FROM documents
+    """,
+)
+def surrogate_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate keys in a global business order (source, doc_id)
+    — the warehouse key-assignment op. The naive form
+    (`row_number() OVER (ORDER BY ...)`, which the oracle runs) drags
+    the whole table onto ONE partition; `monotonically_increasing_id`
+    scales but is sparse and layout-dependent. This is the scalable
+    DENSE form: the two-pass trick shared with `running_total` — range
+    partition on the order key, per-partition row_number, then add each
+    partition's broadcast row-count offset. Identical output to the
+    single-partition window at any scale; cost is one range exchange
+    plus a |partitions|-row driver collect."""
+    d = load_table(spark, "documents", sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    ranged = d.select("doc_id", "source").repartitionByRange(
+        n, F.col("source"), F.col("doc_id")
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning across passes
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    offsets, acc = {}, 0
+    for pid, c in sorted((r["__pid"], r["c"]) for r in counts):
+        offsets[pid] = acc
+        acc += c
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy("source", "doc_id")
+    return ranged.select(
+        "doc_id",
+        (F.row_number().over(w) + offset_col).cast("bigint").alias("sk"),
+    )
