@@ -1,0 +1,779 @@
+"""ML evaluation & feature-engineering operators.
+
+The read-out and feature-prep passes a training pipeline runs AFTER the
+data is curated: ranking metrics (AUC, Gini, lift), calibration and
+drift monitors (calibration bins, PSI, KS), significance/selection
+statistics (chi-square, block jackknife), and the two classic
+large-scale feature transforms (hashing trick, smoothed target
+encoding). The reference pipeline (cassandra_sink.scala:113-120) stops
+at filter/derive; these generalize its aggregate surface to the model
+side of the same tables.
+
+Scale notes common to the family:
+
+- **Ranking stats never rank rows.** AUC/Gini/KS are computed on the
+  (group, distinct-score) LATTICE: one hash aggregation collapses the
+  table to per-score counts, and the rank/CDF windows run over the
+  lattice, whose size is bounded by score cardinality — NOT by row
+  count. A 100 TB orders table with 2-decimal prices has the same
+  lattice as a 1 GB one; the window task never sees raw rows. This is
+  the same bounded-lattice trick `histogram_width_bucket` and the
+  two-pass prefix sum use.
+- **Integer-exact rank sums.** The Mann-Whitney/Lorenz rank sums are
+  split into pure-integer Σ npos·cum and Σ npos·(n+1) pieces so both
+  engines sum EXACT integers (no float partial-merge drift); floats
+  appear only in the final division. At ~10^10 rows per group the
+  int64 product headroom runs out — production would switch the two
+  sums to DECIMAL(38,0); documented, not needed at test scale.
+- **Scalar side-inputs broadcast.** min/max/global-rate scalars come
+  from a 1-row aggregate cross-joined (broadcast) into the map side —
+  never a driver collect, never a shuffle.
+- All float outputs rounded on BOTH engines (4dp for value-scale,
+  6dp for rates in [0,1]) per the registry FP-parity contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..sources import load_table
+
+# Binary label convention for the orders table: an order is "positive"
+# when finalized. Single owner — every metric below uses this expression.
+_LABEL_SQL = "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+
+
+def _label() -> F.Column:
+    return F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+
+
+N_BINS = 10          # equal-width bins for calibration / PSI / lift
+PSI_SMOOTH = 1       # Laplace add-one on bin counts (both periods)
+TE_SMOOTH = 50       # target-encoding pseudo-count toward the global rate
+JK_BLOCKS = 32       # jackknife delete-one-block count
+CONF_THRESHOLD = 150000.0  # confusion-matrix decision threshold on price
+
+
+def _bin_col(x: F.Column, lo: F.Column, hi: F.Column) -> F.Column:
+    """Equal-width bin id in [0, N_BINS): floor((x-lo)/step), top edge
+    clamped into the last bin. Pure codegen arithmetic; identical op
+    order to `_bin_sql` so the FP results are bit-equal cross-engine."""
+    step = (hi - lo) / float(N_BINS)
+    return F.least(
+        F.lit(N_BINS - 1).cast("bigint"), F.floor((x - lo) / step)
+    ).cast("int")
+
+
+def _bin_sql(x: str, lo: str = "lo", hi: str = "hi") -> str:
+    return (
+        f"CAST(LEAST({N_BINS - 1}, FLOOR(({x} - {lo})"
+        f" / (({hi} - {lo}) / {float(N_BINS)}))) AS INT)"
+    )
+
+
+def _md5_mod(col: F.Column, m: int) -> F.Column:
+    """First 8 md5 hex chars mod m — the repo's engine-portable hash
+    (see curation.hash_bucket; md5 is bit-identical everywhere)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % m
+    ).cast("int")
+
+
+def _md5_mod_sql(col: str, m: int) -> str:
+    return f"CAST(('0x' || substr(md5({col}), 1, 8))::BIGINT % {m} AS INT)"
+
+
+# --------------------------------------------------------------- roc_auc
+
+
+@query(
+    "roc_auc",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS score,
+             CAST(count(*) AS BIGINT)           AS n,
+             CAST(sum({_LABEL_SQL}) AS BIGINT)  AS npos
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT priority, n, npos,
+             COALESCE(sum(n) OVER (PARTITION BY priority ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cumb
+      FROM g),
+    a AS (
+      SELECT priority,
+             CAST(sum(n) AS BIGINT)              AS n_orders,
+             CAST(sum(npos) AS BIGINT)           AS n_pos,
+             CAST(sum(npos * cumb) AS BIGINT)    AS s_cum,
+             CAST(sum(npos * (n + 1)) AS BIGINT) AS s_tie
+      FROM r GROUP BY priority)
+    SELECT priority, n_orders, n_pos,
+           round((s_cum + s_tie / 2.0 - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * 1.0 * (n_orders - n_pos)), 6) AS auc
+    FROM a
+    """,
+)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC per order priority via the Mann-Whitney rank-sum, with
+    exact midrank tie handling — "how well does price rank finalized
+    orders first?". Computed on the (priority, distinct-price) lattice:
+    one hash agg collapses rows to per-score (n, npos) counts, a
+    cumulative window over the LATTICE (bounded by price cardinality,
+    not row count) assigns rank offsets, and the average-rank sum
+    Σ npos·(cumb + (n+1)/2) is split into two INTEGER sums (s_cum,
+    s_tie) so both engines accumulate exactly; the only float op is the
+    final division, on identical operands. AUC = (R⁺ - P(P+1)/2)/(P·N).
+    """
+    o = load_table(spark, "orders", sf_dir)
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("score"),
+    ).agg(F.count("*").alias("n"), F.sum(_label()).alias("npos"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "cumb", F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint"))
+    )
+    a = r.groupBy("priority").agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("npos").alias("n_pos"),
+        F.sum(F.col("npos") * F.col("cumb")).alias("s_cum"),
+        F.sum(F.col("npos") * (F.col("n") + 1)).alias("s_tie"),
+    )
+    npos = F.col("n_pos")
+    auc = (
+        F.col("s_cum") + F.col("s_tie") / 2.0 - npos * (npos + 1) / 2.0
+    ) / (npos * 1.0 * (F.col("n_orders") - npos))
+    return a.select(
+        "priority", "n_orders", "n_pos", F.round(auc, 6).alias("auc")
+    )
+
+
+# ----------------------------------------------------------- gini_lorenz
+
+
+@query(
+    "gini_lorenz",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT priority, x, n,
+             COALESCE(sum(n) OVER (PARTITION BY priority ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cumb
+      FROM g)
+    SELECT priority,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           round(2.0 * sum(x * (n * cumb + n * (n + 1) / 2.0))
+                   / (sum(n) * sum(x * n))
+                 - (sum(n) + 1.0) / sum(n), 6) AS gini
+    FROM r GROUP BY priority
+    """,
+)
+def gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue per priority (Lorenz rank form
+    G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n, midrank ties) — "is spend dominated
+    by a few whale orders?". Same bounded-lattice shape as `roc_auc`:
+    rows collapse to (priority, distinct-price, n) first, the rank
+    window runs over the lattice, and a tie group of n equal values
+    contributes x·(n·cumb + n(n+1)/2) in closed form — no per-row
+    ranking anywhere. One agg shuffle + one lattice window + one group
+    agg; float sums are Σ over the lattice only, absorbed by round(6).
+    """
+    o = load_table(spark, "orders", sf_dir)
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("x"),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "cumb", F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint"))
+    )
+    n, x, cumb = F.col("n"), F.col("x"), F.col("cumb")
+    a = r.groupBy("priority").agg(
+        F.sum("n").alias("n_orders"),
+        F.sum(x * (n * cumb + n * (n + 1) / 2.0)).alias("ranksum_x"),
+        F.sum(x * n).alias("sum_x"),
+    )
+    tot = F.col("n_orders")
+    gini = 2.0 * F.col("ranksum_x") / (tot * F.col("sum_x")) - (
+        tot + 1.0
+    ) / tot
+    return a.select("priority", "n_orders", F.round(gini, 6).alias("gini"))
+
+
+# ------------------------------------------------------------ ks_statistic
+
+
+@query(
+    "ks_statistic",
+    """
+    WITH g AS (
+      SELECT round(o_totalprice, -2) AS grid,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nf,
+             CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nr
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT grid,
+             sum(nf) OVER (ORDER BY grid) AS cf,
+             sum(nr) OVER (ORDER BY grid) AS cr,
+             sum(nf) OVER () AS tf,
+             sum(nr) OVER () AS tr
+      FROM g)
+    SELECT round(abs(cf * 1.0 / tf - cr * 1.0 / tr), 6) AS ks_d,
+           grid AS at_price
+    FROM c
+    ORDER BY ks_d DESC, at_price ASC
+    LIMIT 1
+    """,
+)
+def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the price
+    distributions of finalized vs non-finalized orders — the standard
+    "did the feature distribution shift between cohorts?" monitor.
+    Computed on a quantized price lattice (round to $100): rows
+    collapse to per-cell (nf, nr) counts, both empirical CDFs come from
+    cumulative windows over the lattice, and D = max|F₁−F₂|. The
+    unpartitioned window is over LATTICE CELLS only (price-range/100
+    rows — thousands, independent of table size), so the single-task
+    window that would be a scale bug on raw rows is a bounded constant
+    here. D is rounded to 6dp BEFORE the argmax so an ULP difference
+    between engines cannot flip which cell wins; ties break on price.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    g = o.groupBy(F.round("o_totalprice", -2).alias("grid")).agg(
+        F.sum(_label()).alias("nf"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias(
+            "nr"
+        ),
+    )
+    wcum = Window.orderBy("grid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "grid",
+        F.sum("nf").over(wcum).alias("cf"),
+        F.sum("nr").over(wcum).alias("cr"),
+        F.sum("nf").over(wall).alias("tf"),
+        F.sum("nr").over(wall).alias("tr"),
+    )
+    d = F.abs(
+        F.col("cf") * 1.0 / F.col("tf") - F.col("cr") * 1.0 / F.col("tr")
+    )
+    return (
+        c.select(F.round(d, 6).alias("ks_d"), F.col("grid").alias("at_price"))
+        .orderBy(F.desc("ks_d"), F.asc("at_price"))
+        .limit(1)
+    )
+
+
+# -------------------------------------------------------- calibration_bins
+
+
+@query(
+    "calibration_bins",
+    f"""
+    WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM orders)
+    SELECT {_bin_sql('o_totalprice')} AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END),
+                 6) AS frac_pos,
+           round(avg((o_totalprice - lo) / (hi - lo)), 6) AS mean_score
+    FROM orders CROSS JOIN mm
+    GROUP BY 1
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table: bucket the score (price, min-max normalized)
+    into {N_BINS} equal-width bins and compare each bin's observed
+    positive rate against its mean normalized score — the reliability-
+    diagram input. The (lo, hi) scalars are a 1-row aggregate
+    cross-joined (Spark: broadcast) into the map side, so the whole
+    query is scan → broadcast-scalar join → one hash agg of {N_BINS}
+    groups; no window, no second shuffle. Bin arithmetic is the shared
+    `_bin_col`/`_bin_sql` pair (bit-identical FP op order)."""
+    o = load_table(spark, "orders", sf_dir)
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+    x = F.col("o_totalprice")
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .groupBy(_bin_col(x, lo, hi).alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)),
+                6,
+            ).alias("frac_pos"),
+            F.round(F.avg((x - lo) / (hi - lo)), 6).alias("mean_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------- psi_drift
+
+
+@query(
+    "psi_drift",
+    f"""
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    g AS (
+      SELECT {_bin_sql('value')} AS bin,
+             CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM events CROSS JOIN mm GROUP BY 1),
+    t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM g)
+    SELECT bin,
+           round((n1 + {PSI_SMOOTH}) * 1.0 / (t1 + {PSI_SMOOTH * N_BINS}),
+                 6) AS p_ref,
+           round((n2 + {PSI_SMOOTH}) * 1.0 / (t2 + {PSI_SMOOTH * N_BINS}),
+                 6) AS p_cur,
+           round(((n2 + {PSI_SMOOTH}) * 1.0 / (t2 + {PSI_SMOOTH * N_BINS})
+                  - (n1 + {PSI_SMOOTH}) * 1.0 / (t1 + {PSI_SMOOTH * N_BINS}))
+                 * ln(((n2 + {PSI_SMOOTH}) * 1.0 / (t2 + {PSI_SMOOTH * N_BINS}))
+                      / ((n1 + {PSI_SMOOTH}) * 1.0
+                         / (t1 + {PSI_SMOOTH * N_BINS}))), 6) AS psi_term
+    FROM g CROSS JOIN t
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month — THE production drift monitor for a feature column. Both
+    periods share one global equal-width binning (min/max broadcast
+    scalars), per-bin counts come from ONE conditional aggregation over
+    a single scan (no per-period scans, no join between periods), and
+    the add-one-smoothed PSI term (p₂−p₁)·ln(p₂/p₁) is computed per
+    bin; Σ terms ≥ 0 always (it is a symmetrized KL). Laplace smoothing
+    makes empty bins well-defined without epsilon hacks. Complements
+    `cusum_changepoint` (sequential drift) with a distributional view.
+    """
+    e = load_table(spark, "events", sf_dir)
+    mm = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    g = (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy(_bin_col(F.col("value"), F.col("lo"), F.col("hi")).alias("bin"))
+        .agg(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+            ).alias("n1"),
+            F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)).alias("n2"),
+        )
+    )
+    t = g.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    sm, smn = PSI_SMOOTH, PSI_SMOOTH * N_BINS
+    p1 = (F.col("n1") + sm) * 1.0 / (F.col("t1") + smn)
+    p2 = (F.col("n2") + sm) * 1.0 / (F.col("t2") + smn)
+    return g.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.round(p1, 6).alias("p_ref"),
+        F.round(p2, 6).alias("p_cur"),
+        F.round((p2 - p1) * F.log(p2 / p1), 6).alias("psi_term"),
+    )
+
+
+# ------------------------------------------------- target_encode_smoothed
+
+
+@query(
+    "target_encode_smoothed",
+    f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, {_LABEL_SQL} AS label
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    t AS (SELECT avg(label * 1.0) AS gmean FROM j)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(label * 1.0), 6) AS raw_rate,
+           round((sum(label) + {TE_SMOOTH} * gmean)
+                 / (count(*) + {TE_SMOOTH}), 6) AS encoded
+    FROM j CROSS JOIN t
+    GROUP BY segment, gmean
+    """,
+)
+def target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-smoothed target encoding of market segment against the
+    finalized-order label: enc = (Σy + m·ȳ_global)/(n + m), m={TE_SMOOTH}
+    — the leakage-resistant categorical encoder every tabular pipeline
+    ships. customer is the dim side (broadcast at this shape; at 100 TB
+    both sides are fact-scale and AQE picks sort-merge on the bucketed
+    custkey). The global rate is a 1-row aggregate broadcast back; the
+    encoding itself is one hash agg over the handful of segments, so
+    the train-time transform is a broadcast-map over the fact table.
+    The label sum is integer-exact; only the final blend is float."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), _label().alias("label"))
+    t = j.agg(F.avg(F.col("label") * 1.0).alias("gmean"))
+    return (
+        j.crossJoin(F.broadcast(t))
+        .groupBy("segment", "gmean")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg(F.col("label") * 1.0), 6).alias("raw_rate"),
+            F.round(
+                (F.sum("label") + TE_SMOOTH * F.col("gmean"))
+                / (F.count("*") + TE_SMOOTH),
+                6,
+            ).alias("encoded"),
+        )
+        .drop("gmean")
+    )
+
+
+# ------------------------------------------------------- chi2_independence
+
+
+@query(
+    "chi2_independence",
+    """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    x AS (
+      SELECT segment, status, observed,
+             sum(observed) OVER (PARTITION BY segment) AS rt,
+             sum(observed) OVER (PARTITION BY status) AS ct,
+             sum(observed) OVER () AS n
+      FROM cells)
+    SELECT segment, status, observed,
+           round(rt * 1.0 * ct / n, 4) AS expected,
+           round((observed - rt * 1.0 * ct / n)
+                 * (observed - rt * 1.0 * ct / n)
+                 / (rt * 1.0 * ct / n), 6) AS chi2_term
+    FROM x
+    """,
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for market segment × order status —
+    the categorical feature-selection / AB-sanity statistic. The fact
+    join collapses immediately to the |segments|×|statuses| contingency
+    table (one hash agg), and the row/column/grand totals are windows
+    over THOSE ~15 cells, not over rows — the marginal computation is
+    O(cells) wherever the table size goes. Each output row carries the
+    observed count, the expected count under independence rt·ct/n, and
+    its (O−E)²/E contribution (Σ = the chi-square statistic; dof =
+    (R−1)(C−1) is implied by the cell count). Integer counts make the
+    float expectation bit-identical cross-engine."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").alias("observed"))
+    )
+    rt = F.sum("observed").over(
+        Window.partitionBy("segment").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ct = F.sum("observed").over(
+        Window.partitionBy("status").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    n = F.sum("observed").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    x = cells.select(
+        "segment", "status", "observed",
+        rt.alias("rt"), ct.alias("ct"), n.alias("n"),
+    )
+    e = F.col("rt") * 1.0 * F.col("ct") / F.col("n")
+    o_ = F.col("observed")
+    return x.select(
+        "segment",
+        "status",
+        "observed",
+        F.round(e, 4).alias("expected"),
+        F.round((o_ - e) * (o_ - e) / e, 6).alias("chi2_term"),
+    )
+
+
+# ------------------------------------------------------------ feature_hash
+
+
+FH_BUCKETS = 16
+
+
+@query(
+    "feature_hash",
+    f"""
+    WITH feats AS (
+      SELECT user_id, event_type AS feat FROM events
+      UNION ALL
+      SELECT user_id,
+             'k=' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                          AS VARCHAR)
+      FROM events),
+    h AS (
+      SELECT user_id, {_md5_mod_sql('feat', FH_BUCKETS)} AS bucket
+      FROM feats WHERE feat IS NOT NULL)
+    SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM h GROUP BY 1, 2
+    """,
+)
+def feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: every event contributes its type and
+    its parsed `props.k` as string features, each hashed into a fixed
+    {FH_BUCKETS}-bucket space (md5-based — the repo's engine-portable
+    hash; collisions are the accepted price of a fixed-width vector),
+    then counted per user into a sparse long-form (user, bucket, cnt)
+    vector. Spark side derives both features in ONE scan with
+    explode(array(...)); the oracle spells the same thing as UNION ALL.
+    groupBy(user, bucket) is the single shuffle; output width is bounded
+    by {FH_BUCKETS} per user regardless of vocabulary growth — the whole
+    point of feature hashing at 100 TB."""
+    from ..schemas import EVENT_PROPS
+
+    e = load_table(spark, "events", sf_dir)
+    kfeat = F.concat(
+        F.lit("k="),
+        F.from_json(F.col("props"), EVENT_PROPS)
+        .getField("k")
+        .cast("string"),
+    )
+    feats = e.select(
+        "user_id",
+        F.explode(F.array(F.col("event_type"), kfeat)).alias("feat"),
+    ).filter(F.col("feat").isNotNull())
+    return feats.groupBy(
+        "user_id", _md5_mod(F.col("feat"), FH_BUCKETS).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+# ------------------------------------------------------------ jackknife_ci
+
+
+@query(
+    "jackknife_ci",
+    f"""
+    WITH b AS (
+      SELECT {_md5_mod_sql('CAST(event_id AS VARCHAR)', JK_BLOCKS)} AS block,
+             CAST(count(*) AS BIGINT) AS n_b,
+             sum(value) AS s_b
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, sum(s_b) AS s,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM b),
+    th AS (SELECT (s - s_b) / (n - n_b) AS theta, n, s, nb
+           FROM b CROSS JOIN t),
+    tb AS (SELECT avg(theta) AS tbar FROM th),
+    v AS (SELECT any_value(n) AS n, any_value(s) AS s,
+                 any_value(nb) AS nb,
+                 sum((theta - tbar) * (theta - tbar)) AS ssq
+          FROM th CROSS JOIN tb)
+    SELECT round(s / n, 4) AS mean_value,
+           round(sqrt((nb - 1.0) / nb * ssq), 6) AS se_jack,
+           round(s / n - 1.96 * sqrt((nb - 1.0) / nb * ssq), 4) AS ci_lo,
+           round(s / n + 1.96 * sqrt((nb - 1.0) / nb * ssq), 4) AS ci_hi
+    FROM v
+    """,
+)
+def jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-BLOCK jackknife CI for the mean event value — the
+    distributed answer to "error bars on a 100 TB aggregate" (a true
+    bootstrap needs resampling; the block jackknife needs only
+    {JK_BLOCKS} partial sums). Rows hash (md5, deterministic) into
+    {JK_BLOCKS} blocks; one aggregation yields per-block (n_b, Σx); each
+    leave-one-block-out mean θ_b = (S−s_b)/(N−n_b) is pure arithmetic on
+    the {JK_BLOCKS}-row side table; var = (B−1)/B·Σ(θ_b−θ̄)², computed
+    TWO-PASS against the explicit θ̄ (never E[θ²]−E[θ]² — the
+    catastrophic-cancellation form the round-2 advisor flagged in
+    incremental_stats_merge). Everything after the single scan is
+    driver-free constant-size work. Value-scale outputs round to 4dp
+    (float Σvalue partial-merge drift), the se to 6dp."""
+    e = load_table(spark, "events", sf_dir)
+    b = e.groupBy(
+        _md5_mod(F.col("event_id").cast("string"), JK_BLOCKS).alias("block")
+    ).agg(F.count("*").alias("n_b"), F.sum("value").alias("s_b"))
+    t = b.agg(
+        F.sum("n_b").alias("n"),
+        F.sum("s_b").alias("s"),
+        F.count("*").alias("nb"),
+    )
+    th = b.crossJoin(F.broadcast(t)).select(
+        ((F.col("s") - F.col("s_b")) / (F.col("n") - F.col("n_b"))).alias(
+            "theta"
+        ),
+        "n",
+        "s",
+        "nb",
+    )
+    tb = th.agg(F.avg("theta").alias("tbar"))
+    v = (
+        th.crossJoin(F.broadcast(tb))
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("s").alias("s"),
+            F.any_value("nb").alias("nb"),
+            F.sum(
+                (F.col("theta") - F.col("tbar"))
+                * (F.col("theta") - F.col("tbar"))
+            ).alias("ssq"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    se = F.sqrt((F.col("nb") - 1.0) / F.col("nb") * F.col("ssq"))
+    return v.select(
+        F.round(mean, 4).alias("mean_value"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(mean - 1.96 * se, 4).alias("ci_lo"),
+        F.round(mean + 1.96 * se, 4).alias("ci_hi"),
+    )
+
+
+# ------------------------------------------------------- confusion_report
+
+
+@query(
+    "confusion_report",
+    f"""
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(sum(CASE WHEN o_totalprice >= {CONF_THRESHOLD}
+                            AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN o_totalprice >= {CONF_THRESHOLD}
+                            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN o_totalprice < {CONF_THRESHOLD}
+                            AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN o_totalprice < {CONF_THRESHOLD}
+                            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM orders GROUP BY 1)
+    SELECT priority, tp, fp, fn, tn,
+           round(tp * 1.0 / NULLIF(tp + fp, 0), 6) AS precision_,
+           round(tp * 1.0 / NULLIF(tp + fn, 0), 6) AS recall_,
+           round(2.0 * tp / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+    FROM c
+    """,
+)
+def confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority confusion matrix + precision/recall/F1 for the
+    fixed decision rule price ≥ {CONF_THRESHOLD} predicting a finalized
+    order — the batch model-evaluation readout. Four conditional sums
+    in ONE hash aggregation over one scan (map-side partials, O(groups)
+    network); the derived metrics are arithmetic on exact integers, so
+    cross-engine floats are bit-identical before rounding. F1 uses the
+    2tp/(2tp+fp+fn) form — algebraically the harmonic mean but defined
+    (NULL) exactly when tp+fp or tp+fn is empty, matching NULLIF on
+    both engines. Trailing underscores: `precision` is reserved-ish in
+    some engines; one name both sides keeps the hash contract."""
+    o = load_table(spark, "orders", sf_dir)
+    pred = F.col("o_totalprice") >= CONF_THRESHOLD
+    lab = F.col("o_orderstatus") == "F"
+    c = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.when(pred & lab, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~lab, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & lab, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & ~lab, 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return c.select(
+        "priority", "tp", "fp", "fn", "tn",
+        F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision_"),
+        F.round(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall_"),
+        F.round(
+            2.0 * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
+        ).alias("f1"),
+    )
+
+
+# ------------------------------------------------------ lift_band_report
+
+
+@query(
+    "lift_band_report",
+    f"""
+    WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM orders),
+    g AS (
+      SELECT {_bin_sql('o_totalprice')} AS band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_LABEL_SQL}) AS BIGINT) AS pos
+      FROM orders CROSS JOIN mm GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+                 CAST(sum(pos) AS BIGINT) AS tot_pos FROM g)
+    SELECT band, n,
+           round(pos * 1.0 / n, 6) AS response_rate,
+           round((pos * 1.0 / n) / (tot_pos * 1.0 / tot_n), 6) AS lift,
+           round(sum(pos) OVER (ORDER BY band DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / tot_pos, 6) AS cum_capture
+    FROM g CROSS JOIN t
+    """,
+)
+def lift_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-band lift table: {N_BINS} equal-width price bands, each
+    with its positive-response rate, lift over the base rate, and the
+    cumulative share of positives captured scanning from the top band
+    down — the campaign-targeting readout ("top 20% of scores capture
+    X% of conversions"). One conditional agg collapses the table to
+    {N_BINS} band rows; base-rate scalars broadcast back; the
+    cumulative window runs over {N_BINS} rows. All counts integer-exact
+    → float metrics bit-identical cross-engine before round(6)."""
+    o = load_table(spark, "orders", sf_dir)
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    g = (
+        o.crossJoin(F.broadcast(mm))
+        .groupBy(
+            _bin_col(F.col("o_totalprice"), F.col("lo"), F.col("hi")).alias(
+                "band"
+            )
+        )
+        .agg(F.count("*").alias("n"), F.sum(_label()).alias("pos"))
+    )
+    t = g.agg(F.sum("n").alias("tot_n"), F.sum("pos").alias("tot_pos"))
+    wcum = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate = F.col("pos") * 1.0 / F.col("n")
+    base = F.col("tot_pos") * 1.0 / F.col("tot_n")
+    return g.crossJoin(F.broadcast(t)).select(
+        "band",
+        "n",
+        F.round(rate, 6).alias("response_rate"),
+        F.round(rate / base, 6).alias("lift"),
+        F.round(
+            F.sum("pos").over(wcum) * 1.0 / F.col("tot_pos"), 6
+        ).alias("cum_capture"),
+    )

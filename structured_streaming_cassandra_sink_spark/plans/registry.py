@@ -72,7 +72,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   pseudonymize_keys, ab_test_readout, dq_rule_check, join_asof_forward,
 #   scd2_point_in_time_join, benford_check, dup_graph_bfs_depth,
 #   temporal_split_embargo, histogram2d_heatmap, cep_pattern_match,
-#   window_rolling_corr, fk_orphan_check, surrogate_key_assign (+ any
+#   window_rolling_corr, fk_orphan_check, surrogate_key_assign,
+#   roc_auc, gini_lorenz, ks_statistic, calibration_bins, psi_drift,
+#   target_encode_smoothed, chi2_independence, feature_hash,
+#   jackknife_ci, confusion_report, lift_band_report (+ any
 #   later round-3 additions — diff OPERATORS.md against CORRECTNESS_r0*).
 # That list now EXCEEDS the 50-row cap on its own (~40 never-driver-seen
 # rows after this session's additions): round 4 should spend its whole
@@ -155,6 +158,7 @@ def load_all() -> None:
         multimodal,
         curation,
         timeseries,
+        mleval,
     )
     from ..streaming import batch_equiv  # noqa: F401
 

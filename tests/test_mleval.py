@@ -1,0 +1,187 @@
+"""ML-evaluation & feature-engineering operators: mathematical
+invariants the DuckDB oracle cannot express (bounds, conservation,
+monotonicity) plus plan pins for the family's scale contracts."""
+
+from __future__ import annotations
+
+import math
+
+from structured_streaming_cassandra_sink_spark.operators import mleval
+from structured_streaming_cassandra_sink_spark.plans import registry
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    df = Q[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_auc_bounds_and_separable_case(spark, sf_dir):
+    rows = Q["roc_auc"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["auc"] <= 1.0
+        assert 0 < r["n_pos"] < r["n_orders"]
+    # perfectly separable synthetic case: score==label ranks positives
+    # strictly above → midrank AUC is exactly 1
+    df = spark.createDataFrame(
+        [("a", 1.0, "F"), ("a", 0.0, "O"), ("a", 0.5, "P")],
+        "o_orderpriority string, o_totalprice double, o_orderstatus string",
+    )
+    df.createOrReplaceTempView("_auc_sep")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    g = df.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_totalprice").alias("s")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "npos"
+        ),
+    )
+    w = Window.partitionBy("p").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.withColumn("cumb", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    a = r.groupBy("p").agg(
+        F.sum("n").alias("N"),
+        F.sum("npos").alias("P"),
+        F.sum(F.col("npos") * F.col("cumb")).alias("s_cum"),
+        F.sum(F.col("npos") * (F.col("n") + 1)).alias("s_tie"),
+    ).collect()[0]
+    auc = (a["s_cum"] + a["s_tie"] / 2.0 - a["P"] * (a["P"] + 1) / 2.0) / (
+        a["P"] * (a["N"] - a["P"])
+    )
+    assert auc == 1.0
+
+
+def test_gini_bounds(spark, sf_dir):
+    for r in Q["gini_lorenz"](spark, sf_dir).collect():
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_ks_bounds(spark, sf_dir):
+    r = Q["ks_statistic"](spark, sf_dir).collect()
+    assert len(r) == 1
+    assert 0.0 <= r[0]["ks_d"] <= 1.0
+
+
+def test_psi_total_nonnegative_and_probs_sum(spark, sf_dir):
+    rows = Q["psi_drift"](spark, sf_dir).collect()
+    # Σ(p2-p1)ln(p2/p1) is a symmetrized KL — nonnegative by construction
+    assert sum(r["psi_term"] for r in rows) >= -1e-9
+    # smoothed probabilities over OCCUPIED bins sum to ≤1 (empty bins
+    # hold the rest of the smoothing mass), and close to 1 here
+    s1 = sum(r["p_ref"] for r in rows)
+    s2 = sum(r["p_cur"] for r in rows)
+    assert 0.9 < s1 <= 1.0 + 1e-6 and 0.9 < s2 <= 1.0 + 1e-6
+
+
+def test_calibration_conserves_rows(spark, sf_dir):
+    rows = Q["calibration_bins"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert total == n_orders
+    for r in rows:
+        assert 0 <= r["bin"] < mleval.N_BINS
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert -1e-9 <= r["mean_score"] <= 1.0 + 1e-9
+
+
+def test_target_encoding_shrinks_toward_global(spark, sf_dir):
+    rows = Q["target_encode_smoothed"](spark, sf_dir).collect()
+    tot = sum(r["n_orders"] for r in rows)
+    gmean = sum(r["raw_rate"] * r["n_orders"] for r in rows) / tot
+    for r in rows:
+        # smoothing pulls every segment's encoding strictly between its
+        # raw rate and the global rate (or equal when they coincide)
+        lo, hi = sorted([r["raw_rate"], gmean])
+        assert lo - 1e-4 <= r["encoded"] <= hi + 1e-4
+
+
+def test_chi2_cells_nonnegative_and_marginals(spark, sf_dir):
+    rows = Q["chi2_independence"](spark, sf_dir).collect()
+    n = sum(r["observed"] for r in rows)
+    exp_total = sum(r["expected"] for r in rows)
+    assert abs(exp_total - n) < 0.1  # expectations conserve the total
+    for r in rows:
+        assert r["chi2_term"] >= 0.0
+
+
+def test_feature_hash_bucket_domain(spark, sf_dir):
+    rows = Q["feature_hash"](spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["bucket"] < mleval.FH_BUCKETS for r in rows)
+    # two features per event → total count = 2 × events with parseable k
+    # (k is always present in the synthetic props)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["cnt"] for r in rows) == 2 * n_events
+
+
+def test_jackknife_ci_brackets_mean(spark, sf_dir):
+    r = Q["jackknife_ci"](spark, sf_dir).collect()[0]
+    assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+    assert r["se_jack"] >= 0.0
+    # the jackknife SE of a mean must be within an order of magnitude of
+    # the classical s/sqrt(n) — catches block-math errors
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    st = e.agg(
+        F.stddev_samp("value").alias("sd"), F.count("*").alias("n")
+    ).collect()[0]
+    classical = st["sd"] / math.sqrt(st["n"])
+    assert classical / 10 < r["se_jack"] < classical * 10
+
+
+def test_confusion_conserves_and_f1_consistent(spark, sf_dir):
+    rows = Q["confusion_report"](spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in rows) == n_orders
+    for r in rows:
+        if r["precision_"] is not None and r["recall_"] is not None:
+            p, q = r["precision_"], r["recall_"]
+            if p + q > 0:
+                assert abs(r["f1"] - 2 * p * q / (p + q)) < 1e-3
+
+
+def test_lift_cumulative_capture_monotone(spark, sf_dir):
+    rows = sorted(
+        Q["lift_band_report"](spark, sf_dir).collect(),
+        key=lambda r: -r["band"],
+    )
+    caps = [r["cum_capture"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-6  # all positives captured at band 0
+
+
+def test_mleval_plans_no_python_no_stray_shuffle(spark, sf_dir):
+    """The whole family stays JVM-side, and the ranking metrics shuffle
+    only for (a) the lattice agg and (b) the lattice window — raw rows
+    are never ranked."""
+    for name in [
+        "roc_auc",
+        "gini_lorenz",
+        "ks_statistic",
+        "calibration_bins",
+        "psi_drift",
+        "target_encode_smoothed",
+        "chi2_independence",
+        "feature_hash",
+        "jackknife_ci",
+        "confusion_report",
+        "lift_band_report",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+    # scalar side-inputs enter via broadcast, not shuffle
+    for name in ["calibration_bins", "psi_drift", "lift_band_report"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
