@@ -777,3 +777,83 @@ def lift_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").over(wcum) * 1.0 / F.col("tot_pos"), 6
         ).alias("cum_capture"),
     )
+
+
+# ------------------------------------------------------------- ttest_welch
+
+
+@query(
+    "ttest_welch",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS m,
+             var_samp(value) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1),
+    p AS (
+      SELECT a.n AS n_click, b.n AS n_view,
+             a.m AS m1, b.m AS m2, a.v AS v1, b.v AS v2
+      FROM g a JOIN g b
+        ON a.event_type = 'click' AND b.event_type = 'view')
+    SELECT n_click, n_view,
+           round(m1, 4) AS mean_click,
+           round(m2, 4) AS mean_view,
+           round((m1 - m2) / sqrt(v1 / n_click + v2 / n_view), 4) AS t_stat,
+           round((v1 / n_click + v2 / n_view) * (v1 / n_click + v2 / n_view)
+                 / ((v1 / n_click) * (v1 / n_click) / (n_click - 1)
+                    + (v2 / n_view) * (v2 / n_view) / (n_view - 1)),
+                 2) AS df_welch
+    FROM p
+    """,
+)
+def ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean event value
+    between 'click' and 'view' — the continuous-metric companion to
+    `ab_test_readout`'s two-proportion z. One conditional scan computes
+    both groups' (n, mean, var_samp) as single-pass mergeable moment
+    states (Welford partials Spark merges map-side — never the
+    cancellation-prone E[x²]−E[x]² form); the t statistic and the
+    Welch–Satterthwaite df are arithmetic on the resulting 2-row table.
+    The arms pivot via a self-join of the 2-row aggregate (broadcast;
+    the oracle spells the identical join) so the query stays one data
+    shuffle. Means round to 4dp (value-scale floats), df to 2dp."""
+    e = load_table(spark, "events", sf_dir)
+    g = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"), F.col("m").alias("m1"),
+        F.col("v").alias("v1"),
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"), F.col("m").alias("m2"),
+        F.col("v").alias("v2"),
+    )
+    p = a.crossJoin(F.broadcast(b))
+    se1 = F.col("v1") / F.col("n_click")
+    se2 = F.col("v2") / F.col("n_view")
+    return p.select(
+        "n_click",
+        "n_view",
+        F.round(F.col("m1"), 4).alias("mean_click"),
+        F.round(F.col("m2"), 4).alias("mean_view"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 4
+        ).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n_click") - 1)
+                + se2 * se2 / (F.col("n_view") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )

@@ -1610,3 +1610,171 @@ def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.expr("(b_val - ats) div 1000000")).alias("match_lag_sec"),
         F.when(ok, 1).otherwise(0).alias("matched"),
     )
+
+
+# ---------------------------------------------------------------- acf_lags
+
+
+ACF_MAX_LAG = 5
+
+
+@query(
+    "acf_lags",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             round(sum(value), 4) AS x
+      FROM events GROUP BY 1),
+    m AS (SELECT avg(x) AS xbar,
+                 sum((x - (SELECT avg(x) FROM d))
+                     * (x - (SELECT avg(x) FROM d))) AS den
+          FROM d),
+    l AS (
+      SELECT day_ts, x,
+             {', '.join(f"lead(x, {k}) OVER (ORDER BY day_ts) AS x{k}"
+                        for k in range(1, ACF_MAX_LAG + 1))}
+      FROM d),
+    s AS (
+      {' UNION ALL '.join(
+          f"SELECT {k} AS lag, sum((x - xbar) * (x{k} - xbar)) AS num,"
+          f" any_value(den) AS den FROM l CROSS JOIN m WHERE x{k} IS NOT NULL"
+          f" GROUP BY 1"
+          for k in range(1, ACF_MAX_LAG + 1))})
+    SELECT lag, round(num / den, 6) AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily total-value series at lags
+    1..{ACF_MAX_LAG} — the first diagnostic run on any metric before
+    forecasting or anomaly thresholds. The raw table collapses to the
+    DAILY lattice first (one hash agg; 30 rows here, bounded by the
+    calendar wherever the row count goes), daily sums are quantized to
+    the 4dp oracle grid so every downstream float op starts from
+    bit-identical inputs, and lags come from ONE window pass computing
+    lead(x, 1..{ACF_MAX_LAG}) over the lattice, unpivoted to long form
+    (no per-lag self-joins). ACF uses the standard biased-denominator
+    estimator Σ(x_t−x̄)(x_t+k−x̄)/Σ(x_t−x̄)² with the FULL-series mean
+    and denominator, so acf(0)≡1 and |acf|≤1."""
+    e = load_table(spark, "events", sf_dir)
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    wl = Window.orderBy("day_ts")
+    lagged = d.select(
+        "day_ts",
+        "x",
+        *[
+            F.lead("x", k).over(wl).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    m = d.agg(F.avg("x").alias("xbar")).crossJoin(
+        F.broadcast(
+            d.crossJoin(F.broadcast(d.agg(F.avg("x").alias("xb2")))).agg(
+                F.sum(
+                    (F.col("x") - F.col("xb2")) * (F.col("x") - F.col("xb2"))
+                ).alias("den")
+            )
+        )
+    )
+    stacked = lagged.select(
+        F.expr(
+            "stack({n}, {args}) as (lag, xk)".format(
+                n=ACF_MAX_LAG,
+                args=", ".join(
+                    f"{k}, x{k}" for k in range(1, ACF_MAX_LAG + 1)
+                ),
+            )
+        ),
+        "x",
+    ).filter(F.col("xk").isNotNull())
+    s = (
+        stacked.crossJoin(F.broadcast(m))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("xbar")) * (F.col("xk") - F.col("xbar"))
+            ).alias("num"),
+            F.any_value("den").alias("den"),
+        )
+    )
+    return s.select(
+        "lag", F.round(F.col("num") / F.col("den"), 6).alias("acf")
+    ).orderBy("lag")
+
+
+# ------------------------------------------------------ seasonal_decompose
+
+
+@query(
+    "seasonal_decompose",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             round(sum(value), 4) AS x
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT day_ts, x,
+             datediff('day', DATE '2024-01-01', CAST(day_ts AS DATE)) % 7
+               AS dow,
+             CASE WHEN count(*) OVER w = 7
+                  THEN round(avg(x) OVER w, 4) END AS trend
+      FROM d
+      WINDOW w AS (ORDER BY day_ts ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    se AS (
+      SELECT dow, round(avg(x - trend), 4) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY dow)
+    SELECT t.day_ts, t.x, t.trend, s.seasonal,
+           round(t.x - t.trend - s.seasonal, 4) AS resid
+    FROM tr t JOIN se s ON t.dow = s.dow
+    WHERE t.trend IS NOT NULL
+    """,
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (moving-average) seasonal decomposition of the daily
+    series: trend = CENTERED 7-day mean (null at the edges where the
+    window is short — the honest classical convention, not a shrunken
+    average), weekly seasonal index = mean detrended value per
+    day-of-week, residual = x − trend − seasonal. Day-of-week is
+    computed as days-since-2024-01-01 mod 7 — Spark's dayofweek() is
+    1=Sunday while DuckDB's is 0=Sunday, so the portable form sidesteps
+    the off-by-one entirely. Everything runs on the 30-row daily
+    lattice (agg → one centered window → 7-row seasonal agg broadcast
+    back); daily x, trend and seasonal are each quantized to the 4dp
+    grid BEFORE the residual subtraction so both engines subtract
+    identical bits. Output rows = days with a full trend window."""
+    e = load_table(spark, "events", sf_dir)
+    d = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    w = Window.orderBy("day_ts").rowsBetween(-3, 3)
+    tr = d.select(
+        "day_ts",
+        "x",
+        (
+            F.datediff(F.col("day_ts").cast("date"), F.lit("2024-01-01"))
+            % 7
+        ).alias("dow"),
+        F.when(
+            F.count("*").over(w) == 7, F.round(F.avg("x").over(w), 4)
+        ).alias("trend"),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.round(F.avg(F.col("x") - F.col("trend")), 4).alias("seasonal"))
+    )
+    return (
+        tr.join(F.broadcast(se), "dow")
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "day_ts",
+            "x",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("x") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("resid"),
+        )
+    )

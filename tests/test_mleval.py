@@ -185,3 +185,18 @@ def test_mleval_plans_no_python_no_stray_shuffle(spark, sf_dir):
     for name in ["calibration_bins", "psi_drift", "lift_band_report"]:
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_ttest_welch_consistency(spark, sf_dir):
+    r = Q["ttest_welch"](spark, sf_dir).collect()[0]
+    # df_welch is bracketed by min(n)-1 and n1+n2-2 (Welch-Satterthwaite)
+    assert min(r["n_click"], r["n_view"]) - 1 <= r["df_welch"] <= (
+        r["n_click"] + r["n_view"] - 2
+    )
+    # t sign follows the mean difference
+    import math
+
+    diff = r["mean_click"] - r["mean_view"]
+    assert r["t_stat"] == 0 or math.copysign(1, r["t_stat"]) == math.copysign(
+        1, diff
+    )

@@ -922,3 +922,38 @@ def test_asof_forward_semantics(spark):
     #   row 3 (a,20): nothing after -> null
     #   row 4 (b,1):  no right for key -> null
     assert got == {1: 60, 2: 100, 3: None, 4: None}
+
+
+def test_acf_bounds_and_lag_domain(spark, sf_dir):
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["acf_lags"](spark, sf_dir).collect()
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import ACF_MAX_LAG
+
+    assert [r["lag"] for r in rows] == list(range(1, ACF_MAX_LAG + 1))
+    assert all(-1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_seasonal_decompose_identity_and_edges(spark, sf_dir):
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # additive identity on the quantized grid: x = trend+seasonal+resid
+        assert abs(r["x"] - (r["trend"] + r["seasonal"] + r["resid"])) < 2e-4
+    # edge days (first/last 3) have no full centered window -> excluded
+    import pyspark.sql.functions as F
+
+    days = sorted(r["day_ts"] for r in rows)
+    all_days = sorted(
+        d["d"]
+        for d in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert days[0] > all_days[0] and days[-1] < all_days[-1]
+    assert len(days) == len(all_days) - 6
