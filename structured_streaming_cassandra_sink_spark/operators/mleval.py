@@ -857,3 +857,221 @@ def ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+# ------------------------------------------------------ mutual_information
+
+
+@query(
+    "mutual_information",
+    f"""
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    cells AS (
+      SELECT event_type, {_bin_sql('value')} AS bin,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM events CROSS JOIN mm GROUP BY 1, 2),
+    x AS (
+      SELECT event_type, bin, n_xy,
+             sum(n_xy) OVER (PARTITION BY event_type) AS nx,
+             sum(n_xy) OVER (PARTITION BY bin) AS ny,
+             sum(n_xy) OVER () AS n
+      FROM cells)
+    SELECT event_type, bin, n_xy,
+           round((n_xy * 1.0 / n)
+                 * ln((n_xy * 1.0 / n)
+                      / ((nx * 1.0 / n) * (ny * 1.0 / n))), 6) AS mi_term
+    FROM x
+    """,
+)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information cells between event type and the value's
+    equal-width bin — "does this categorical feature carry signal about
+    the metric?", the information-theoretic sibling of
+    `chi2_independence` and the PMI the text family computes for word
+    pairs. Identical scale shape to chi2: one conditional agg collapses
+    rows to the |types|×|bins| contingency table; marginals are windows
+    over those ~50 cells. Σ mi_term = MI ≥ 0 (only occupied cells
+    contribute — empty cells add exactly 0 to MI). Probabilities derive
+    from integer counts by identical divisions, so the floats agree
+    bit-for-bit before round(6)."""
+    e = load_table(spark, "events", sf_dir)
+    mm = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    cells = (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy(
+            "event_type",
+            _bin_col(F.col("value"), F.col("lo"), F.col("hi")).alias("bin"),
+        )
+        .agg(F.count("*").alias("n_xy"))
+    )
+    unb = (Window.unboundedPreceding, Window.unboundedFollowing)
+    x = cells.select(
+        "event_type",
+        "bin",
+        "n_xy",
+        F.sum("n_xy")
+        .over(Window.partitionBy("event_type").rowsBetween(*unb))
+        .alias("nx"),
+        F.sum("n_xy")
+        .over(Window.partitionBy("bin").rowsBetween(*unb))
+        .alias("ny"),
+        F.sum("n_xy").over(Window.rowsBetween(*unb)).alias("n"),
+    )
+    pxy = F.col("n_xy") * 1.0 / F.col("n")
+    px = F.col("nx") * 1.0 / F.col("n")
+    py = F.col("ny") * 1.0 / F.col("n")
+    return x.select(
+        "event_type",
+        "bin",
+        "n_xy",
+        F.round(pxy * F.log(pxy / (px * py)), 6).alias("mi_term"),
+    )
+
+
+# ------------------------------------------------------------- cramers_v
+
+
+@query(
+    "cramers_v",
+    """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    x AS (
+      SELECT obs,
+             sum(obs) OVER (PARTITION BY segment) AS rt,
+             sum(obs) OVER (PARTITION BY status) AS ct,
+             sum(obs) OVER () AS n
+      FROM cells),
+    s AS (
+      SELECT any_value(n) AS n,
+             sum((obs - rt * 1.0 * ct / n) * (obs - rt * 1.0 * ct / n)
+                 / (rt * 1.0 * ct / n)) AS chi2,
+             count(*) AS n_cells
+      FROM x),
+    d AS (
+      SELECT CAST(count(DISTINCT segment) AS BIGINT) AS r,
+             CAST(count(DISTINCT status) AS BIGINT) AS c
+      FROM cells)
+    SELECT CAST(s.n AS BIGINT) AS n,
+           round(s.chi2, 4) AS chi2,
+           CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+           round(sqrt(s.chi2 / (s.n * LEAST(d.r - 1, d.c - 1))), 6)
+             AS cramers_v
+    FROM s CROSS JOIN d
+    """,
+)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for segment × status — the [0,1]-scaled
+    summary of `chi2_independence` that's comparable across tables of
+    different shapes (V = √(χ²/(n·min(r−1,c−1)))). Same O(cells)
+    marginal windows; the χ² reduction then runs over ~15 cells, and
+    the (r, c) dimensions come from a distinct-count over the SAME tiny
+    cell table — no second scan of the fact join anywhere."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    unb = (Window.unboundedPreceding, Window.unboundedFollowing)
+    x = cells.select(
+        "obs",
+        F.sum("obs")
+        .over(Window.partitionBy("segment").rowsBetween(*unb))
+        .alias("rt"),
+        F.sum("obs")
+        .over(Window.partitionBy("status").rowsBetween(*unb))
+        .alias("ct"),
+        F.sum("obs").over(Window.rowsBetween(*unb)).alias("n"),
+    )
+    e = F.col("rt") * 1.0 * F.col("ct") / F.col("n")
+    s = x.agg(
+        F.any_value("n").alias("n"),
+        F.sum((F.col("obs") - e) * (F.col("obs") - e) / e).alias("chi2"),
+    )
+    d = cells.agg(
+        F.count_distinct("segment").alias("r"),
+        F.count_distinct("status").alias("c"),
+    )
+    rr, cc = F.col("r"), F.col("c")
+    return s.crossJoin(F.broadcast(d)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("chi2", 4).alias("chi2"),
+        ((rr - 1) * (cc - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(rr - 1, cc - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+# ------------------------------------------------------- hhi_concentration
+
+
+@query(
+    "hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    sh AS (
+      SELECT nationkey, rev,
+             rev / sum(rev) OVER (PARTITION BY nationkey) AS share
+      FROM rev)
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(share * share), 6) AS hhi,
+           round(max(share), 6) AS top_share
+    FROM sh GROUP BY nationkey
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation — "is this market dominated by few players?" (HHI =
+    Σ shareᵢ², 1/n for perfect competition → 1 for monopoly; top_share
+    alongside for interpretability). Per-supplier revenue aggregates
+    first (the only data-sized shuffle; the supplier dim broadcasts),
+    is QUANTIZED to the 4dp grid so both engines' share divisions start
+    from identical bits, and the share normalization is a window over
+    the per-(nation, supplier) lattice — bounded by supplier count, not
+    lineitem count. The squared-share sum collapses to one row per
+    nation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev")
+        )
+    )
+    wn = Window.partitionBy("nationkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sh = rev.select(
+        "nationkey", (F.col("rev") / F.sum("rev").over(wn)).alias("share")
+    )
+    return sh.groupBy("nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(F.max("share"), 6).alias("top_share"),
+    )

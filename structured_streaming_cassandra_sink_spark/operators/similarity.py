@@ -1294,3 +1294,121 @@ def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("separation_ratio"),
         )
     )
+
+
+# ------------------------------------------------------------- ndcg_at_k
+
+
+NDCG_K = 10
+
+
+@query(
+    "ndcg_at_k",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= {N_QUERIES}),
+    ranked AS (
+      SELECT q.query_id, q.qlabel, c.label,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(
+                          qvec::DOUBLE[], embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS rnk
+      FROM q, c),
+    dcg AS (
+      SELECT query_id,
+             sum(CASE WHEN label = qlabel THEN 1.0 / log2(rnk + 1)
+                      ELSE 0.0 END) AS dcg,
+             CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_total
+      FROM ranked WHERE rnk <= {NDCG_K} GROUP BY 1),
+    rel AS (
+      SELECT q.query_id,
+             CAST(sum(CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel
+      FROM q, c GROUP BY 1),
+    ideal AS (
+      SELECT r.query_id,
+             sum(1.0 / log2(i + 1)) AS idcg
+      FROM rel r, UNNEST(range(1, {NDCG_K} + 1)) AS t(i)
+      WHERE i <= LEAST(r.n_rel, {NDCG_K})
+      GROUP BY 1)
+    SELECT d.query_id, d.n_rel_total AS rel_in_topk,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN ideal i ON d.query_id = i.query_id
+    """,
+)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} of exact cosine retrieval, with binary relevance =
+    label match — the graded ranking metric that `ann_recall_report`'s
+    set-overlap recall can't express (position matters: a relevant hit
+    at rank 1 is worth 1/log2(2), at rank 10 only 1/log2(11)). Shares
+    `sim_search_topk`'s scale shape: {N_QUERIES} probe vectors ride
+    along broadcast, ONE corpus scan computes cosines (codegen fold,
+    no Python), a per-query top-k window ranks on the ROUNDED 6dp
+    similarity (ULP drift can't reorder cross-engine) with vec_id
+    tie-break. IDCG comes from exploding 1..{NDCG_K} against each
+    query's total relevant count — min(n_rel, k) ideal gains — so
+    ndcg==1.0 iff the top-k is label-pure when enough relevant exist.
+    """
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "qlabel",
+        "label",
+        "vec_id",
+        F.round(
+            dot(as_double(F.col("qvec")), as_double(F.col("embedding")))
+            / (
+                norm(as_double(F.col("qvec")))
+                * norm(as_double(F.col("embedding")))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    ranked = sims.withColumn("rnk", F.row_number().over(wr))
+    rel_hit = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    dcg = (
+        ranked.filter(F.col("rnk") <= NDCG_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("label") == F.col("qlabel"),
+                    1.0 / F.log2(F.col("rnk") + 1),
+                ).otherwise(0.0)
+            ).alias("dcg"),
+            F.sum(rel_hit).alias("rel_in_topk"),
+        )
+    )
+    nrel = (
+        c.crossJoin(F.broadcast(q.select("query_id", "qlabel")))
+        .groupBy("query_id")
+        .agg(F.sum(rel_hit).alias("n_rel"))
+    )
+    ideal = (
+        nrel.select(
+            "query_id",
+            F.explode(F.sequence(F.lit(1), F.lit(NDCG_K))).alias("i"),
+            "n_rel",
+        )
+        .filter(F.col("i") <= F.least(F.col("n_rel"), F.lit(NDCG_K)))
+        .groupBy("query_id")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1)).alias("idcg"))
+    )
+    return dcg.join(F.broadcast(ideal), "query_id").select(
+        "query_id",
+        "rel_in_topk",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )

@@ -200,3 +200,25 @@ def test_ttest_welch_consistency(spark, sf_dir):
     assert r["t_stat"] == 0 or math.copysign(1, r["t_stat"]) == math.copysign(
         1, diff
     )
+
+
+def test_mutual_information_total_nonnegative(spark, sf_dir):
+    rows = Q["mutual_information"](spark, sf_dir).collect()
+    assert sum(r["mi_term"] for r in rows) >= -1e-9  # MI >= 0
+    assert sum(r["n_xy"] for r in rows) == spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
+
+
+def test_cramers_v_bounds(spark, sf_dir):
+    r = Q["cramers_v"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["chi2"] >= 0.0 and r["dof"] >= 1
+
+
+def test_hhi_bounds(spark, sf_dir):
+    for r in Q["hhi_concentration"](spark, sf_dir).collect():
+        # HHI in [1/n, 1]; top share can't exceed HHI's sqrt upper logic
+        assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+        assert 0.0 <= r["top_share"] <= 1.0
+        assert r["hhi"] >= r["top_share"] * r["top_share"] - 1e-9

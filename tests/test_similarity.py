@@ -252,3 +252,16 @@ def test_atomic_publish_pointer_swap(tmp_path):
     _atomic_publish(build(4), legacy)
     assert os.path.islink(legacy)
     assert open(os.path.join(legacy, "corpus", "data.txt")).read() == "version 4"
+
+
+def test_ndcg_bounds_and_topk_cap(spark, sf_dir):
+    from structured_streaming_cassandra_sink_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["ndcg_at_k"](spark, sf_dir).collect()
+    assert rows
+    from structured_streaming_cassandra_sink_spark.operators.similarity import NDCG_K
+
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        assert 0 <= r["rel_in_topk"] <= NDCG_K
