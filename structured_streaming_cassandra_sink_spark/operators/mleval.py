@@ -1075,3 +1075,134 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
         F.round(F.max("share"), 6).alias("top_share"),
     )
+
+
+# ------------------------------------------------------ quantile_normalize
+
+
+@query(
+    "quantile_normalize",
+    """
+    WITH g AS (
+      SELECT event_type, value,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, value, n,
+             COALESCE(sum(n) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cumb,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM g)
+    SELECT event_type, value,
+           round((cumb + (n + 1) / 2.0) / (tot + 1), 6) AS qrank
+    FROM r
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group midrank quantile transform — map every value to its
+    empirical CDF position in (0, 1) via the Van der Waerden
+    convention midrank/(N+1) — strictly inside the open interval, so an
+    inverse-normal transform downstream never sees ±inf; ties share
+    their midrank so the transform is permutation-invariant.
+    Same lattice discipline as `roc_auc`: the table collapses to
+    (group, distinct-value, n) first, the cumulative window runs over
+    the LATTICE, and the output is the value→qrank LOOKUP TABLE —
+    that's what production materializes and broadcast-joins onto the
+    fact table (re-emitting per-row ranks would just inflate the
+    output). Integer counts throughout; one float division at the end.
+    """
+    e = load_table(spark, "events", sf_dir)
+    g = e.groupBy("event_type", "value").agg(F.count("*").alias("n"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = g.select(
+        "event_type",
+        "value",
+        "n",
+        F.coalesce(F.sum("n").over(wb), F.lit(0).cast("bigint")).alias(
+            "cumb"
+        ),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    return r.select(
+        "event_type",
+        "value",
+        F.round(
+            (F.col("cumb") + (F.col("n") + 1) / 2.0) / (F.col("tot") + 1), 6
+        ).alias("qrank"),
+    )
+
+
+# --------------------------------------------------------- winsorize_clip
+
+
+WINS_LO, WINS_HI = 0.01, 0.99
+
+
+@query(
+    "winsorize_clip",
+    f"""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, {WINS_LO}), 4) AS lo_cut,
+             round(quantile_cont(l_extendedprice, {WINS_HI}), 4) AS hi_cut
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l.l_extendedprice < c.lo_cut
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN l.l_extendedprice > c.hi_cut
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           round(avg(l.l_extendedprice), 4) AS mean_raw,
+           round(avg(LEAST(GREATEST(l.l_extendedprice, c.lo_cut),
+                           c.hi_cut)), 4) AS mean_winsor
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report per group: clip the price at the exact
+    p{int(WINS_LO * 100)}/p{int(WINS_HI * 100)} cutoffs and compare the
+    raw vs winsorized mean — the outlier-robust preprocessing step
+    (complement of `outlier_mad`, which FLAGS; this one CLIPS). Cutoffs
+    come from one exact-percentile agg per group (a handful of rows),
+    are ROUNDED to the 4dp grid BEFORE any comparison — both engines
+    then clip against literally identical cut values, so a boundary row
+    can't land on different sides of an ULP — and broadcast back onto
+    the fact scan. Two shuffles total (cuts agg + final agg); the clip
+    itself is map-side least/greatest, codegen-resident. At 100 TB the
+    exact percentile swaps for approx_percentile (documented on
+    `exact_percentiles`) without touching the clip plumbing."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cuts = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr(f"percentile(l_extendedprice, {WINS_LO})"), 4
+        ).alias("lo_cut"),
+        F.round(
+            F.expr(f"percentile(l_extendedprice, {WINS_HI})"), 4
+        ).alias("hi_cut"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(x, F.col("lo_cut")), F.col("hi_cut"))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(x < F.col("lo_cut"), 1).otherwise(0)).alias(
+                "n_clip_lo"
+            ),
+            F.sum(F.when(x > F.col("hi_cut"), 1).otherwise(0)).alias(
+                "n_clip_hi"
+            ),
+            F.round(F.avg(x), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsor"),
+        )
+    )

@@ -1224,3 +1224,58 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return joined.select("w1", "w2", "n", p.alias("p_smooth"))
+
+
+# ---------------------------------------------------------------- zipf_fit
+
+
+ZIPF_HEAD = 1000  # fit over the head of the frequency table
+
+
+@query(
+    "zipf_fit",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok WHERE token <> '' GROUP BY 1),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM cnt)
+    SELECT CAST(count(*) AS BIGINT) AS n_fit,
+           round(-regr_slope(ln(cnt * 1.0), ln(rnk * 1.0)), 4)
+             AS zipf_exponent,
+           round(regr_r2(ln(cnt * 1.0), ln(rnk * 1.0)), 4) AS r2
+    FROM ranked WHERE rnk <= {ZIPF_HEAD}
+    """,
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus token-frequency distribution via
+    log-log least squares over the top-{ZIPF_HEAD} ranks (ln cnt ≈
+    c − s·ln rank; natural text gives s ≈ 1) — the corpus-health
+    diagnostic that catches boilerplate-flooded or synthetic-looking
+    crawls before training. Token counts collapse map-side to the
+    vocabulary lattice (zipf-bounded, like `ngram_counts`); the global
+    rank window runs over that lattice with (count desc, token)
+    tie-break so both engines rank identically; the regression is one
+    SQL:2003 regr_* aggregate over {ZIPF_HEAD} rows. ln() on integer
+    inputs is deterministic to 1 ulp cross-engine — absorbed by the
+    4dp rounding of slope/r²."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    wr = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = cnt.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= ZIPF_HEAD
+    )
+    lncnt = F.log(F.col("cnt") * 1.0)
+    lnrnk = F.log(F.col("rnk") * 1.0)
+    return ranked.agg(
+        F.count("*").alias("n_fit"),
+        F.round(-F.regr_slope(lncnt, lnrnk), 4).alias("zipf_exponent"),
+        F.round(F.regr_r2(lncnt, lnrnk), 4).alias("r2"),
+    )

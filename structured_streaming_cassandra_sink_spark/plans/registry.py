@@ -77,7 +77,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   target_encode_smoothed, chi2_independence, feature_hash,
 #   jackknife_ci, confusion_report, lift_band_report, acf_lags,
 #   seasonal_decompose, ttest_welch, mutual_information, cramers_v,
-#   hhi_concentration, ndcg_at_k (+ any
+#   hhi_concentration, ndcg_at_k, quantile_normalize,
+#   winsorize_clip, zipf_fit (+ any
 #   later round-3 additions — diff OPERATORS.md against CORRECTNESS_r0*).
 # That list now EXCEEDS the 50-row cap on its own (~40 never-driver-seen
 # rows after this session's additions): round 4 should spend its whole

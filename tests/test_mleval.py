@@ -222,3 +222,29 @@ def test_hhi_bounds(spark, sf_dir):
         assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
         assert 0.0 <= r["top_share"] <= 1.0
         assert r["hhi"] >= r["top_share"] * r["top_share"] - 1e-9
+
+
+def test_quantile_normalize_domain_and_monotone(spark, sf_dir):
+    rows = Q["quantile_normalize"](spark, sf_dir).collect()
+    assert all(0.0 < r["qrank"] < 1.0 for r in rows)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["qrank"]))
+    for pairs in by_type.values():
+        pairs.sort()
+        qs = [q for _, q in pairs]
+        assert qs == sorted(qs)  # qrank strictly follows value order
+
+
+def test_winsorize_shrinks_toward_center(spark, sf_dir):
+    for r in Q["winsorize_clip"](spark, sf_dir).collect():
+        # clipping both tails of a right-skewed price cuts the mean
+        assert r["n_clip_lo"] + r["n_clip_hi"] < r["n"]
+        assert r["n_clip_lo"] >= 0 and r["n_clip_hi"] >= 0
+
+
+def test_zipf_fit_plausible(spark, sf_dir):
+    r = Q["zipf_fit"](spark, sf_dir).collect()[0]
+    assert r["n_fit"] > 10
+    assert 0.0 < r["zipf_exponent"] < 3.0  # natural-ish text ~1
+    assert 0.0 <= r["r2"] <= 1.0
