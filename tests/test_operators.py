@@ -957,3 +957,20 @@ def test_seasonal_decompose_identity_and_edges(spark, sf_dir):
     )
     assert days[0] > all_days[0] and days[-1] < all_days[-1]
     assert len(days) == len(all_days) - 6
+
+
+def test_engine_facade_roundtrip(spark, sf_dir):
+    """Engine(): session + catalog + registry behind one object — the
+    SURVEY §3.4 lifecycle. sql()/table()/query()/explain() all dispatch
+    into existing machinery, so this pins wiring, not semantics."""
+    from structured_streaming_cassandra_sink_spark.engine import Engine
+
+    eng = Engine(sf_dir=sf_dir, spark=spark)
+    assert eng.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"] > 0
+    assert eng.table("nation").count() == 25
+    assert "roc_auc" in eng.queries()
+    assert eng.query("groupby_agg").count() > 0
+    assert eng.oracle("groupby_agg") and "SELECT" in eng.oracle("groupby_agg").upper()
+    assert eng.oracle("dedup_near_minhash") is None  # rows-only stays rows-only
+    plan = eng.explain("join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan
