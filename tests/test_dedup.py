@@ -25,8 +25,11 @@ def test_minhash_lsh_matches_exact(spark, sf_dir):
     exact = _pairs(ngram_jaccard_pairs(docs))
     lsh = _pairs(minhash_lsh_pairs(docs))
     assert lsh <= exact  # verification kills false positives — always
-    missed = exact - lsh
-    assert len(missed) <= max(1, len(exact) // 20), f"LSH recall too low: missed {missed}"
+    # Exact SET equality: dedup_near_minhash now carries the brute-force
+    # oracle, which is only valid while measured recall is 1.0 on the
+    # fixed testdata (verified at sf0.001/0.01/0.1). If this ever trips,
+    # demote the query back to rows-only before shipping.
+    assert lsh == exact, f"LSH recall < 1.0: missed {exact - lsh}"
 
 
 def test_identical_docs_have_zero_hamming(spark):
