@@ -1,0 +1,310 @@
+"""Clustering & vector-compression operators — k-means (Lloyd) and
+product quantization over the embeddings table.
+
+These close the loop the ANN family opened (similarity.py): IVF needs a
+coarse quantizer (k-means), and production vector stores ship PQ codes,
+not raw floats. Both are expressed as DataFrame plans, generalizing the
+reference's aggregate surface (cassandra_sink.scala:113-120) to vector
+data:
+
+- **k-means assignment is a broadcast join, never a collect.** The
+  centroid side is K rows; each Lloyd iteration is
+  `corpus x broadcast(centroids) -> argmin -> groupBy(cluster) avg`,
+  i.e. one corpus scan + one K-group shuffle per iteration. At 100 TB
+  the corpus never moves — only K·dim doubles do. The driver loop holds
+  DataFrames, not data (the K-row centroid frame is localCheckpoint'ed
+  per round so iteration N's plan does not replay rounds 1..N-1 —
+  same lineage-flattening trick as dedup.connected_components).
+- **Determinism contract (the oracle depends on it).** Init centroids
+  are the K lowest vec_ids (rank order = cluster id); every distance is
+  the same sequential zip_with/aggregate fold as vectorfns.dot, ROUNDED
+  to 6 dp BEFORE the argmin with cluster-id tie-break; updated centroid
+  coordinates are rounded to 6 dp. Rounding before comparison is what
+  makes Spark's and DuckDB's float partial-aggregation orders agree on
+  every assignment (registry FP-parity contract; same convention as
+  the mleval family).
+- **PQ**: M subspaces x K codes; codebooks are deterministic (the
+  subvectors of the K lowest vec_ids), assignment is the same rounded
+  argmin per subspace. Encoded corpus = M uint8-sized codes per vector
+  instead of dim floats — the 100 TB story is that re-ranking reads
+  codes (M bytes) and only the final top-k touches raw vectors.
+
+Both oracles unroll the SAME fixed iteration count in DuckDB CTEs, so
+the driver check is a full value-hash match, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectorfns import as_double
+from ..plans.registry import query
+from ..sources import load_table, spread
+
+DIM = 64            # embeddings.embedding length (FIXTURES.md)
+K_MEANS = 4         # clusters; init = the K lowest vec_ids
+LLOYD_ITERS = 2     # fixed update steps (oracle unrolls the same two)
+PQ_M = 4            # product-quantization subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 4            # codes per subspace; codebook = K lowest vec_ids
+DIST_DP = 6         # round distances/centroids to 6 dp before argmin
+
+
+def _sqdist(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold squared L2 — same fold shape as vectorfns.dot so
+    the accumulation order matches the oracle's list_sum exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _init_centroids(vecs: DataFrame, k: int) -> DataFrame:
+    """(cluster, c): the k lowest vec_ids in id order — deterministic,
+    oracle-reproducible 'training sample'. k rows: driver-safe."""
+    low = vecs.orderBy("vec_id").limit(k)
+    # rank within k rows — trivially cheap, and row_number over the
+    # k-row frame is deterministic because vec_id is unique.
+    from pyspark.sql import Window
+
+    w = Window.orderBy("vec_id")
+    return low.select(
+        (F.row_number().over(w) - 1).alias("cluster"), F.col("v").alias("c")
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster, d, v): nearest centroid per vector under the
+    ROUNDED distance with cluster-id tie-break. Broadcast nested-loop
+    join (K rows) + one hash aggregation keyed by vec_id."""
+    d = F.round(_sqdist(F.col("v"), F.col("c")), DIST_DP)
+    pairs = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cluster", d.alias("d")
+    )
+    # min(struct) is lexicographic: (d, cluster) is unique per vec_id, so
+    # the trailing v never participates in the comparison.
+    best = pairs.groupBy("vec_id").agg(
+        F.min(F.struct("d", "cluster", "v")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cluster").alias("cluster"),
+        F.col("b.d").alias("d"),
+        F.col("b.v").alias("v"),
+    )
+
+
+def _update(assign: DataFrame) -> DataFrame:
+    """(cluster, c): per-dimension mean of the assigned vectors, rounded
+    to {DIST_DP} dp (both engines round, so partial-agg order drift
+    cannot flip a later argmin). One K-group shuffle; map-side partials
+    do the heavy summing."""
+    avgs = [
+        F.round(F.avg(F.col("v")[i]), DIST_DP).alias(f"c{i}") for i in range(DIM)
+    ]
+    agg = assign.groupBy("cluster").agg(*avgs)
+    return agg.select(
+        "cluster", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("c")
+    )
+
+
+def kmeans_assignments(
+    vecs: DataFrame, k: int = K_MEANS, iters: int = LLOYD_ITERS
+) -> DataFrame:
+    """Lloyd's algorithm, `iters` update steps from the deterministic
+    init, returning the FINAL assignment (vec_id, cluster, dist)."""
+    cents = _init_centroids(vecs, k)
+    for _ in range(iters):
+        assigned = _assign(vecs, cents)
+        # K rows — materialize to flatten the per-iteration lineage.
+        cents = _update(assigned).localCheckpoint(eager=True)
+    final = _assign(vecs, cents)
+    return final.select("vec_id", "cluster", F.col("d").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL generators (DuckDB) — unroll the same fixed iterations.
+# --------------------------------------------------------------------------
+def _sql_sqdist(v: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(range({DIM}), "
+        f"i -> ({v}[i+1] - {c}[i+1]) * ({v}[i+1] - {c}[i+1])))"
+    )
+
+
+def _sql_centroid_avg() -> str:
+    return ", ".join(
+        f"round(avg(v[{i + 1}]), {DIST_DP})" for i in range(DIM)
+    )
+
+
+def _kmeans_oracle() -> str:
+    d0 = _sql_sqdist("v", "c")
+    assign_tpl = """
+    a{n} AS (
+      SELECT vec_id, v, cluster, d FROM (
+        SELECT vec.vec_id, vec.v, c{m}.cluster,
+               round({dist}, {dp}) AS d,
+               row_number() OVER (PARTITION BY vec.vec_id
+                                  ORDER BY round({dist}, {dp}), c{m}.cluster) AS rn
+        FROM vec, c{m}
+      ) WHERE rn = 1
+    )"""
+    update_tpl = """
+    c{n} AS (
+      SELECT cluster, [{avgs}]::DOUBLE[] AS c
+      FROM a{n} GROUP BY cluster
+    )"""
+    parts = [
+        f"""
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             embedding::DOUBLE[] AS c
+      FROM embeddings ORDER BY vec_id LIMIT {K_MEANS}
+    )"""
+    ]
+    for it in range(LLOYD_ITERS):
+        parts.append(
+            assign_tpl.format(n=it + 1, m=it, dist=d0, dp=DIST_DP)
+        )
+        parts.append(update_tpl.format(n=it + 1, avgs=_sql_centroid_avg()))
+    final = assign_tpl.format(
+        n=LLOYD_ITERS + 1, m=LLOYD_ITERS, dist=d0, dp=DIST_DP
+    )
+    parts.append(final)
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT vec_id, cluster, d AS dist FROM a{LLOYD_ITERS + 1}
+    """
+    )
+
+
+@query("kmeans_lloyd", _kmeans_oracle())
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd), {LLOYD_ITERS} deterministic update steps over the
+    embeddings corpus; output = final (vec_id, cluster, dist). The
+    iterative-algorithm showcase next to connected_components and PCA:
+    per iteration, one corpus scan + one K-group shuffle — the corpus is
+    never collected, the K-row centroid frame is broadcast back."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    return kmeans_assignments(vecs)
+
+
+# --------------------------------------------------------------------------
+# Product quantization
+# --------------------------------------------------------------------------
+def _subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): split each vector into PQ_M contiguous
+    PQ_SUBDIM-length subvectors. Inline explode of a LITERAL-indexed
+    struct array — the slices are computed per output row but the array
+    has PQ_M elements, so there is no Generate blow-up."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return vecs.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+def _codebook(vecs: DataFrame) -> DataFrame:
+    """(m, code, cv): deterministic codebook — the subvectors of the
+    PQ_K lowest vec_ids, code = id rank. PQ_M * PQ_K rows."""
+    from pyspark.sql import Window
+
+    low = vecs.orderBy("vec_id").limit(PQ_K)
+    w = Window.orderBy("vec_id")
+    ranked = low.select((F.row_number().over(w) - 1).alias("code"), "v")
+    return _subvectors(ranked.withColumnRenamed("code", "vec_id")).select(
+        F.col("m"), F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+
+
+def pq_codes(vecs: DataFrame) -> DataFrame:
+    """(vec_id, code0..code{PQ_M-1}, recon_err): nearest-code id per
+    subspace + summed (rounded) squared reconstruction error."""
+    sub = _subvectors(vecs)
+    book = _codebook(vecs)
+    d = F.round(_sqdist(F.col("sv"), F.col("cv")), DIST_DP)
+    pairs = sub.join(F.broadcast(book), "m").select(
+        "vec_id", "m", "code", d.alias("d")
+    )
+    best = pairs.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "code")).alias("b")
+    )
+    per_sub = best.select(
+        "vec_id", "m", F.col("b.code").alias("code"), F.col("b.d").alias("d")
+    )
+    code_cols = [
+        F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    return per_sub.groupBy("vec_id").agg(
+        # round(sum, 6) not 4: the addends are 6dp-rounded, so the true
+        # sum lies ON the 6dp grid — 6dp re-rounding only cancels binary
+        # noise and can never straddle a decision boundary (a 4dp round
+        # hit exactly that: one row at ...05 split 1.5241 vs 1.524).
+        *code_cols, F.round(F.sum("d"), 6).alias("recon_err")
+    )
+
+
+def _pq_oracle() -> str:
+    dist = (
+        f"list_sum(list_transform(range({PQ_SUBDIM}), "
+        f"i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1])))"
+    )
+    sub_select = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv FROM vec"
+        for m in range(PQ_M)
+    )
+    code_cols = ", ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS code{m}" for m in range(PQ_M)
+    )
+    return f"""
+    WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    low AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM vec ORDER BY vec_id LIMIT {PQ_K}
+    ),
+    sub AS ({sub_select}),
+    book AS (
+      {" UNION ALL ".join(
+          f"SELECT {m} AS m, code, v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS cv FROM low"
+          for m in range(PQ_M)
+      )}
+    ),
+    best AS (
+      SELECT vec_id, m, code, d FROM (
+        SELECT sub.vec_id, sub.m, book.code,
+               round({dist}, {DIST_DP}) AS d,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                                  ORDER BY round({dist}, {DIST_DP}), book.code) AS rn
+        FROM sub JOIN book USING (m)
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, {code_cols}, round(sum(d), 6) AS recon_err
+    FROM best GROUP BY vec_id
+    """
+
+
+@query("pq_encode", _pq_oracle())
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: {PQ_M} subspaces x {PQ_K} codes
+    (deterministic codebook), output = code ids + reconstruction error.
+    The compression stage a 100 TB vector store runs once per snapshot:
+    dim doubles -> {PQ_M} small ints per vector; the plan is one explode
+    + broadcast codebook join + two bounded aggregations."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    return pq_codes(vecs)

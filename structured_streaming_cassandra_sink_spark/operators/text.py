@@ -1279,3 +1279,57 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.regr_slope(lncnt, lnrnk), 4).alias("zipf_exponent"),
         F.round(F.regr_r2(lncnt, lnrnk), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty: share of a doc's n-grams it contributed first
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_novelty_score",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS novel_frac
+    FROM sh JOIN f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word trigrams
+    whose EARLIEST corpus occurrence (min doc_id under the ingest order)
+    is the document itself. The incremental-curation read-out between
+    exact dedup (all-or-nothing) and Jaccard pairs (quadratic in
+    candidates): a crawl pipeline drops low-novelty docs without ever
+    forming pairs.
+
+    Shape: linear in total shingles — one groupBy(shingle) min() builds
+    the first-occurrence index (the same inverted index the dedup family
+    shuffles), one join back, one groupBy(doc). No self-join: the cost
+    at 100 TB is two shuffles keyed by shingle-hash and doc_id. Hot
+    boilerplate shingles skew the shingle key — AQE skew-join handles
+    the index build; the join fan-out is |doc's shingles|, bounded per
+    doc."""
+    docs = spread(load_table(spark, "documents", sf_dir))
+    from .dedup import shingle_rows
+
+    sh = shingle_rows(docs, 3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 4).alias("novel_frac"),
+        )
+    )

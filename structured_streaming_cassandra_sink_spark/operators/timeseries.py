@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import ts_micros
 from ..plans.registry import query
-from ..sources import load_table
+from ..sources import load_table, spread
 
 
 def asof_join(
@@ -1777,4 +1777,175 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x") - F.col("trend") - F.col("seasonal"), 4
             ).alias("resid"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (order statistics over a moving frame)
+# ---------------------------------------------------------------------------
+ROLL_MED_FRAME = 4  # trailing frame: current row + 4 preceding
+
+
+@query(
+    "rolling_median",
+    f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(median(l_extendedprice::DOUBLE) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN {ROLL_MED_FRAME} PRECEDING AND CURRENT ROW), 4)
+           AS med_price
+    FROM lineitem WHERE l_suppkey <= 40
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-{ROLL_MED_FRAME + 1}-row median price per supplier —
+    the robust-smoothing complement to `ewma_smooth` (mean-based) and
+    `outlier_mad` (global median). Spark's exact `percentile(0.5)` as a
+    WINDOW aggregate interpolates even frames exactly like DuckDB's
+    numeric `median` (verified: [2,4] -> 3.0 on both), so no rows-only
+    downgrade is needed.
+
+    Scale: one shuffle keyed by supplier; the frame is O(1) rows, so the
+    sort-based window never materializes more than the 5-row heap per
+    row. The suppkey<=40 predicate is pushed to the parquet scan."""
+    li = spread(load_table(spark, "lineitem", sf_dir)).filter(
+        F.col("l_suppkey") <= 40
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-ROLL_MED_FRAME, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.5)").over(w), 4
+        ).alias("med_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate (right-censored durations)
+# ---------------------------------------------------------------------------
+KM_CUTOFF_H = 48  # administrative censoring horizon (hours after first event)
+
+
+@query(
+    "survival_kaplan_meier",
+    f"""
+    WITH life AS (
+      SELECT f.user_id,
+             CASE WHEN coalesce(date_diff('hour', f.first_ts, p.p_ts),
+                               {KM_CUTOFF_H + 1}) <= {KM_CUTOFF_H}
+                  THEN date_diff('hour', f.first_ts, p.p_ts) ELSE {KM_CUTOFF_H}
+             END AS t,
+             CASE WHEN coalesce(date_diff('hour', f.first_ts, p.p_ts),
+                               {KM_CUTOFF_H + 1}) <= {KM_CUTOFF_H}
+                  THEN 1 ELSE 0 END AS observed
+      FROM (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id) f
+      LEFT JOIN (SELECT user_id, min(ts) AS p_ts FROM events
+                 WHERE event_type = 'purchase' GROUP BY user_id) p
+        USING (user_id)
+    ),
+    lat AS (
+      SELECT t, sum(observed)::BIGINT AS d, count(*)::BIGINT AS ended
+      FROM life GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             ((SELECT count(*) FROM life)
+               - coalesce(sum(ended) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             )::BIGINT AS n_risk
+      FROM lat
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             product(1.0 - d::DOUBLE / n_risk) OVER (ORDER BY t) AS s
+      FROM risk
+    )
+    SELECT t AS t_hours, n_risk, d AS d_events, round(s, 6) AS surv
+    FROM km WHERE d > 0
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: hours from a user's FIRST
+    event to their first 'purchase', administratively right-censored at
+    {KM_CUTOFF_H} h (users converting later — about a third of the
+    corpus at every sf — enter the risk sets but never the death
+    counts; dropping them instead would bias S(t) low, the classic
+    churn-analytics mistake). Generalizes the reference's per-event
+    aggregate surface (cassandra_sink.scala:113-120) to duration data.
+
+    Shape: the estimator runs on the DURATION LATTICE (distinct t), not
+    on users — one groupBy collapses users to (t, d, ended), then
+    n_risk is a reverse running sum and S(t) a running product over the
+    lattice (bounded by the censoring horizon, so the unpartitioned
+    window is safe at any corpus size — same bounded-lattice argument
+    as roc_auc). Spark lacks a product aggregate:
+    S(t) = exp(Σ ln(1 - d/n)) — term-order drift vs DuckDB's native
+    windowed product() is absorbed by the 6 dp rounding."""
+    ev = spread(load_table(spark, "events", sf_dir))
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    # hours via epoch-second arithmetic == DuckDB date_diff('hour'):
+    # both truncate toward zero on whole-hour boundaries only when the
+    # difference is an exact count of hours; date_diff counts BOUNDARY
+    # crossings, so mirror it with timestamp truncation to the hour.
+    h = (
+        F.unix_timestamp(F.date_trunc("hour", F.col("p_ts")))
+        - F.unix_timestamp(F.date_trunc("hour", F.col("first_ts")))
+    ) / 3600
+    life = (
+        first.join(conv, "user_id", "left")
+        .select(
+            F.when(
+                F.coalesce(h, F.lit(KM_CUTOFF_H + 1)) <= KM_CUTOFF_H, h
+            )
+            .otherwise(F.lit(KM_CUTOFF_H))
+            .cast("long")
+            .alias("t"),
+            F.when(
+                F.coalesce(h, F.lit(KM_CUTOFF_H + 1)) <= KM_CUTOFF_H, 1
+            )
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    n_users = first.groupBy().agg(F.count("*").alias("n_users"))
+    lat = (
+        life.groupBy("t")
+        .agg(F.sum("observed").alias("d"), F.count("*").alias("ended"))
+        .crossJoin(F.broadcast(n_users))
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    n_risk = F.col("n_users") - F.coalesce(
+        F.sum("ended").over(w_prev), F.lit(0)
+    )
+    km = lat.select(
+        "t",
+        "d",
+        n_risk.alias("n_risk"),
+        # ln(0) = -inf when the last risk set dies out entirely:
+        # exp(-inf) = 0.0 — identical to the oracle's product hitting 0.
+        F.round(
+            F.exp(
+                F.sum(F.log(F.lit(1.0) - F.col("d") / n_risk)).over(w_run)
+            ),
+            6,
+        ).alias("surv"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("t_hours"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        "surv",
     )

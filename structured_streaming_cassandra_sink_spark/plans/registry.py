@@ -162,6 +162,8 @@ def load_all() -> None:
         curation,
         timeseries,
         mleval,
+        clustering,
+        sketches,
     )
     from ..streaming import batch_equiv  # noqa: F401
 
