@@ -1212,3 +1212,105 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy-risk audits: k-anonymity / l-diversity over quasi-identifiers
+# ---------------------------------------------------------------------------
+# Thresholds sized so violations EXIST at every test sf (93/125/125 rows
+# at sf0.001/0.01/0.1): an audit whose green state is "0 rows" would be
+# a vacuous correctness row.
+K_ANON = 12  # minimum safe equivalence-class size
+L_DIV = 6    # minimum distinct sensitive values per class
+ACB_BAND = 3000.0  # sensitive attribute = account-balance band
+
+
+@query(
+    "k_anonymity_check",
+    f"""
+    SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS class_sz,
+           count(*) < {K_ANON} AS k_violation,
+           count(DISTINCT floor(c_acctbal / {ACB_BAND})::BIGINT)::BIGINT
+             AS sensitive_distinct,
+           count(DISTINCT floor(c_acctbal / {ACB_BAND})::BIGINT) < {L_DIV}
+             AS l_violation
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < {K_ANON}
+        OR count(DISTINCT floor(c_acctbal / {ACB_BAND})::BIGINT) < {L_DIV}
+    """,
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification audit before a data release: every
+    quasi-identifier equivalence class (nation x market segment) that
+    violates k-anonymity (fewer than {K_ANON} members) or l-diversity
+    (fewer than {L_DIV} distinct sensitive balance bands — a k-safe
+    class is still disclosive if everyone in it shares the sensitive
+    value). The release-gate complement to `pseudonymize_keys` (which
+    hides direct identifiers but not quasi-identifier joins).
+
+    Shape: one hash aggregation keyed by the quasi-identifier tuple —
+    class count and distinct-band count collapse map-side, so the audit
+    is a single shuffle of |classes| rows at any table size."""
+    cust = spread(load_table(spark, "customer", sf_dir))
+    band = F.floor(F.col("c_acctbal") / ACB_BAND)
+    agg = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_sz"),
+        F.count_distinct(band).alias("sensitive_distinct"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_sz",
+        (F.col("class_sz") < K_ANON).alias("k_violation"),
+        "sensitive_distinct",
+        (F.col("sensitive_distinct") < L_DIV).alias("l_violation"),
+    ).filter(F.col("k_violation") | F.col("l_violation"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: merge a delta batch into a mergeable agg
+# ---------------------------------------------------------------------------
+IVM_SPLIT_DAY = "2024-01-25"  # base snapshot = events strictly before
+
+
+@query(
+    "ivm_delta_apply",
+    f"""
+    SELECT event_type, ts::DATE AS day,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY event_type, ts::DATE
+    """,
+)
+def ivm_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a (type, day) count/sum rollup:
+    the view is maintained by AGGREGATING ONLY THE DELTA (events on or
+    after {IVM_SPLIT_DAY}) and merging partials into the base snapshot
+    by addition — never rescanning the base. The oracle recomputes from
+    scratch; equality proves count/sum are self-maintainable (the
+    foundation the streaming `update`-mode sinks and `cdc_apply` rely
+    on; avg/min/max need auxiliary state, distinct needs sketches —
+    see `hll_partial_merge`).
+
+    Shape at 100 TB: the base aggregate is a stored table in production;
+    here both sides are one filtered scan + one hash agg each, then a
+    UNION + re-agg whose input is 2x |view| rows, not |events|. The
+    split predicate pushes to the parquet scan on both branches."""
+    ev = spread(load_table(spark, "events", sf_dir))
+    split = F.lit(IVM_SPLIT_DAY).cast("timestamp")
+    day = F.col("ts").cast("date").alias("day")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day).agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+
+    base = rollup(ev.filter(F.col("ts") < split))
+    delta = rollup(ev.filter(F.col("ts") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 4).alias("total"))
+    )
+    return merged
