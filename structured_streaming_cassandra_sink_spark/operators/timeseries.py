@@ -1383,17 +1383,28 @@ def asof_join_forward(
     """FORWARD as-of join: every left row + `value_cols` from the right
     row with the SMALLEST right_ts >= left_ts for the same key (null
     when nothing follows) — pandas merge_asof(direction='forward').
-    Mirror of `asof_join`: union + one ordered window per key, but the
-    frame looks FORWARD (first non-null over CURRENT..FOLLOWING) and
-    left rows sort BEFORE right rows at equal ts so the tie is
-    inclusive, matching DuckDB's `ASOF ... ON l.ts <= r.ts`. Callers
-    must make (key, right_ts) unique on the right (same contract as the
-    backward form)."""
+    Mirror of `asof_join`: union + one ordered window per key — but the
+    window sorts ts DESCENDING and keeps the backward-style running
+    frame (UNBOUNDED PRECEDING..CURRENT, last non-null). Scanning from
+    the future toward the past, "last right value seen so far" IS the
+    smallest right_ts >= current ts. The naive forward spelling —
+    first(ignorenulls) over CURRENT..UNBOUNDED FOLLOWING — produces the
+    same rows but Spark's UnboundedFollowing window frame RE-AGGREGATES
+    the whole remaining frame per row, O(rows²) per key partition:
+    measured 51.5 s vs 0.7 s for this query at sf0.1 (78x). Running
+    frames (UnboundedPreceding) are the only O(n) ignore-nulls path, so
+    forward must be expressed as reversed-backward.
+
+    Ties: at equal __ts the right row must be visible to the left row
+    (inclusive match, DuckDB `ASOF ... ON l.ts <= r.ts`), so right
+    sorts FIRST under (__ts DESC, __side DESC). Callers must make
+    (key, right_ts) unique on the right (same contract as the backward
+    form)."""
     left_cols = left.columns
     l_tagged = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
-        F.lit(0).alias("__side"),  # left first at ties => inclusive match
+        F.lit(0).alias("__side"),  # right sorts first at ties (DESC) => inclusive
         *[F.col(c) for c in left_cols if c != key],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
     )
@@ -1407,13 +1418,13 @@ def asof_join_forward(
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "*",
         *[
-            F.first(c, ignorenulls=True).over(w).alias(f"__filled_{c}")
+            F.last(c, ignorenulls=True).over(w).alias(f"__filled_{c}")
             for c in value_cols
         ],
     )
