@@ -1078,14 +1078,19 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     that neighbor (ffill/bfill); identical-timestamp neighbors fall back
     to the previous value rather than divide by zero.
 
-    Shape: TWO frame directions (unbounded-preceding last + unbounded-
-    following first, both IGNORE NULLS) over the SAME (user_id, ts,
-    event_id) sort — one shuffle, one sort, two frame scans within the
-    sorted run; all four neighbor columns come out of that single
-    exchange. Arithmetic runs on integer microseconds with one fixed op
-    order mirrored in the oracle, so the rounded doubles hash-match.
-    At 100 TB the window state is O(1) per direction — this is the
-    scale-safe form of gap repair (vs collecting series driver-side)."""
+    Shape: TWO frame directions over ONE exchange — the backward
+    neighbors from the ascending running frame, the forward neighbors
+    from a DESCENDING running frame (both last+IGNORE NULLS,
+    UNBOUNDED PRECEDING..CURRENT). Spark reuses the user_id Exchange
+    and adds a second in-partition sort for the reversed order; that
+    extra O(n log n) sort replaces the quadratic alternative — a
+    first(ignorenulls) over CURRENT..UNBOUNDED FOLLOWING frame
+    re-aggregates the remaining frame per row (the join_asof_forward
+    bug, measured 78x there). Running frames are the only O(1)-state
+    ignore-nulls path. Arithmetic runs on integer microseconds with one
+    fixed op order mirrored in the oracle, so the rounded doubles
+    hash-match. This is the scale-safe form of gap repair (vs
+    collecting series driver-side)."""
     e = load_table(spark, "events", sf_dir)
     tus = ts_micros("ts")
     base = e.select(
@@ -1104,8 +1109,8 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("tus").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t_obs = F.when(F.col("v").isNotNull(), F.col("tus"))
     m = base.select(
@@ -1115,8 +1120,10 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(wp).alias("pv"),
         F.last(t_obs, ignorenulls=True).over(wp).alias("pt"),
-        F.first("v", ignorenulls=True).over(wf).alias("nv"),
-        F.first(t_obs, ignorenulls=True).over(wf).alias("nt"),
+        # descending running last == ascending "first at or after":
+        # event_id is unique, so the two orders are exact reverses.
+        F.last("v", ignorenulls=True).over(wf).alias("nv"),
+        F.last(t_obs, ignorenulls=True).over(wf).alias("nt"),
     )
     line = F.col("pv") + (F.col("nv") - F.col("pv")) * (
         F.col("tus") - F.col("pt")
