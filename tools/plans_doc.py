@@ -46,7 +46,14 @@ HEADLINERS = {
     "scd2_build": "change-point window, island aggregate and interval-closing window all reuse ONE o_custkey Exchange",
     "weighted_sample_topk": "hash-derived exponential keys are pure codegen; one window shuffle on source",
     "split_leakage_safe": "two-phase distinct aggregate shuffles (split, fp) partials — fingerprints, never text",
-    "interpolate_linear": "both IGNORE NULLS frame directions share ONE (user_id, ts) sort — a single Exchange",
+    "interpolate_linear": "both IGNORE NULLS directions as RUNNING frames (asc + desc sorts) over ONE user_id Exchange — never a CURRENT..UNBOUNDED FOLLOWING frame (quadratic re-aggregation)",
+    "join_asof_forward": "forward as-of = reversed-backward running frame: one shuffle + desc sort, no per-row frame re-aggregation (was 78x slower as UNBOUNDED FOLLOWING)",
+    "kmeans_lloyd": "each Lloyd iteration: corpus x broadcast(K centroids) argmin + K-group mean — corpus never shuffles, centroid frame localCheckpoint'ed",
+    "pq_encode": "subspace explode (M per row) + broadcast codebook join + two bounded aggregations",
+    "countmin_sketch_report": "CMS rows explode over the per-key LATTICE (|keys| x D), never raw events; counters collapse to <= D x W groups",
+    "survival_kaplan_meier": "duration-lattice windows: users collapse to distinct-t rows first, so unpartitioned running frames are bounded",
+    "ngram_novelty_score": "first-occurrence inverted index: two shuffles (shingle-hash, doc), no self-join",
+    "ivm_delta_apply": "base and delta scans both push the split predicate; merge re-aggregates 2x|view| partial rows, not events",
     "cep_pattern_match": "CEP A-then-B-unless-C as two stacked forward as-of window passes — no state machine, no range join",
     "scd2_point_in_time_join": "contiguous SCD2 intervals degrade the interval join to the as-of kernel — no BroadcastNestedLoopJoin",
     "dq_rule_check": "every contract rule is a conditional sum in ONE scan (stack unpivot, not per-rule unions)",
