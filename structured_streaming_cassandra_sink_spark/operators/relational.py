@@ -1710,3 +1710,44 @@ def surrogate_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.row_number().over(w) + offset_col).cast("bigint").alias("sk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (SQL-surface parity)
+# ---------------------------------------------------------------------------
+@query(
+    "lateral_topn",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) t
+    """,
+)
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation via a correlated LATERAL subquery —
+    the SQL spelling users port from DuckDB/Postgres/Trino unchanged.
+    Catalyst decorrelates the LATERAL LIMIT into the same
+    window-rank-filter plan `window_rank` builds by hand (DomainJoin →
+    rank ≤ 3), so accepting this surface costs nothing at scale: one
+    shuffle on the correlation key, no per-outer-row subquery
+    execution. Deterministic (acctbal DESC, name) tie-break keeps both
+    engines' top-3 identical."""
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("__lat_nation")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+        "__lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM __lat_nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM __lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) t
+        """
+    )

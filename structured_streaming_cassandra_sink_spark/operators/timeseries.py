@@ -1967,3 +1967,120 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_events"),
         "surv",
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes on the day lattice)
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             epoch(ts::DATE) / 86400 AS dnum, round(sum(value), 4) AS x
+      FROM events GROUP BY event_type, ts::DATE, epoch(ts::DATE) / 86400
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.x - a.x) / (b.dnum - a.dnum) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.dnum < b.dnum
+    )
+    SELECT event_type, count(*)::BIGINT AS n_pairs,
+           round(median(slope), 4) AS ts_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the daily revenue series — up to ~29% outlier-contaminated
+    days cannot move it (vs `regression_agg`'s OLS slope, which one bad
+    day drags). Public-literature estimator (Theil 1950 / Sen 1968).
+
+    Shape: the pairwise product is over the DAY LATTICE, never rows —
+    events collapse to |types| x |days| daily points first (one hash
+    agg), and the self-join then costs |days|² per type (~900 cells at
+    a year horizon, constant in corpus size). Same bounded-lattice
+    argument as roc_auc: 100 TB of events changes the daily sums, not
+    the pair count. Median over the slopes is exact percentile on a
+    bounded set."""
+    ev = spread(load_table(spark, "events", sf_dir))
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    daily = daily.select(
+        "event_type",
+        (F.unix_timestamp(F.col("day").cast("timestamp")) / 86400).alias(
+            "dnum"
+        ),
+        "x",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.dnum") < F.col("b.dnum")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.x") - F.col("a.x")) / (F.col("b.dnum") - F.col("a.dnum"))).alias(
+            "slope"
+        ),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("ts_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MAPE / bias per type)
+# ---------------------------------------------------------------------------
+SNAIVE_LAG_D = 7  # forecast = the value from the same weekday last week
+
+
+@query(
+    "forecast_snaive_backtest",
+    f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day, round(sum(value), 4) AS x
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    f AS (
+      SELECT event_type, day, x,
+             lag(x, {SNAIVE_LAG_D}) OVER (PARTITION BY event_type ORDER BY day)
+               AS yhat
+      FROM daily
+    )
+    SELECT event_type, count(*)::BIGINT AS n_scored,
+           round(avg(abs(x - yhat) / abs(x)), 4)  AS mape,
+           round(avg(yhat - x), 4)                AS bias
+    FROM f WHERE yhat IS NOT NULL GROUP BY event_type
+    """,
+)
+def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling backtest of the seasonal-naive forecaster (ŷ_t =
+    x_(t-{SNAIVE_LAG_D})): per-type MAPE and signed bias — the baseline
+    every production forecast must beat before it ships, and the
+    evaluation harness is the same lag window any real model's backtest
+    uses. Complements the diagnostic family (acf_lags /
+    seasonal_decompose / cusum_changepoint) with an accuracy read-out.
+
+    Shape: daily lattice first (one hash agg), then one lag window per
+    type over the lattice and a tiny final agg — the unbounded part of
+    the plan never sees raw events."""
+    ev = spread(load_table(spark, "events", sf_dir))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.select(
+        "event_type", "x", F.lag("x", SNAIVE_LAG_D).over(w).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    return f.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.avg(F.abs(F.col("x") - F.col("yhat")) / F.abs("x")), 4).alias(
+            "mape"
+        ),
+        F.round(F.avg(F.col("yhat") - F.col("x")), 4).alias("bias"),
+    )
