@@ -54,6 +54,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROUND-4 ROTATION DEBT (build the next _PRIORITY_THIS_ROUND from this):
 # - the 3 spilled below: set_intersect_all, set_except_all,
 #   join_shuffle_hash_hint;
+# - dedup_near_minhash: contract CHANGED this round (rows-only -> full
+#   brute-force oracle, recall measured 1.0) — needs its first
+#   hash-checked driver row;
+# - the round-3 driver-session additions, never driver-seen:
+#   kmeans_lloyd, pq_encode, countmin_sketch_report, rolling_median,
+#   survival_kaplan_meier, ngram_novelty_score, k_anonymity_check,
+#   ivm_delta_apply, theil_sen_trend, forecast_snaive_backtest,
+#   lateral_topn;
 # - queries whose contract CHANGED after their last driver row and which
 #   sit past this round's cap: approx_distinct, approx_quantiles (rows-only
 #   -> tolerance-banded oracle), udf_surface (rows-only -> full oracle);
