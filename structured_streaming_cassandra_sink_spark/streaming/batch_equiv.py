@@ -181,3 +181,63 @@ def tumbling_distinct_agg(events: DataFrame, exact: bool = True) -> DataFrame:
 )
 def stream_tumbling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_distinct_agg(load_table(spark, "events", sf_dir), exact=True)
+
+
+def enrich_static_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment + tumbling rollup (shared batch/stream):
+    each event picks up its user's market segment from a broadcast
+    static dimension, then aggregates per (hour, segment). LEFT join:
+    events from users outside the dimension land in the NULL-segment
+    group instead of vanishing (the silent-data-loss default of an inner
+    enrich)."""
+    e = events.join(F.broadcast(dim), "user_id", "left")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def customer_segment_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, segment) static dimension from the customer table."""
+    return load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "stream_enrich_static",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR  AS window_end,
+           c.c_mktsegment                                        AS segment,
+           count(*)                                              AS n,
+           round(sum(value), 4)                                  AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the stream-static broadcast enrichment — the
+    most common production streaming shape after plain windowed aggs
+    (every event pipeline joins a user/account dimension). Structured
+    Streaming re-reads the static side per micro-batch and broadcasts
+    it; the stream twin is pinned equal in
+    tests/test_streaming.py::test_stream_static_join (same join) and
+    the shared expression here keeps batch and stream from drifting.
+    At 100 TB the dimension is broadcast (or bucketed when it outgrows
+    memory) — the event stream itself never shuffles for the join."""
+    return enrich_static_agg(
+        load_table(spark, "events", sf_dir),
+        customer_segment_dim(spark, sf_dir),
+    )

@@ -1837,3 +1837,42 @@ def test_manifest_gc_log_never_outlives_files(spark, message_dir, tmp_path):
         with open(os.path.join(_manifest_log_dir(table), f"{v}.json")) as fh:
             m = json.load(fh)
         assert os.path.isdir(os.path.join(table, m["data_dir"])), m
+
+
+def test_streaming_enrich_static_equals_batch(spark, sf_dir, message_dir):
+    """Stream-static enrichment through the SHARED expression
+    (batch_equiv.enrich_static_agg): the driver-visible
+    `stream_enrich_static` query and this streaming twin use one
+    definition, so the pinned equality can't drift through a hand-synced
+    copy. Complete mode (finite replay can't advance the watermark)."""
+    from structured_streaming_cassandra_sink_spark.streaming.batch_equiv import (
+        customer_segment_dim,
+        enrich_static_agg,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.sources import (
+        file_message_stream,
+        parse_message_stream,
+    )
+
+    dim = customer_segment_dim(spark, sf_dir)
+    stream_events = parse_message_stream(file_message_stream(spark, message_dir))
+    q = (
+        enrich_static_agg(stream_events, dim)
+        .writeStream.queryName("t_enrich_static")
+        .outputMode("complete")
+        .format("memory")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.window_end, r.segment): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM t_enrich_static").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.window_start, r.window_end, r.segment): (r.n, r.sum_value)
+        for r in enrich_static_agg(_batch_parsed(spark, message_dir), dim).collect()
+    }
+    assert got == want
