@@ -545,3 +545,65 @@ def test_pit_join_no_range_explosion(spark, sf_dir):
     BroadcastNestedLoopJoin range product."""
     plan = _plan(spark, sf_dir, "scd2_point_in_time_join")
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lateral_topn_decorrelated(spark, sf_dir):
+    """The LATERAL LIMIT subquery must decorrelate to a window/join plan
+    — no per-outer-row subquery execution, no cartesian product."""
+    plan = _plan(spark, sf_dir, "lateral_topn")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "Join" in plan
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """Lloyd assignment: the K-row centroid side rides a broadcast —
+    the corpus never shuffles for the argmin."""
+    plan = _plan(spark, sf_dir, "kmeans_lloyd")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_codebook_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pq_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stream_enrich_dim_broadcast(spark, sf_dir):
+    """The static dimension broadcasts; the event side never shuffles
+    for the join (only the windowed agg exchanges partials)."""
+    plan = _plan(spark, sf_dir, "stream_enrich_static")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_forward_asof_no_unbounded_following(spark, sf_dir):
+    """The forward as-of kernel must stay a RUNNING frame (reversed
+    sort): an UNBOUNDED FOLLOWING ignore-nulls frame re-aggregates the
+    remaining frame per row — O(rows²) per key (measured 78x here)."""
+    plan = _plan(spark, sf_dir, "join_asof_forward")
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_interpolate_no_unbounded_following(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "interpolate_linear")
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_theil_sen_joins_on_lattice_key(spark, sf_dir):
+    """The pairwise-slope self-join keys on event_type (lattice), never
+    a cartesian product over raw rows."""
+    plan = _plan(spark, sf_dir, "theil_sen_trend")
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_explodes_lattice_not_events(spark, sf_dir):
+    """Generate (the D-row explode) must sit ABOVE the per-key
+    aggregation: the blow-up is |keys| x D, never |events| x D."""
+    plan = _plan(spark, sf_dir, "countmin_sketch_report")
+    gen = plan.find("Generate")
+    assert gen != -1
+    # the formatted tree prints root-first, children after — a
+    # HashAggregate printed AFTER the Generate is BELOW it, i.e. the
+    # explode consumes aggregated (per-key) rows, not the raw scan
+    assert plan.find("HashAggregate", gen) != -1
