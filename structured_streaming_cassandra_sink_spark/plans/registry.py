@@ -52,11 +52,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # spill to round 4. Everything green in r01/r02 is dropped from the list.
 #
 # ROUND-4 ROTATION DEBT (build the next _PRIORITY_THIS_ROUND from this):
-# - the 3 spilled below: set_intersect_all, set_except_all,
-#   join_shuffle_hash_hint;
-# - dedup_near_minhash: contract CHANGED this round (rows-only -> full
-#   brute-force oracle, recall measured 1.0) — needs its first
-#   hash-checked driver row;
+# - the 4 spilled below: session_chain_recursive, set_intersect_all,
+#   set_except_all, join_shuffle_hash_hint;
 # - the round-3 driver-session additions, never driver-seen:
 #   kmeans_lloyd, pq_encode, countmin_sketch_report, rolling_median,
 #   survival_kaplan_meier, ngram_novelty_score, k_anonymity_check,
@@ -93,6 +90,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # budget on them plus the 3 spilled + 3 contract-changed rows, and any
 # re-confirmation of stale green rows waits for round 5.
 _PRIORITY_THIS_ROUND = [
+    # contract upgraded this round: rows-only -> full brute-force oracle
+    # (recall measured 1.0 at all SFs) — give the flagship near-dup op
+    # its first hash-checked row
+    "dedup_near_minhash",
     # r2 driver FAILs — array outputs made driver-hashable this round
     "embedding_centroid",
     "embedding_quantize",
@@ -145,8 +146,11 @@ _PRIORITY_THIS_ROUND = [
     "edit_distance_clusters",
     "incremental_stats_merge",
     "variant_ops",
+    # --- 50-row cap lands here; the 4 below spill to round 4 ---
+    # (session_chain_recursive spilled to make room for the
+    # dedup_near_minhash contract upgrade: its window-sessionizer twin
+    # sessionize_assign is already hash-proven, so it loses the least)
     "session_chain_recursive",
-    # --- 50-row cap lands here; the 3 below spill to round 4 ---
     "set_intersect_all",
     "set_except_all",
     "join_shuffle_hash_hint",
