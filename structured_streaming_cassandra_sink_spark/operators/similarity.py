@@ -1536,3 +1536,98 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall vs exact is flagged in ann_recall_report (pq_recall_ok)
 def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(spark, sf_dir)
+
+
+# ------------------------------------------------------- mrr / map @ k
+@query(
+    "mrr_map_at_k",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= {N_QUERIES}),
+    ranked AS (
+      SELECT q.query_id,
+             CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS hit,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(
+                          qvec::DOUBLE[], embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS rnk
+      FROM q, c),
+    cum AS (
+      SELECT query_id, hit, rnk,
+             sum(hit) OVER (PARTITION BY query_id ORDER BY rnk) AS cumrel
+      FROM ranked),
+    nrel AS (SELECT query_id, sum(hit)::BIGINT AS n_rel FROM ranked GROUP BY 1),
+    topk AS (SELECT * FROM cum WHERE rnk <= {NDCG_K})
+    SELECT t.query_id,
+           coalesce(min(CASE WHEN t.hit = 1 THEN t.rnk END), 0)::BIGINT
+             AS first_rel_rank,
+           round(coalesce(1.0 / min(CASE WHEN t.hit = 1 THEN t.rnk END), 0.0), 6)
+             AS rr,
+           round(coalesce(
+             sum(CASE WHEN t.hit = 1 THEN t.cumrel::DOUBLE / t.rnk END)
+               / least(any_value(n.n_rel), {NDCG_K}), 0.0), 6) AS ap_at_k
+    FROM topk t JOIN nrel n USING (query_id)
+    GROUP BY t.query_id
+    """,
+)
+def mrr_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank and average precision @{NDCG_K} per probe query
+    (binary label relevance) — with `ndcg_at_k` these are the three
+    standard retrieval read-outs (MRR weights only the FIRST hit, AP
+    integrates precision over every hit, NDCG discounts by position).
+    Same scale shape as the NDCG plan: one corpus scan against the
+    broadcast probes, per-query window on the rounded-6dp cosine, all
+    rank math on the bounded top-k lattice."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("hit"),
+        "vec_id",
+        F.round(
+            dot(as_double(F.col("qvec")), as_double(F.col("embedding")))
+            / (
+                norm(as_double(F.col("qvec")))
+                * norm(as_double(F.col("embedding")))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    ranked = sims.withColumn("rnk", F.row_number().over(wr))
+    wcum = Window.partitionBy("query_id").orderBy("rnk")
+    cum = ranked.withColumn("cumrel", F.sum("hit").over(wcum))
+    nrel = ranked.groupBy("query_id").agg(F.sum("hit").alias("n_rel"))
+    topk = cum.filter(F.col("rnk") <= NDCG_K)
+    first_rel = F.min(F.when(F.col("hit") == 1, F.col("rnk")))
+    return (
+        topk.join(nrel, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(first_rel, F.lit(0)).cast("long").alias("first_rel_rank"),
+            F.round(F.coalesce(1.0 / first_rel, F.lit(0.0)), 6).alias("rr"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("hit") == 1,
+                            F.col("cumrel").cast("double") / F.col("rnk"),
+                        )
+                    )
+                    / F.least(F.first("n_rel"), F.lit(NDCG_K)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ap_at_k"),
+        )
+    )
