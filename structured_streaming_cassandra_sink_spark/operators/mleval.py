@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ..sources import load_table
+from ..sources import load_table, spread
 
 # Binary label convention for the orders table: an order is "positive"
 # when finalized. Single owner — every metric below uses this expression.
@@ -1204,5 +1204,101 @@ def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.avg(x), 4).alias("mean_raw"),
             F.round(F.avg(clipped), 4).alias("mean_winsor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (deterministic hash replicates)
+# ---------------------------------------------------------------------------
+BOOT_R = 32  # replicates
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities): a
+# hash-uniform u maps to weight w = #occurrences of the row in the
+# replicate. Tail capped at 4 (P(X>=5) ~ 0.37%): the cap biases each
+# replicate's size by <0.004 rows per row — far inside bootstrap noise.
+_POIS_C = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431)
+
+
+@query(
+    "bootstrap_ci_poisson",
+    f"""
+    WITH reps AS (SELECT unnest(range({BOOT_R})) AS rep),
+    w AS (
+      SELECT event_type, value, rep,
+             CASE
+               WHEN u < {_POIS_C[0]} THEN 0
+               WHEN u < {_POIS_C[1]} THEN 1
+               WHEN u < {_POIS_C[2]} THEN 2
+               WHEN u < {_POIS_C[3]} THEN 3
+               ELSE 4 END AS w
+      FROM (SELECT event_type, value, rep,
+                   ((('0x' || substr(md5(event_id::VARCHAR || ':' || rep::VARCHAR), 1, 8))::BIGINT)
+                    / 4294967296.0) AS u
+            FROM events, reps)
+    ),
+    m AS (
+      SELECT event_type, rep,
+             round(sum(w * value) / sum(w), 4) AS mr
+      FROM w GROUP BY event_type, rep
+    ),
+    pt AS (
+      SELECT event_type, round(avg(value), 4) AS mean_value
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, any_value(pt.mean_value) AS mean_value,
+           round(quantile_cont(mr, 0.025), 4) AS ci_lo,
+           round(quantile_cont(mr, 0.975), 4) AS ci_hi,
+           count(*)::BIGINT AS n_replicates
+    FROM m JOIN pt USING (event_type)
+    GROUP BY m.event_type
+    """,
+)
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the per-type mean value via the POISSON
+    bootstrap (Chamandy et al., 2012 — the large-scale form: each row
+    independently enters replicate r with weight ~ Poisson(1), so no
+    resampling shuffle ever happens). Weights are the Poisson(1)
+    inverse-CDF of the md5 hash-uniform of (event_id, rep) — the
+    engine's single deterministic-randomness convention (hash_unif) —
+    so both engines draw IDENTICAL replicates and the CI is fully
+    value-hash-checked (vs `jackknife_ci`'s delete-one-block variance:
+    bootstrap also captures skewness, and replicates scale to streams).
+
+    Shape at 100 TB: the {BOOT_R}x replicate fan-out is map-side only —
+    weighted partials collapse to |types| x {BOOT_R} rows before the
+    exchange; the percentile runs on a {BOOT_R}-value lattice per type.
+    """
+    from .curation import hash_unif
+
+    ev = spread(load_table(spark, "events", sf_dir))
+    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("rep")
+    base = ev.select("event_type", "value", "event_id").select(
+        "event_type", "value", "event_id", reps
+    )
+    u = hash_unif(
+        F.concat_ws(
+            ":", F.col("event_id").cast("string"), F.col("rep").cast("string")
+        )
+    )
+    w = (
+        F.when(u < _POIS_C[0], 0)
+        .when(u < _POIS_C[1], 1)
+        .when(u < _POIS_C[2], 2)
+        .when(u < _POIS_C[3], 3)
+        .otherwise(4)
+    )
+    weighted = base.select("event_type", "rep", (w * F.col("value")).alias("wv"), w.alias("w"))
+    m = weighted.groupBy("event_type", "rep").agg(
+        F.round(F.sum("wv") / F.sum("w"), 4).alias("mr")
+    )
+    pt = ev.groupBy("event_type").agg(F.round(F.avg("value"), 4).alias("mean_value"))
+    return (
+        m.join(F.broadcast(pt), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("mean_value").alias("mean_value"),
+            F.round(F.expr("percentile(mr, 0.025)"), 4).alias("ci_lo"),
+            F.round(F.expr("percentile(mr, 0.975)"), 4).alias("ci_hi"),
+            F.count("*").alias("n_replicates"),
         )
     )
