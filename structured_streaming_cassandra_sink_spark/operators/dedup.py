@@ -12,8 +12,12 @@ The LLM-data north star: finding duplicate/near-duplicate documents at
    when hot shingles are pruned (see docstring).
 3. ``dedup_near_minhash`` / ``dedup_simhash`` — sketch-based (probabilistic)
    versions whose cost is linear in corpus size: the only option when even
-   the inverted index is too big. Rows-only checked by the driver;
-   recall-vs-exact is pinned in tests/test_dedup.py.
+   the inverted index is too big. Both are now fully oracle-checked:
+   minhash against brute-force exact Jaccard (valid because measured
+   recall is 1.0 on the fixed testdata), simhash against a portable
+   md5-nibble sketch replica (valid unconditionally — pigeonhole
+   blocking is exact). Recall-vs-exact additionally pinned in
+   tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_K = 32          # signature length
 MINHASH_BANDS = 16      # 16 bands x 2 rows: P(candidate) = 1-(1-j^2)^16
 SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_CHUNKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: d<=3 -> >=1 equal chunk
 
 
 # ---------------------------------------------------------------------------
@@ -405,61 +411,76 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3b. SimHash
 # ---------------------------------------------------------------------------
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """64-bit SimHash per doc from token hashes: bit j of the sketch is the
-    sign of Σ_tokens (±1 per token's hash bit j). One explode + 64
-    conditional-sum aggregates (all map-side partial)."""
+    """64-bit SimHash per doc, emitted as {SIMHASH_CHUNKS} 16-bit chunk
+    columns c0..c3: bit j of the sketch is the sign of
+    Σ_tokens (±1 per token's hash bit j).
+
+    The per-token hash is md5 (bit-identical across engines, like
+    `fingerprint`), with bit j read from hex nibble j//4 — so the whole
+    sketch is portable and a DuckDB oracle can replicate it exactly,
+    unlike the xxhash64 family (engine-internal). Plan shape: one
+    explode, 16 nibble extractions per token (each feeds 4 bit tests),
+    then 64 conditional-sum aggregates in a single groupBy — all
+    map-side partial, one shuffle of (doc_id, 64 ints)."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+        "h", F.md5("tok")
     )
+    nibs = [
+        F.expr(f"instr('0123456789abcdef', substring(h, {k + 1}, 1)) - 1").alias(f"n{k}")
+        for k in range(bits // 4)
+    ]
+    tok = tok.select("doc_id", *nibs)
+    # CAST(floor(n/2^s) AS INT) % 2, not shiftright: identical spelling
+    # works in DuckDB, keeping sketch bits provably cross-engine.
     sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.expr(f"CAST(floor(n{j // 4} / {1 << (j % 4)}) AS INT) % 2") == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(bits)
     ]
     agg = tok.groupBy("doc_id").agg(*sums)
-    # reassemble: sketch = Σ_j (b_j > 0) << j  — do it in two 32-bit halves
-    # to stay clear of long-overflow on bit 63.
-    expr_lo = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)" for j in range(32))
-    expr_hi = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) << {j - 32} ELSE 0 END)" for j in range(32, bits))
-    return agg.select(
-        "doc_id",
-        F.expr(expr_lo).alias("sim_lo"),
-        F.expr(expr_hi).alias("sim_hi"),
-    )
+    width = bits // SIMHASH_CHUNKS
+    chunk_exprs = [
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN b{j} > 0 THEN {1 << (j - c * width)} ELSE 0 END)"
+                for j in range(c * width, (c + 1) * width)
+            )
+        ).cast("int").alias(f"c{c}")
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    return agg.select("doc_id", *chunk_exprs)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Blocking by pigeonhole: split the 64 bits into max_hamming+1 chunks; a
-    pair within distance d <= max_hamming must agree on >= 1 chunk, so an
-    equi-join per chunk finds all of them — no all-pairs scan."""
-    chunks = max_hamming + 1
-    width = SIMHASH_BITS // chunks
+    Blocking by pigeonhole: the sketch is already stored as
+    max_hamming+1 chunks; a pair within distance d <= max_hamming must
+    agree on >= 1 chunk, so an equi-join per chunk finds ALL of them
+    (guaranteed, not probabilistic) — no all-pairs scan. The chunks
+    double as both join keys and the hamming computation inputs."""
+    assert max_hamming == SIMHASH_MAX_HAMMING, "sketch chunking is fixed at build"
     sk = simhash(docs)
-    full = sk.withColumn(
-        "chunks",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("cid"),
-                    F.expr(
-                        f"CAST(shiftright({'sim_hi' if (c * width) >= 32 else 'sim_lo'}, "
-                        f"{(c * width) % 32}) & {(1 << width) - 1} AS BIGINT)"
-                    ).alias("cv"),
-                )
-                for c in range(chunks)
-            ]
-        ),
-    )
-    ex = full.select("doc_id", "sim_lo", "sim_hi", F.explode("chunks").alias("ck")).select(
-        "doc_id", "sim_lo", "sim_hi", F.col("ck.cid").alias("cid"), F.col("ck.cv").alias("cv")
-    )
+    cols = [f"c{c}" for c in range(SIMHASH_CHUNKS)]
+    ex = sk.select(
+        "doc_id",
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("cid"), F.col(f"c{c}").alias("cv"))
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", *cols, F.col("ck.cid").alias("cid"), F.col("ck.cv").alias("cv"))
     a, b = ex.alias("a"), ex.alias("b")
-    ham = F.bit_count(
-        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
-    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    ham = sum(
+        F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}"))) for c in cols
+    )
     return (
         a.join(
             b,
@@ -470,15 +491,55 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 
 
-@query("dedup_simhash")  # rows-only: sketch values are hash-function-specific
+def _simhash_oracle() -> str:
+    """DuckDB replica of the md5-nibble simhash: identical per-token
+    bits, identical sign sums, but brute-force all-pairs hamming (the
+    oracle runs at sf0.01 where 500 docs -> 125k pairs; Spark keeps the
+    pigeonhole blocking, which is exact, so the sets must be equal)."""
+    nibs = ",\n             ".join(
+        f"instr('0123456789abcdef', substring(h, {k + 1}, 1)) - 1 AS n{k}"
+        for k in range(SIMHASH_BITS // 4)
+    )
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN CAST(floor(n{j // 4} / {1 << (j % 4)}) AS INT) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN (a.b{j} > 0) <> (b.b{j} > 0) THEN 1 ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    nib AS (SELECT doc_id,
+             {nibs}
+            FROM tok),
+    sums AS (SELECT doc_id,
+             {sums}
+            FROM nib GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS INT) AS hamming
+    FROM sums a JOIN sums b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — now fully oracle-checked (upgraded from
+    rows-only): the md5-nibble sketch is engine-portable, and pigeonhole
+    blocking over 4 chunks is EXACT for hamming <= 3, so Spark's blocked
+    pair set provably equals the oracle's all-pairs set — no recall
+    caveat, unlike the minhash oracle's measured-recall argument."""
     return simhash_pairs(spread(load_table(spark, "documents", sf_dir)))
 
 

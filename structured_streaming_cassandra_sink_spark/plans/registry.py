@@ -61,7 +61,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   lateral_topn;
 # - queries whose contract CHANGED after their last driver row and which
 #   sit past this round's cap: approx_distinct, approx_quantiles (rows-only
-#   -> tolerance-banded oracle), udf_surface (rows-only -> full oracle);
+#   -> tolerance-banded oracle), udf_surface (rows-only -> full oracle),
+#   dedup_simhash (rows-only -> portable md5-nibble sketch, full oracle);
 # - the round-3 additions, never driver-seen: scd2_build,
 #   split_leakage_safe, ann_recall_report, weighted_sample_topk,
 #   union_schema_evolution, pca_variance_report, minhash_recall_report,

@@ -41,7 +41,7 @@ def test_identical_docs_have_zero_hamming(spark):
         ],
         "doc_id long, text string",
     )
-    sk = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash(docs).collect()}
+    sk = {r.doc_id: (r.c0, r.c1, r.c2, r.c3) for r in simhash(docs).collect()}
     assert sk[1] == sk[2]
     assert sk[1] != sk[3]
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs).collect()}

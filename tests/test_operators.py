@@ -971,6 +971,6 @@ def test_engine_facade_roundtrip(spark, sf_dir):
     assert "roc_auc" in eng.queries()
     assert eng.query("groupby_agg").count() > 0
     assert eng.oracle("groupby_agg") and "SELECT" in eng.oracle("groupby_agg").upper()
-    assert eng.oracle("dedup_near_minhash") is None  # rows-only stays rows-only
+    assert eng.oracle("multimodal_decode") is None  # rows-only stays rows-only
     plan = eng.explain("join_inner_broadcast")
     assert "BroadcastHashJoin" in plan
