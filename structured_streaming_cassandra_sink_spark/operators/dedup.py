@@ -1355,3 +1355,102 @@ def dup_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionAll(nxt)
         frontier = nxt.select("node")
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# 6. Sparse all-pairs cosine over TF-IDF shingle vectors
+# ---------------------------------------------------------------------------
+TFIDF_COS_THRESHOLD = 0.5
+
+
+@query(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {NGRAM_N}
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS t
+      FROM base
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM sh GROUP BY doc_id, t),
+    dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    nd AS (SELECT count(*) AS n_docs FROM base),
+    w AS (SELECT doc_id, t,
+                 tf * ln(1.0 + (SELECT n_docs FROM nd) / CAST(df AS DOUBLE)) AS w
+          FROM tf JOIN dft USING (t)),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+             FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON doc_a = na.doc_id
+    JOIN nrm nb ON doc_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= {TFIDF_COS_THRESHOLD}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= threshold —
+    the weighted complement to ``dedup_ngram_jaccard``'s set-based
+    measure (Bayardo et al., "Scaling Up All Pairs Similarity Search"):
+    terms are word {NGRAM_N}-grams, tf counts occurrences (not distinct),
+    idf = ln(1 + N/df), cosine = <wa, wb> / (|wa||wb|).
+
+    Scale shape: identical inverted-index self-join skeleton as
+    ngram_jaccard — the dot product falls out of a sum aggregate over
+    shared terms, so only (doc_id, term, weight) ships through the join
+    and the cost is Σ_term df². On this corpus max shingle df is ~25 so
+    the plain index is exact AND cheapest; at crawl scale the same two
+    exact-preserving cuts apply as for jaccard: drop boilerplate-hot
+    terms from the index (they carry near-zero idf weight, so a weight
+    floor is the cosine-native prefix filter) and length/norm-band the
+    candidates. The corpus-count scalar rides along as a broadcast 1-row
+    crossJoin, never a driver collect; the df table joins by term — the
+    same key as the self-join, so AQE coalesces the exchanges."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= NGRAM_N)
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {NGRAM_N - 1}),"
+                f" i -> array_join(slice(toks, i, {NGRAM_N}), ' '))"
+            )
+        ).alias("t"),
+    )
+    tf = sh.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nd = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dft, "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na, nb = nrm.alias("na"), nrm.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(cos >= TFIDF_COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
+    )

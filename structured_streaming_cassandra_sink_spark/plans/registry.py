@@ -63,6 +63,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   sit past this round's cap: approx_distinct, approx_quantiles (rows-only
 #   -> tolerance-banded oracle), udf_surface (rows-only -> full oracle),
 #   dedup_simhash (rows-only -> portable md5-nibble sketch, full oracle);
+# - the continuation-session additions, never driver-seen:
+#   bootstrap_ci_poisson, mrr_map_at_k, sim_search_pq_adc,
+#   stream_enrich_static, tfidf_cosine_pairs;
 # - the round-3 additions, never driver-seen: scd2_build,
 #   split_leakage_safe, ann_recall_report, weighted_sample_topk,
 #   union_schema_evolution, pca_variance_report, minhash_recall_report,

@@ -121,3 +121,37 @@ def test_minhash_recall_report_flags(spark, sf_dir):
     assert row.n_true_pairs > 0
     assert 0.0 < row.mean_true_jaccard <= 1.0
     assert row.recall_ok and row.no_false_positives
+
+
+def test_tfidf_cosine_identical_docs(spark):
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        TFIDF_COS_THRESHOLD,
+    )
+    import structured_streaming_cassandra_sink_spark.operators.dedup as dd
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window join hash merge sort table scan"),
+            (2, "spark window join hash merge sort table scan"),
+            (3, "completely different words entirely here now today friend"),
+        ],
+        "doc_id long, text string",
+    )
+    # run the registered plan body directly on an in-memory frame by
+    # monkey-free reconstruction: identical docs must score cosine 1.0
+    # and the disjoint doc must produce no pair at all.
+    from structured_streaming_cassandra_sink_spark.functions.textfns import tokens
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    assert base.count() == 3
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in dd.tfidf_cosine_pairs(spark, td).collect()
+        }
+    assert out == {(1, 2): 1.0}
+    assert TFIDF_COS_THRESHOLD < 1.0
