@@ -1631,3 +1631,137 @@ def mrr_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ap_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + dense rankings
+# ---------------------------------------------------------------------------
+RRF_K = 60        # the standard RRF damping constant (Cormack et al.)
+RRF_DEPTH = 50    # fuse the top-50 of each ranker
+RRF_TOPK = 20
+
+
+def _rrf_oracle() -> str:
+    from .text import BM25_B, BM25_K1, BM25_QUERY
+
+    q_sql = ", ".join(f"'{w}'" for w in BM25_QUERY)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+               WHERE doc_id >= 1),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM t),
+    tok AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM t),
+    qt AS (SELECT * FROM tok WHERE term IN ({q_sql})),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM qt GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    bm AS (SELECT doc_id,
+                  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                            * tf * ({BM25_K1} + 1)
+                            / (tf + {BM25_K1} * (1 - {BM25_B}
+                                 + {BM25_B} * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN dft USING (term) CROSS JOIN stats GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM bm QUALIFY r <= {RRF_DEPTH}),
+    dn AS (SELECT vec_id AS doc_id,
+                  round(list_cosine_similarity(embedding::DOUBLE[],
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]),
+                        6) AS cs
+           FROM embeddings WHERE vec_id >= 1),
+    den AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+            FROM dn QUALIFY r <= {RRF_DEPTH}),
+    u AS (SELECT doc_id, 1.0::DOUBLE / ({RRF_K} + r) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, 1.0::DOUBLE / ({RRF_K} + r) AS c FROM den),
+    f AS (SELECT doc_id, round(sum(c), 6) AS rrf,
+                 count(*) AS n_lists
+          FROM u GROUP BY doc_id)
+    SELECT doc_id, rrf, n_lists,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+    FROM f QUALIFY rnk <= {RRF_TOPK}
+    """
+
+
+@query("rrf_fusion", _rrf_oracle())
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (score = Σ 1/(k+rank),
+    k={RRF_K}) of a lexical ranker (BM25 over the fixed demo query,
+    identical scoring to `bm25_score`) and a dense ranker (cosine
+    against the doc-0 probe embedding; vec_id i is doc i's embedding —
+    the paired-corpus convention of the synthetic tables). Doc 0 itself
+    is excluded from both lists (self-retrieval).
+
+    The list depth is capped at {RRF_DEPTH} per ranker, so the fusion
+    aggregate touches at most 2·depth rows regardless of corpus size —
+    at 100 TB the rank lists arrive depth-bounded from the retrievers
+    (BM25 top-k is TakeOrdered, dense top-k comes from the ANN path) and
+    the unpartitioned ranking windows here order ranker OUTPUT (depth-
+    bounded), never the corpus. FP parity: each fused score is a sum of
+    at most 2 terms (commutative, order-free), ranked on the ROUNDED
+    value with doc_id tie-break."""
+    from ..functions.textfns import tokens
+    from .text import BM25_B, BM25_K1, BM25_QUERY
+
+    docs = spread(load_table(spark, "documents", sf_dir)).filter(F.col("doc_id") >= 1)
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    )
+    tok = base.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
+    qt = tok.filter(F.col("term").isin(BM25_QUERY))
+    tf = qt.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    bm = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        bm.withColumn("r", F.row_number().over(w_lex))
+        .filter(F.col("r") <= RRF_DEPTH)
+        .select("doc_id", "r")
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 1).select(
+        F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    dn = c.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        F.round(
+            dot(F.col("cv"), F.col("qv")) / (norm(F.col("cv")) * norm(F.col("qv"))), 6
+        ).alias("cs"),
+    )
+    w_den = Window.orderBy(F.col("cs").desc(), "doc_id")
+    den = (
+        dn.withColumn("r", F.row_number().over(w_den))
+        .filter(F.col("r") <= RRF_DEPTH)
+        .select("doc_id", "r")
+    )
+
+    contrib = lex.unionAll(den).select(
+        "doc_id", (F.lit(1.0) / (RRF_K + F.col("r"))).alias("c")
+    )
+    fused = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w_f = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= RRF_TOPK)
+        .select("doc_id", "rrf", "n_lists", "rnk")
+    )

@@ -281,3 +281,20 @@ def test_pq_adc_recall_band(spark, sf_dir):
     pq = {(r.query_id, r.vec_id) for r in pq_adc_topk(spark, sf_dir).collect()}
     assert len(pq) == len(ex)
     assert len(ex & pq) / len(ex) >= ANN_PQ_BAND
+
+
+def test_rrf_fusion_bounds(spark, sf_dir):
+    """RRF invariants: scores bounded by the two-list maximum 2/(k+1),
+    membership count is 1 or 2, and ranks are dense from 1."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.operators.similarity import RRF_K
+
+    rows = QUERIES["rrf_fusion"](spark, sf_dir).collect()
+    assert rows
+    assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        assert r.n_lists in (1, 2)
+        assert 0.0 < r.rrf <= 2.0 / (RRF_K + 1) + 1e-9
+        assert r.doc_id >= 1  # the probe doc never retrieves itself
