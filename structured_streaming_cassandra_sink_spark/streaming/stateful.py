@@ -510,3 +510,92 @@ def streaming_topk_events(spark, source_dir: str, query_name: str = "TopKEvents"
             spark.conf.unset(KEY)
         else:
             spark.conf.set(KEY, prev)
+
+
+# -- ValueState form: the running-totals accumulator on the new API ---------
+# Complements TopKEventsProcessor's ListState: together the two TWS demos
+# cover the typed-state primitives the old one-opaque-tuple API couldn't
+# express. End state equals the batch groupBy aggregate AND the
+# applyInPandasWithState form above (same recurrence, same STATE_SCHEMA) —
+# pinned in tests/test_streaming.py behind the protobuf gate.
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """ValueState twin of ``_running_totals``: one typed (n, s, last_us)
+    value per user, TTL-capable (pass ttlDurationMs to getValueState to
+    age out idle keys instead of the manual timeout-eviction dance)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, s, last_us = (
+            tuple(self._state.get()) if self._state.exists() else (0, 0.0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+        self._state.update((n, s, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas running totals — same semantics as
+    :func:`running_totals`, new-API form."""
+    if not _TWS_AVAILABLE:
+        raise RuntimeError(
+            "transformWithStateInPandas requires Spark >= 4.0 AND the "
+            "google.protobuf package (its driver worker protocol)"
+        )
+    return (
+        require_keys(events, "user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def streaming_running_totals_tws(
+    spark, source_dir: str, query_name: str = "RunningTotalsTWS"
+):
+    """File-mirror wiring for the ValueState accumulator (RocksDB
+    provider flip handled the same way as streaming_topk_events)."""
+    from .sources import file_message_stream, parse_message_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        totals = running_totals_tws(
+            parse_message_stream(file_message_stream(spark, source_dir))
+        )
+        return (
+            totals.writeStream.queryName(query_name)
+            .outputMode("update")
+            .format("memory")
+            .start()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -1876,3 +1876,53 @@ def test_streaming_enrich_static_equals_batch(spark, sf_dir, message_dir):
         for r in enrich_static_agg(_batch_parsed(spark, message_dir), dim).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_matches_batch_and_old_api(spark, message_dir):
+    """Spark 4.x StatefulProcessor (transformWithStateInPandas) running
+    totals: end state equals the batch groupBy aggregate — the same
+    contract the applyInPandasWithState form pins above, so the two
+    stateful APIs are interchangeable."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS driver worker needs protobuf (absent in this container; "
+        "operator is gated like the Cassandra connector)",
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import (
+        streaming_running_totals_tws,
+    )
+
+    q = streaming_running_totals_tws(spark, message_dir, query_name="t_totals_tws")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            """
+            SELECT user_id, n_events, sum_value, last_ts FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM t_totals_tws) WHERE rn = 1
+            """
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.user_id: (r.n_events, round(r.sum_value, 6), r.last_ts) for r in rows}
+    batch = (
+        _batch_parsed(spark, message_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n_events, round(r.sum_value, 6), r.last_ts) for r in batch}
+    assert got == {
+        u: (w[0], w[1], w[2]) for u, w in want.items()
+    } or all(
+        got[u][0] == want[u][0]
+        and abs(got[u][1] - want[u][1]) < 1e-6
+        and got[u][2] == want[u][2]
+        for u in want
+    )
+    assert set(got) == set(want)
