@@ -615,3 +615,76 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 4),
         ).alias("rolling_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+@query(
+    "skyline_pareto",
+    """
+    SELECT p_partkey, p_retailprice, p_size FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over (minimize price, maximize size): parts no
+    other part beats on both axes — the multi-objective shortlist query
+    (cheapest-per-capability in catalog/config search, candidate
+    pruning in data curation).
+
+    Scale shape: the textbook NOT-EXISTS dominance test is an O(n²)
+    self-anti-join; the 2D case falls to ONE sorted scan instead. Done
+    distributed: collapse to per-price group maxima (one shuffle,
+    map-side combined), then a two-pass prefix-MAX in price order —
+    range-partition by price, per-partition running max, per-partition
+    maxima collected (partition-count-sized, same bounded driver
+    constant as running_total's offsets) and rebroadcast as prefix
+    offsets — so no single-partition window ever materializes. A point
+    survives iff no strictly-cheaper group reaches its size
+    (m_lt < size) and nothing in its own price group is strictly larger
+    (size == group max). Ties on both axes are mutually non-dominating
+    and all kept, matching the oracle's strict-dominance semantics."""
+    p = load_table(spark, "part", sf_dir)
+    pts = p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    gp = pts.groupBy("price").agg(F.max("size").alias("m_eq"))
+    n = spark.sparkContext.defaultParallelism
+    ranged = (
+        gp.repartitionByRange(n, F.col("price"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning across the two passes
+    )
+    SENT = -(1 << 62)
+    subtot = ranged.groupBy("__pid").agg(F.max("m_eq").alias("pm")).collect()
+    offsets, acc = {}, SENT
+    for pid, pm in sorted((r["__pid"], r["pm"]) for r in subtot):
+        offsets[pid] = acc
+        acc = max(acc, pm)
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid"),
+    )
+    w_run = (
+        Window.partitionBy("__pid")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("__pid").orderBy("price")
+    g2 = ranged.withColumn("pmax", F.max("m_eq").over(w_run)).withColumn(
+        "m_lt",
+        F.greatest(F.coalesce(F.lag("pmax", 1).over(w_lag), F.lit(SENT)), off),
+    )
+    res = pts.join(g2.select("price", "m_eq", "m_lt"), "price")
+    keep = (F.col("m_lt") < F.col("size")) & (F.col("size") == F.col("m_eq"))
+    return res.filter(keep).select(
+        "p_partkey",
+        F.col("price").alias("p_retailprice"),
+        F.col("size").cast("int").alias("p_size"),
+    )

@@ -974,3 +974,30 @@ def test_engine_facade_roundtrip(spark, sf_dir):
     assert eng.oracle("multimodal_decode") is None  # rows-only stays rows-only
     plan = eng.explain("join_inner_broadcast")
     assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_pareto_matches_bruteforce(spark, sf_dir):
+    """Every emitted point is undominated and every non-emitted point is
+    dominated by at least one emitted point (the frontier property)."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    sky = [(r.p_retailprice, r.p_size) for r in QUERIES["skyline_pareto"](spark, sf_dir).collect()]
+    allp = [
+        (r.p_retailprice, r.p_size)
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(a, by):
+        return (
+            by[0] <= a[0] and by[1] >= a[1] and (by[0] < a[0] or by[1] > a[1])
+        )
+
+    assert sky
+    for a in sky:
+        assert not any(dominated(a, b) for b in allp), a
+    skyset = set(sky)
+    for a in allp:
+        if a not in skyset:
+            assert any(dominated(a, b) for b in sky), a
