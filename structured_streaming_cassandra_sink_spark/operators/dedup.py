@@ -1436,6 +1436,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df").cast("double"))
             ).alias("w"),
         )
+        # the weight index feeds FOUR consumers (norms twice via na/nb,
+        # both self-join sides): materialize once or the whole
+        # tokenize→tf→df pipeline re-executes per consumer
+        .localCheckpoint(eager=True)
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a, b = w.alias("a"), w.alias("b")

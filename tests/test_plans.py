@@ -607,3 +607,47 @@ def test_countmin_explodes_lattice_not_events(spark, sf_dir):
     # HashAggregate printed AFTER the Generate is BELOW it, i.e. the
     # explode consumes aggregated (per-key) rows, not the raw scan
     assert plan.find("HashAggregate", gen) != -1
+
+
+def test_tfidf_cosine_no_cartesian(spark, sf_dir):
+    """The all-pairs cosine must come from the term-keyed equi-join
+    (SortMergeJoin/ShuffledHashJoin on t), never a cartesian product;
+    the 1-row corpus count must ride as a broadcast."""
+    plan = _plan(spark, sf_dir, "tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    # the weight index is localCheckpoint'ed, so the final plan joins two
+    # scans of the materialized index — the 1-row n_docs BNLJ ride-along
+    # lives INSIDE the checkpointed computation, not here
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_fusion_broadcasts_probe_and_stats(spark, sf_dir):
+    """Both ranker sides broadcast their tiny inputs (probe vector, BM25
+    stats row, query-sized df table); no SortMergeJoin against the
+    corpus is needed anywhere in the fusion."""
+    plan = _plan(spark, sf_dir, "rrf_fusion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_skyline_two_pass_no_self_join(spark, sf_dir):
+    """The 2D skyline must NOT contain the O(n^2) dominance self-join:
+    exactly one join (points back to per-price group bounds) and every
+    window is partitioned by __pid (no single-partition window)."""
+    plan = _plan(spark, sf_dir, "skyline_pareto")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Window node's argument spec must partition by __pid
+    import re as _re
+    args = _re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan)
+    assert args, "expected Window nodes in the skyline plan"
+    for a in args:
+        assert "__pid" in a, a
+
+
+def test_simhash_single_shuffle_sketch(spark, sf_dir):
+    """The portable simhash sketch must stay ONE groupBy off the token
+    explode (64 map-side-combined sums) — no Python eval anywhere."""
+    plan = _plan(spark, sf_dir, "dedup_simhash")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
