@@ -43,6 +43,10 @@ HEADLINERS = {
     "feature_hash": "two features per row from one scan (explode over array), md5 bucket key, single (user, bucket) hash agg",
     "gaps_islands": "distinct, anchor window and island aggregate share ONE shuffle on user_id",
     "zorder_cluster": "Morton key is pure codegen arithmetic; ordered head is TakeOrderedAndProject",
+    "dedup_simhash": "portable md5-nibble sketch in ONE groupBy (64 map-side partial sums); chunk equi-join blocks pairs, no Python eval",
+    "tfidf_cosine_pairs": "weight index materialized once, term-keyed self-join computes dot products as aggregates — no cartesian",
+    "rrf_fusion": "both rankers broadcast their tiny sides; fusion aggregates depth-bounded lists, corpus-size-free",
+    "skyline_pareto": "2D frontier via two-pass prefix-max: every window __pid-partitioned, single broadcast join back to points",
     "scd2_build": "change-point window, island aggregate and interval-closing window all reuse ONE o_custkey Exchange",
     "weighted_sample_topk": "hash-derived exponential keys are pure codegen; one window shuffle on source",
     "split_leakage_safe": "two-phase distinct aggregate shuffles (split, fp) partials — fingerprints, never text",
