@@ -81,3 +81,28 @@ class Engine:
             mode
         )
         return df._jdf.queryExecution().explainString(jmode)
+
+    # -------------------------------------------------------- observability
+
+    def query_with_metrics(
+        self, name: str, metrics: dict[str, "object"] | None = None
+    ):
+        """Run a registered query with Spark's Observation API riding on
+        the SAME job: returns ``(rows, metrics_dict)`` where the metrics
+        are aggregate expressions evaluated during the action — row
+        counts / null rates / value bounds for production QA without a
+        second pass over the data (a separate ``df.count()`` would
+        re-execute the whole plan).
+
+        ``metrics`` maps metric name -> aggregate Column; default is the
+        row count. Observation metrics are exact for batch queries
+        regardless of task retries (Spark de-duplicates by task)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        metrics = metrics or {"n_rows": F.count(F.lit(1))}
+        obs = Observation()
+        df = self.query(name)
+        observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        rows = observed.collect()
+        return rows, obs.get

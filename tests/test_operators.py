@@ -1001,3 +1001,21 @@ def test_skyline_pareto_matches_bruteforce(spark, sf_dir):
     for a in allp:
         if a not in skyset:
             assert any(dominated(a, b) for b in sky), a
+
+
+def test_engine_query_with_metrics_single_pass(spark, sf_dir):
+    """Observation metrics ride the same action: row count and a null
+    counter arrive without re-executing the plan."""
+    import pyspark.sql.functions as F
+    from structured_streaming_cassandra_sink_spark.engine import Engine
+
+    eng = Engine(sf_dir=sf_dir, spark=spark)
+    rows, m = eng.query_with_metrics(
+        "groupby_agg",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_flags": F.sum(F.col("l_returnflag").isNull().cast("long")),
+        },
+    )
+    assert m["n_rows"] == len(rows) and len(rows) > 0
+    assert m["null_flags"] == 0
