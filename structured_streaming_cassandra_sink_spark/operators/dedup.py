@@ -1436,6 +1436,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df").cast("double"))
             ).alias("w"),
         )
+        # join/shuffle on xxhash64(term), not the ~25B string — same trick
+        # as ngram_jaccard's inverted index. Unlike there, no exact-verify
+        # pass follows, but a collision must pair two distinct shingles
+        # ACROSS the 64-bit space (P ~ |vocab|²/2^65, ~1e-11 here) and
+        # idf-weighting makes any such term near-noise; documented trade.
+        .withColumn("t", F.xxhash64("t"))
         # the weight index feeds FOUR consumers (norms twice via na/nb,
         # both self-join sides): materialize once or the whole
         # tokenize→tf→df pipeline re-executes per consumer
