@@ -517,3 +517,43 @@ def test_asof_join_matches_bruteforce(spark):
         cands = [(rts, rid, val) for (rk, rts, rid, val) in right if rk == k and rts <= lts]
         want = max(cands)[2] if cands else None  # max (rts, rid) wins
         assert got[(k, lid)] == want, (k, lid, got[(k, lid)], want)
+
+
+@SPARK_SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # price grid (small: force ties)
+            st.integers(min_value=0, max_value=12),   # size grid
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_pareto_property(spark, tmp_path_factory, pts):
+    """Two-pass distributed frontier == brute-force dominance filter,
+    including duplicate points and all-ties grids."""
+    import os
+
+    from structured_streaming_cassandra_sink_spark.operators.windows import skyline_pareto
+
+    td = str(tmp_path_factory.mktemp("sky"))
+    df = spark.createDataFrame(
+        [(i, float(p), s) for i, (p, s) in enumerate(pts)],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(td, "part.parquet"))
+    got = sorted(
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in skyline_pareto(spark, td).collect()
+    )
+
+    def dominated(a, b):
+        return b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+
+    want = sorted(
+        (i, float(p), s)
+        for i, (p, s) in enumerate(pts)
+        if not any(dominated((p, s), q) for q in pts)
+    )
+    assert got == want
