@@ -651,3 +651,35 @@ def test_simhash_single_shuffle_sketch(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_simhash")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_plan_guard_artifact_current_and_clean(spark, sf_dir):
+    """PLAN_GUARD.json (tools/plan_guard.py sweep of EVERY registered
+    query's physical plan) must cover the whole registry and record zero
+    violations; a deterministic 6-query subset is re-derived live so the
+    artifact can't silently go stale."""
+    import hashlib
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "PLAN_GUARD.json")
+    assert os.path.exists(path), "run tools/plan_guard.py --json PLAN_GUARD.json"
+    data = json.load(open(path))
+    assert data["violations"] == []
+    missing = set(registry.QUERIES) - set(data["queries"])
+    assert not missing, f"guard artifact missing {sorted(missing)[:5]}"
+
+    sample = sorted(
+        registry.QUERIES, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+    )[:6]
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "plan_guard.py"), *sample],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        env={**os.environ, "SF_DIR": sf_dir},
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
