@@ -315,3 +315,158 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, "embeddings", sf_dir))
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     return pq_codes(vecs)
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN: density clustering on an eps-grid
+# ---------------------------------------------------------------------------
+DBSCAN_EPS = 0.05     # grid cell side over embedding dims 1-2
+DBSCAN_MINPTS = 4     # core-cell density threshold
+_GRID_OFF = 1000      # shift so cell coords are positive before encoding
+_GRID_W = 1_000_000   # cell_id = (cx+OFF)*W + (cy+OFF)
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(floor(embedding[1]::DOUBLE / {DBSCAN_EPS}) AS BIGINT) AS cx,
+             CAST(floor(embedding[2]::DOUBLE / {DBSCAN_EPS}) AS BIGINT) AS cy
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT (cx + {_GRID_OFF}) * {_GRID_W} + (cy + {_GRID_OFF}) AS cell,
+             cx, cy, count(*) AS n
+      FROM pts GROUP BY 1, 2, 3
+    ),
+    core AS (SELECT cell, cx, cy FROM cells WHERE n >= {DBSCAN_MINPTS}),
+    edges AS (
+      SELECT a.cell AS ca, b.cell AS cb
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ),
+    reach AS (
+      WITH RECURSIVE r(cell, lbl) AS (
+        SELECT cell, cell FROM core
+        UNION
+        SELECT e.ca, r.lbl FROM edges e JOIN r ON e.cb = r.cell
+        WHERE r.lbl < e.ca
+      )
+      SELECT cell, min(lbl) AS comp FROM r GROUP BY cell
+    ),
+    -- border: point in a non-core cell adjacent (incl. own) to a core cell
+    assign AS (
+      SELECT p.vec_id,
+             CASE WHEN rc.comp IS NOT NULL THEN rc.comp
+                  ELSE (SELECT min(r2.comp)
+                        FROM core c JOIN reach r2 ON c.cell = r2.cell
+                        WHERE abs(c.cx - p.cx) <= 1 AND abs(c.cy - p.cy) <= 1)
+             END AS comp,
+             CASE WHEN rc.comp IS NOT NULL THEN 'core' END AS role0
+      FROM pts p
+      LEFT JOIN reach rc
+        ON rc.cell = (p.cx + {_GRID_OFF}) * {_GRID_W} + (p.cy + {_GRID_OFF})
+    )
+    SELECT vec_id,
+           coalesce(comp, -1) AS cluster,
+           coalesce(role0, CASE WHEN comp IS NOT NULL THEN 'border'
+                                ELSE 'noise' END) AS role
+    FROM assign
+    """
+
+
+@query("dbscan_grid_clusters", _dbscan_oracle())
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN over embedding dims 1-2: quantize to an eps-grid,
+    cells with >= minPts points are CORE, adjacent (8-neighborhood) core
+    cells merge into clusters via connected components, points in
+    non-core cells adjacent to a core cell are BORDER (inherit the min
+    adjacent cluster id), everything else is NOISE (cluster -1). The
+    density-clustering complement to kmeans_lloyd — no K, finds
+    arbitrary-shape clusters, labels outliers. (Production would feed
+    PCA dims from embedding_pca_project; dims 1-2 keep the oracle
+    self-contained.)
+
+    Scale shape: the grid collapse is one groupBy (cells ~ occupied
+    boxes, not points); core-cell adjacency is an equi-join after a x9
+    neighbor-offset explode (bounded fan-out, never a distance
+    self-join); the CC runs on the CELL graph (orders of magnitude
+    smaller than the point set) with the pointer-jumping engine; points
+    join back by cell id — one shuffle on a bigint key. The classic
+    point-level DBSCAN needs an eps-ball self-join; the grid variant is
+    its scalable approximation (cell diameter eps*sqrt(2)), which is the
+    variant a 100 TB pipeline actually runs.
+
+    Determinism: floor() on exact float32->double casts, integer cell
+    ids, min-label components, min-adjacent-cluster border assignment —
+    no FP comparisons anywhere past the grid quantization."""
+    from .dedup import connected_components
+
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.element_at(as_double(F.col("embedding")), 1) / DBSCAN_EPS)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.element_at(as_double(F.col("embedding")), 2) / DBSCAN_EPS)
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cell_id = (F.col("cx") + _GRID_OFF) * _GRID_W + (F.col("cy") + _GRID_OFF)
+    pts = pts.withColumn("cell", cell_id)
+    cells = pts.groupBy("cell", "cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    core = cells.filter(F.col("n") >= DBSCAN_MINPTS).select("cell", "cx", "cy")
+    # x9 neighbor explode on one side, equi-join on shifted coords
+    nbr = core.select(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("nx"), (F.col("cy") + dy).alias("ny")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o"),
+    ).select("cell", F.col("o.nx").alias("cx"), F.col("o.ny").alias("cy"))
+    edges = nbr.join(core.withColumnRenamed("cell", "cell_b"), ["cx", "cy"]).select(
+        F.col("cell").alias("src"), F.col("cell_b").alias("dst")
+    )
+    comp = connected_components(edges).withColumnRenamed("node", "cell")
+    # core points inherit their cell's component
+    with_core = pts.join(F.broadcast(comp), "cell", "left")
+    # border: min component among the 9 neighboring cells that are core
+    core_comp = core.join(F.broadcast(comp), "cell").select("cx", "cy", "comp")
+    nbr_pts = with_core.filter(F.col("comp").isNull()).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("o"),
+    ).select("vec_id", F.col("o.cx").alias("cx"), F.col("o.cy").alias("cy"))
+    border = (
+        nbr_pts.join(F.broadcast(core_comp), ["cx", "cy"])
+        .groupBy("vec_id")
+        .agg(F.min("comp").alias("bcomp"))
+    )
+    out = (
+        with_core.join(F.broadcast(border), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", "bcomp", F.lit(-1)).alias("cluster"),
+            F.when(F.col("comp").isNotNull(), "core")
+            .when(F.col("bcomp").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+    )
+    return out

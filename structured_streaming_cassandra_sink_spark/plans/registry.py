@@ -65,7 +65,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   dedup_simhash (rows-only -> portable md5-nibble sketch, full oracle);
 # - the continuation-session additions, never driver-seen:
 #   bootstrap_ci_poisson, mrr_map_at_k, sim_search_pq_adc,
-#   stream_enrich_static, tfidf_cosine_pairs, rrf_fusion, skyline_pareto;
+#   stream_enrich_static, tfidf_cosine_pairs, rrf_fusion, skyline_pareto,
+#   dbscan_grid_clusters;
 # - the round-3 additions, never driver-seen: scd2_build,
 #   split_leakage_safe, ann_recall_report, weighted_sample_topk,
 #   union_schema_evolution, pca_variance_report, minhash_recall_report,

@@ -93,3 +93,48 @@ def test_novelty_bounds_and_first_doc(spark, sf_dir):
     assert all(r.n_novel <= r.n_shingles for r in rows)
     first = min(rows, key=lambda r: r.doc_id)
     assert first.novel_frac == 1.0  # the earliest doc contributed all its shingles
+
+
+def test_dbscan_grid_known_layout(spark, tmp_path):
+    """Hand-built layout: two dense blobs separated by > eps of empty
+    grid, one point adjacent to a blob (border), one far point (noise)."""
+    import os
+
+    from structured_streaming_cassandra_sink_spark.operators.clustering import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+        dbscan_grid_clusters,
+    )
+
+    eps = DBSCAN_EPS
+    rows = []
+    vid = 0
+    # blob A: minPts points inside cell (0,0)
+    for _ in range(DBSCAN_MINPTS):
+        rows.append((vid, [eps * 0.5, eps * 0.5] + [0.0] * 62, 0)); vid += 1
+    # blob B: minPts points inside cell (10,10) — far from A
+    for _ in range(DBSCAN_MINPTS):
+        rows.append((vid, [eps * 10.5, eps * 10.5] + [0.0] * 62, 1)); vid += 1
+    # border point: alone in cell (1,1), adjacent to A's core cell
+    border_id = vid
+    rows.append((vid, [eps * 1.5, eps * 1.5] + [0.0] * 62, 0)); vid += 1
+    # noise: alone in cell (20,20)
+    noise_id = vid
+    rows.append((vid, [eps * 20.5, eps * 20.5] + [0.0] * 62, 2)); vid += 1
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    td = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(td, "embeddings.parquet"))
+    got = {r.vec_id: (r.cluster, r.role) for r in dbscan_grid_clusters(spark, td).collect()}
+    a_cluster = got[0][0]
+    b_cluster = got[DBSCAN_MINPTS][0]
+    assert a_cluster != b_cluster  # separated blobs are distinct clusters
+    assert all(got[i] == (a_cluster, "core") for i in range(DBSCAN_MINPTS))
+    assert all(
+        got[i] == (b_cluster, "core")
+        for i in range(DBSCAN_MINPTS, 2 * DBSCAN_MINPTS)
+    )
+    assert got[border_id] == (a_cluster, "border")
+    assert got[noise_id] == (-1, "noise")
