@@ -1019,3 +1019,41 @@ def test_engine_query_with_metrics_single_pass(spark, sf_dir):
     )
     assert m["n_rows"] == len(rows) and len(rows) > 0
     assert m["null_flags"] == 0
+
+
+def test_new_operators_handle_degenerate_inputs(spark, tmp_path):
+    """Empty tables, single-doc corpora, and empty-text docs flow through
+    the session's new operators without error."""
+    import os
+
+    from structured_streaming_cassandra_sink_spark.operators.clustering import (
+        dbscan_grid_clusters,
+    )
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        simhash,
+        tfidf_cosine_pairs,
+    )
+    from structured_streaming_cassandra_sink_spark.operators.windows import (
+        skyline_pareto,
+    )
+
+    docs = spark.createDataFrame([(1, ""), (2, "a b c")], "doc_id long, text string")
+    assert simhash(docs).count() == 2  # md5('') token still sketches
+
+    d1 = str(tmp_path / "one")
+    spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    ).write.parquet(os.path.join(d1, "documents.parquet"))
+    assert tfidf_cosine_pairs(spark, d1).count() == 0  # no pair, no error
+
+    d2 = str(tmp_path / "sky")
+    spark.createDataFrame(
+        [], "p_partkey long, p_retailprice double, p_size int"
+    ).write.parquet(os.path.join(d2, "part.parquet"))
+    assert skyline_pareto(spark, d2).count() == 0  # empty offsets map is fine
+
+    d3 = str(tmp_path / "db")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d3, "embeddings.parquet"))
+    assert dbscan_grid_clusters(spark, d3).count() == 0
