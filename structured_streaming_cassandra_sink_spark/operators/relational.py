@@ -1751,3 +1751,81 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the customer-part co-purchase bipartite graph
+# ---------------------------------------------------------------------------
+AA_PART_MIN = 2    # a part bought by 1 customer creates no wedge
+AA_PART_CAP = 20   # rare-part cap: hub items carry no signal and cost deg²
+AA_TOPK = 100
+
+
+@query(
+    "link_prediction_adamic_adar",
+    f"""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pn AS (SELECT p, count(*) AS n FROM cp GROUP BY p),
+    rare AS (SELECT p, n FROM pn WHERE n BETWEEN {AA_PART_MIN} AND {AA_PART_CAP}),
+    w AS (SELECT cp.c, cp.p, rare.n FROM cp JOIN rare USING (p)),
+    scored AS (
+      SELECT a.c AS cust_a, b.c AS cust_b,
+             count(*) AS n_common,
+             round(sum(CAST(1.0 AS DOUBLE) / ln(a.n)), 4) AS adamic_adar
+      FROM w a JOIN w b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2
+    )
+    SELECT cust_a, cust_b, n_common, adamic_adar,
+           row_number() OVER (ORDER BY adamic_adar DESC, cust_a, cust_b) AS rnk
+    FROM scored
+    QUALIFY rnk <= {AA_TOPK}
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer-part co-purchase
+    bipartite graph: customer pairs sharing RARE parts, scored
+    Σ_part 1/ln(|buyers(part)|) — common neighbors weighted so that
+    popular hub items count less. The "similar customers with no direct
+    edge yet" ranking behind recommendation candidates and account-dup
+    triage; graph-ML sibling of `market_basket_pairs` (which ranks
+    item-item, this ranks entity-entity).
+
+    Scale shape: wedge generation is ONE self-equi-join of the
+    (customer, part) incidence list on the part key, and the part-degree
+    cap [{AA_PART_MIN}, {AA_PART_CAP}] bounds it at Σ_rare n² — the same
+    hot-key regime as the shingle inverted index (hub parts are pruned
+    BEFORE the join; they add deg² cost and no signal). Degrees ride
+    along on the incidence rows (a.n), so no extra join; the global
+    top-{AA_TOPK} ranks the ROUNDED score with id tie-breaks.
+
+    The unpartitioned rank window orders only the scored-pair lattice
+    (rare-part wedges, not customers²); at crawl scale cut with
+    TakeOrdered semantics per the sort_limit_topk pattern."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pn = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    rare = pn.filter(F.col("n").between(AA_PART_MIN, AA_PART_CAP))
+    w = cp.join(rare, "p")
+    w = w.localCheckpoint(eager=True)  # both wedge sides read it
+    a, b = w.alias("a"), w.alias("b")
+    scored = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("a.n"))), 4).alias("adamic_adar"),
+        )
+    )
+    wr = Window.orderBy(F.col("adamic_adar").desc(), "cust_a", "cust_b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= AA_TOPK)
+    )
