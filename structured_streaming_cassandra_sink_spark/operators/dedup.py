@@ -1464,3 +1464,102 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= TFIDF_COS_THRESHOLD)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Content-defined chunking (rolling-hash cut points) — storage-layer dedup
+# ---------------------------------------------------------------------------
+CDC_K = 5     # rolling char-gram width (same recipe as winnowing)
+CDC_MOD = 16  # cut when gram-hash % MOD == 0 -> expected chunk ~MOD chars
+
+
+@query(
+    "cdc_chunk_dedup",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    cuts AS (
+      SELECT doc_id, t,
+             list_prepend(1, list_filter(range(1, length(t) - {CDC_K} + 2),
+                 i -> ('0x' || substr(md5(substring(t, i, {CDC_K})), 1, 8))::BIGINT
+                      % {CDC_MOD} = 0 AND i > 1)) AS bs
+      FROM norm WHERE length(t) >= {CDC_K}),
+    withend AS (
+      SELECT doc_id, t, list_append(bs, length(t) + 1) AS bs FROM cuts),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(bs)),
+                 j -> substring(t, bs[j], bs[j+1] - bs[j]))) AS chunk
+      FROM withend)
+    SELECT md5(chunk) AS chunk_fp,
+           min(length(chunk)) AS chunk_len,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ
+    FROM chunks
+    GROUP BY chunk_fp
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS/backup-storage
+    trick): cut each document where a rolling k-gram hash ≡ 0 mod
+    {CDC_MOD}, so chunk boundaries follow CONTENT, not offsets — an
+    insertion shifts at most one chunk instead of re-aligning every
+    fixed-size block (the failure mode of `doc_chunking`'s fixed
+    windows for storage dedup). Emitted: chunks appearing in >= 2 docs
+    — the shared spans a content-addressed store writes once.
+
+    Scale shape: cut detection is the winnowing gram pipeline (position
+    explode THEN hash per row — hashing inside a to-be-exploded array
+    re-evaluates the transform per output row, measured ~40x slower on
+    the winnow path); boundaries reassemble per doc with one lead()
+    window keyed by doc_id; the dedup itself is a hash aggregate on the
+    16-byte chunk fingerprint — only (fp, doc_id) shuffles, never chunk
+    text. Same portable md5-prefix hash as winnowing, so the oracle
+    replicates cut points exactly. Production refinement (documented,
+    not modeled): min/max chunk-size clamps to bound the chunk-length
+    tail."""
+    from pyspark.sql import Window
+
+    t = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    docs = spread(load_table(spark, "documents", sf_dir))
+    norm = docs.select("doc_id", t.alias("t")).filter(F.length("t") >= CDC_K)
+    ex = norm.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.expr(f"sequence(1, length(t) - {CDC_K} + 1)")).alias(
+            "pos", "i"
+        ),
+    )
+    cuts = ex.filter(
+        (
+            F.expr(
+                f"cast(conv(substring(md5(substring(t, i, {CDC_K})), 1, 8), 16, 10) AS BIGINT)"
+                f" % {CDC_MOD}"
+            )
+            == 0
+        )
+        & (F.col("i") > 1)
+    ).select("doc_id", "t", F.col("i").alias("b"))
+    starts = norm.select("doc_id", "t", F.lit(1).alias("b"))
+    bounds = starts.unionAll(cuts)
+    w = Window.partitionBy("doc_id").orderBy("b")
+    chunks = (
+        bounds.withColumn(
+            "nb", F.coalesce(F.lead("b").over(w), F.length("t") + 1)
+        )
+        .select(
+            "doc_id",
+            F.expr("substring(t, b, nb - b)").alias("chunk"),
+        )
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_fp"))
+        .agg(
+            F.min(F.length("chunk")).alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -155,3 +155,34 @@ def test_tfidf_cosine_identical_docs(spark):
         }
     assert out == {(1, 2): 1.0}
     assert TFIDF_COS_THRESHOLD < 1.0
+
+
+def test_cdc_chunks_shift_invariant(spark, tmp_path):
+    """The CDC property: prepending text to a document shifts every
+    offset, yet most chunk fingerprints survive (content-defined cuts
+    re-synchronize); fixed-size chunking at the same granularity loses
+    alignment entirely."""
+    import os
+
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        CDC_K,
+        CDC_MOD,
+        cdc_chunk_dedup,
+    )
+
+    base = (
+        "spark window join hash merge sort table scan value part key "
+        "stream batch row line agg fast slow the a filter group order "
+        "limit union except intersect cast project explode flatten"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "totally new prefix inserted here " + base)],
+        "doc_id long, text string",
+    )
+    td = str(tmp_path)
+    docs.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+    shared = cdc_chunk_dedup(spark, td).collect()
+    # the two docs must share a meaningful number of content chunks
+    # despite every byte offset differing by the prefix length
+    assert len(shared) >= 3, shared
+    assert all(r.n_docs == 2 for r in shared)
