@@ -1302,3 +1302,112 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_replicates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential testing — Wald's SPRT over the daily event stream
+# ---------------------------------------------------------------------------
+SPRT_P0 = 0.18    # H0 click share
+SPRT_P1 = 0.21    # H1 click share; true rate ~0.20 sits inside (p0,p1),
+                  # so evidence accrues SLOWLY: the trajectory shows real
+                  # 'continue' days before crossing at every sf (verified
+                  # sf0.001: day 30, sf0.01: day 5, sf0.1: day 2)
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+
+
+@query(
+    "sprt_sequential_test",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_succ
+      FROM events GROUP BY 1
+    ),
+    llr AS (
+      SELECT day_ts, n, n_succ,
+             n_succ * ln({SPRT_P1} / {SPRT_P0})
+               + (n - n_succ) * ln((1 - {SPRT_P1}) / (1 - {SPRT_P0})) AS d_llr
+      FROM daily
+    ),
+    cum AS (
+      SELECT day_ts, n, n_succ,
+             sum(d_llr) OVER (ORDER BY day_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_llr
+      FROM llr
+    ),
+    lab AS (
+      SELECT day_ts, n, n_succ, cum_llr,
+             CASE WHEN cum_llr >= ln((1 - {SPRT_BETA}) / {SPRT_ALPHA})
+                    THEN 'accept_h1'
+                  WHEN cum_llr <= ln({SPRT_BETA} / (1 - {SPRT_ALPHA}))
+                    THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM cum
+    )
+    SELECT day_ts, n, n_succ, round(cum_llr, 6) AS cum_llr, decision,
+           max(CASE WHEN decision <> 'continue' THEN 1 ELSE 0 END)
+             OVER (ORDER BY day_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             AS stopped
+    FROM lab
+    """,
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily event
+    stream: cumulative log-likelihood ratio for H1 (click share
+    {SPRT_P1}) vs H0 ({SPRT_P0}), with the classic
+    ln((1-β)/α) / ln(β/(1-α)) decision boundaries — the always-valid
+    monitor that lets an experiment STOP the first day the evidence
+    crosses a boundary instead of waiting for a fixed horizon (the
+    sequential complement to the fixed-horizon `ttest_welch` /
+    `ab_test_readout`). `stopped` carries the stop-at-first-crossing
+    semantics forward so post-decision days are marked.
+
+    Scale shape: the raw stream collapses to the DAY lattice in one
+    map-side-combined aggregate (daily LLR is exact integer counts ×
+    two ln() constants); the running sum and the stop flag are windows
+    over the bounded day grid, never raw rows. FP parity: both engines
+    accumulate identical doubles in identical day order, so the
+    UNROUNDED boundary comparisons agree bit-for-bit; only the reported
+    cum_llr is rounded."""
+    e = load_table(spark, "events", sf_dir)
+    daily = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("day_ts"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("s"),
+        )
+        .groupBy("day_ts")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("n_succ"))
+    )
+    import math
+
+    w1 = math.log(SPRT_P1 / SPRT_P0)
+    w0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    a_bound = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    b_bound = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    llr = daily.withColumn(
+        "d_llr", F.col("n_succ") * F.lit(w1) + (F.col("n") - F.col("n_succ")) * F.lit(w0)
+    )
+    w_run = Window.orderBy("day_ts").rowsBetween(Window.unboundedPreceding, 0)
+    cum = llr.withColumn("cum_llr", F.sum("d_llr").over(w_run))
+    lab = cum.withColumn(
+        "decision",
+        F.when(F.col("cum_llr") >= a_bound, "accept_h1")
+        .when(F.col("cum_llr") <= b_bound, "accept_h0")
+        .otherwise("continue"),
+    )
+    return lab.select(
+        "day_ts",
+        "n",
+        "n_succ",
+        F.round("cum_llr", 6).alias("cum_llr"),
+        "decision",
+        (
+            F.max(F.when(F.col("decision") != "continue", 1).otherwise(0)).over(w_run)
+            == 1
+        ).alias("stopped"),
+    )

@@ -248,3 +248,25 @@ def test_zipf_fit_plausible(spark, sf_dir):
     assert r["n_fit"] > 10
     assert 0.0 < r["zipf_exponent"] < 3.0  # natural-ish text ~1
     assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_sprt_stop_at_first_crossing_semantics(spark, sf_dir):
+    """SPRT invariants: days are labeled continue until the first
+    boundary crossing, `stopped` is monotone non-decreasing in day
+    order, and at least one crossing occurs (constants tuned so the
+    trajectory is non-vacuous at every sf)."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["sprt_sequential_test"](spark, sf_dir).collect(),
+        key=lambda r: r.day_ts,
+    )
+    assert rows
+    seen_stop = False
+    for r in rows:
+        if seen_stop:
+            assert r.stopped  # monotone: once stopped, stays stopped
+        if r.decision != "continue":
+            seen_stop = True
+            assert r.stopped
+    assert seen_stop, "constants must produce a crossing on this data"

@@ -252,6 +252,7 @@ UNPART_WINDOW_ALLOWED = {
     "dup_graph_triangles",    # triangle lattice
     "gap_fill",               # per-user grid (conservative match)
     "anomaly_rolling_z",      # per-user frames (conservative match)
+    "sprt_sequential_test",   # day-lattice running LLR + stop flag
 }
 
 # Python eval (BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas
@@ -303,13 +304,24 @@ def main() -> int:
 
         cartesian = "CartesianProduct" in plan
         bnlj = plan.count("(") and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
-        # Window nodes whose Arguments spec has an empty partition list:
-        # formatted detail prints  Arguments: [exprs], [partition], [order]
+        # Window nodes: formatted Arguments prints [exprs], [partition],
+        # [order] for partitioned windows but OMITS the partition group
+        # entirely when empty — so count top-level bracket groups: 2
+        # groups == unpartitioned. (The earlier empty-"[]" regex never
+        # matched anything; caught when a known-unpartitioned window
+        # scored 0.)
         unpart = 0
         for m in re.finditer(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan):
             a = m.group(1)
-            # partition spec is the second bracket group; empty -> ", [], ["
-            if re.search(r"\], \[\], \[", a) or a.startswith("[], ["):
+            depth, groups = 0, 0
+            for ch in a:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            if groups <= 2:
                 unpart += 1
         python_nodes = len(
             re.findall(
