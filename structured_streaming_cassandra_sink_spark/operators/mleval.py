@@ -1411,3 +1411,80 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1
         ).alias("stopped"),
     )
+
+
+# --------------------------------------------------------------- emd_drift
+
+
+@query(
+    "emd_drift",
+    f"""
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    g AS (
+      SELECT {_bin_sql('value')} AS bin,
+             CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM events CROSS JOIN mm GROUP BY 1),
+    t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM g),
+    c AS (
+      SELECT bin,
+             n1 * 1.0 / t1 AS p_ref,
+             n2 * 1.0 / t2 AS p_cur,
+             sum(n1 * 1.0 / t1) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             sum(n2 * 1.0 / t2) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      FROM g CROSS JOIN t)
+    SELECT bin, round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round(abs(f1 - f2), 6) AS cdf_gap,
+           round(abs(f1 - f2) * (SELECT (hi - lo) / {N_BINS} FROM mm), 6)
+             AS emd_term
+    FROM c
+    """,
+)
+def emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) drift between the first and second
+    half of the month on the SAME shared binning as `psi_drift`:
+    W₁ = Σ_bins |F_ref − F_cur| · Δ, the integral of CDF gaps. The
+    metric drift triple is now complete — PSI (symmetrized KL,
+    mass-ratio sensitive), KS (max CDF gap, location sensitive), EMD
+    (CDF gap INTEGRAL, in value units — the only one that knows HOW FAR
+    mass moved, which is what makes a 2-bin shift worse than a
+    neighboring-bin wobble).
+
+    Scale shape: identical to psi_drift — one conditional aggregation
+    over one scan, min/max broadcast; the CDF accumulations are windows
+    over the {N_BINS}-row bin lattice. FP parity: both engines cumulate
+    identical n/t doubles in identical bin order, so the unrounded CDFs
+    agree bit-for-bit; outputs rounded at 6."""
+    e = load_table(spark, "events", sf_dir)
+    mm = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    g = (
+        e.crossJoin(F.broadcast(mm))
+        .groupBy(_bin_col(F.col("value"), F.col("lo"), F.col("hi")).alias("bin"))
+        .agg(
+            F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)).alias("n2"),
+        )
+    )
+    t = g.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    p1 = F.col("n1") * 1.0 / F.col("t1")
+    p2 = F.col("n2") * 1.0 / F.col("t2")
+    w_cdf = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("p_ref_raw", p1)
+        .withColumn("p_cur_raw", p2)
+        .withColumn("f1", F.sum("p_ref_raw").over(w_cdf))
+        .withColumn("f2", F.sum("p_cur_raw").over(w_cdf))
+        .crossJoin(F.broadcast(mm.select(((F.col("hi") - F.col("lo")) / N_BINS).alias("delta"))))
+    )
+    return c.select(
+        "bin",
+        F.round("p_ref_raw", 6).alias("p_ref"),
+        F.round("p_cur_raw", 6).alias("p_cur"),
+        F.round(F.abs(F.col("f1") - F.col("f2")), 6).alias("cdf_gap"),
+        F.round(F.abs(F.col("f1") - F.col("f2")) * F.col("delta"), 6).alias("emd_term"),
+    )

@@ -67,7 +67,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   bootstrap_ci_poisson, mrr_map_at_k, sim_search_pq_adc,
 #   stream_enrich_static, tfidf_cosine_pairs, rrf_fusion, skyline_pareto,
 #   dbscan_grid_clusters, link_prediction_adamic_adar, cdc_chunk_dedup,
-#   sprt_sequential_test;
+#   sprt_sequential_test, emd_drift;
 # - the round-3 additions, never driver-seen: scd2_build,
 #   split_leakage_safe, ann_recall_report, weighted_sample_topk,
 #   union_schema_evolution, pca_variance_report, minhash_recall_report,

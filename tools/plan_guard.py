@@ -52,7 +52,7 @@ BNLJ_ALLOWED = {
     "histogram2d_heatmap", "jackknife_ci", "lift_band_report",
     "mutual_information", "negative_sample", "psi_drift", "rrf_fusion",
     "share_of_group", "skew_profile", "survival_kaplan_meier",
-    "target_encode_smoothed", "temporal_split_embargo",
+    "emd_drift", "target_encode_smoothed", "temporal_split_embargo",
     "tfidf_top_terms", "ttest_welch", "vocab_coverage", "word_pmi",
 }
 
@@ -70,6 +70,7 @@ UNPART_WINDOW_ALLOWED = {
     "running_distinct",       # day-grid running distinct
     "seasonal_decompose",     # day-grid centered trend
     "sprt_sequential_test",   # day-lattice running LLR + stop flag
+    "emd_drift",              # CDF windows over the 10-row bin lattice
     "survival_kaplan_meier",  # duration lattice product
     "tokenize_to_ids",        # zipf-bounded vocabulary rank
     "vocab_coverage",         # vocabulary rank
