@@ -322,8 +322,11 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 DBSCAN_EPS = 0.05     # grid cell side over embedding dims 1-2
 DBSCAN_MINPTS = 4     # core-cell density threshold
-_GRID_OFF = 1000      # shift so cell coords are positive before encoding
-_GRID_W = 1_000_000   # cell_id = (cx+OFF)*W + (cy+OFF)
+# cell_id = cx * 2^32 + (cy & (2^32-1)) — bit-packing is collision-free
+# for |cx|,|cy| < 2^31 (any sane eps/embedding scale), unlike a
+# decimal-offset encoding which silently wraps outside its offset range
+_CELL_SHIFT = 4294967296
+_CELL_MASK = 4294967295
 
 
 def _dbscan_oracle() -> str:
@@ -335,7 +338,7 @@ def _dbscan_oracle() -> str:
       FROM embeddings
     ),
     cells AS (
-      SELECT (cx + {_GRID_OFF}) * {_GRID_W} + (cy + {_GRID_OFF}) AS cell,
+      SELECT cx * {_CELL_SHIFT} + (cy & {_CELL_MASK}) AS cell,
              cx, cy, count(*) AS n
       FROM pts GROUP BY 1, 2, 3
     ),
@@ -365,7 +368,7 @@ def _dbscan_oracle() -> str:
              CASE WHEN rc.comp IS NOT NULL THEN 'core' END AS role0
       FROM pts p
       LEFT JOIN reach rc
-        ON rc.cell = (p.cx + {_GRID_OFF}) * {_GRID_W} + (p.cy + {_GRID_OFF})
+        ON rc.cell = p.cx * {_CELL_SHIFT} + (p.cy & {_CELL_MASK})
     )
     SELECT vec_id,
            coalesce(comp, -1) AS cluster,
@@ -412,10 +415,17 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cy"),
     )
-    cell_id = (F.col("cx") + _GRID_OFF) * _GRID_W + (F.col("cy") + _GRID_OFF)
-    pts = pts.withColumn("cell", cell_id)
+    cell_id = F.col("cx") * _CELL_SHIFT + F.col("cy").bitwiseAND(_CELL_MASK)
+    # pts feeds the cell rollup AND the two point-assignment joins;
+    # core feeds the neighbor explode, the edge join and core_comp —
+    # materialize both once (the repo's multi-consumer rule)
+    pts = pts.withColumn("cell", cell_id).localCheckpoint(eager=True)
     cells = pts.groupBy("cell", "cx", "cy").agg(F.count(F.lit(1)).alias("n"))
-    core = cells.filter(F.col("n") >= DBSCAN_MINPTS).select("cell", "cx", "cy")
+    core = (
+        cells.filter(F.col("n") >= DBSCAN_MINPTS)
+        .select("cell", "cx", "cy")
+        .localCheckpoint(eager=True)
+    )
     # x9 neighbor explode on one side, equi-join on shifted coords
     nbr = core.select(
         "cell",
@@ -458,8 +468,12 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min("comp").alias("bcomp"))
     )
+    # border is POINT-level (unbounded in corpus size) — a broadcast
+    # here would materialize it on the driver at exactly the scale the
+    # operator advertises; shuffle-join on vec_id instead (review
+    # finding). Only the CELL-level tables broadcast.
     out = (
-        with_core.join(F.broadcast(border), "vec_id", "left")
+        with_core.join(border, "vec_id", "left")
         .select(
             "vec_id",
             F.coalesce("comp", "bcomp", F.lit(-1)).alias("cluster"),

@@ -1389,7 +1389,7 @@ TFIDF_COS_THRESHOLD = 0.5
     FROM dots
     JOIN nrm na ON doc_a = na.doc_id
     JOIN nrm nb ON doc_b = nb.doc_id
-    WHERE dot / (na.nrm * nb.nrm) >= {TFIDF_COS_THRESHOLD}
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= {TFIDF_COS_THRESHOLD}
     """,
 )
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,10 +1458,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = nrm.alias("na"), nrm.alias("nb")
     cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    # membership gates on the ROUNDED cosine (both engines): the raw
+    # dot-product sum is association-order dependent, so an unrounded
+    # threshold compare could flip a boundary pair between engines —
+    # the same round-before-compare convention as kmeans/bm25 ranking.
     return (
         dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(cos >= TFIDF_COS_THRESHOLD)
+        .filter(F.round(cos, 4) >= TFIDF_COS_THRESHOLD)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
     )
 
@@ -1532,6 +1536,11 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "i"
         ),
     )
+    # boundary rows carry OFFSETS ONLY — an earlier draft kept the full
+    # text column on every boundary row, shipping one copy of the doc
+    # per cut point through the lead() shuffle (O(len²/MOD) bytes per
+    # doc; review finding). Text now rejoins ONCE per doc after the
+    # span computation.
     cuts = ex.filter(
         (
             F.expr(
@@ -1541,18 +1550,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
         & (F.col("i") > 1)
-    ).select("doc_id", "t", F.col("i").alias("b"))
-    starts = norm.select("doc_id", "t", F.lit(1).alias("b"))
+    ).select("doc_id", F.col("i").alias("b"))
+    starts = norm.select("doc_id", F.lit(1).alias("b"))
     bounds = starts.unionAll(cuts)
     w = Window.partitionBy("doc_id").orderBy("b")
-    chunks = (
-        bounds.withColumn(
-            "nb", F.coalesce(F.lead("b").over(w), F.length("t") + 1)
-        )
-        .select(
-            "doc_id",
-            F.expr("substring(t, b, nb - b)").alias("chunk"),
-        )
+    spans = bounds.withColumn("nb", F.lead("b").over(w))
+    chunks = spans.join(norm, "doc_id").select(
+        "doc_id",
+        F.expr("substring(t, b, coalesce(nb, length(t) + 1) - b)").alias("chunk"),
     )
     return (
         chunks.groupBy(F.md5("chunk").alias("chunk_fp"))

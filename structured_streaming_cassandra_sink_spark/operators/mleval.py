@@ -1420,13 +1420,20 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emd_drift",
     f"""
     WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
-    g AS (
+    g0 AS (
       SELECT {_bin_sql('value')} AS bin,
              CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n1,
              CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n2
       FROM events CROSS JOIN mm GROUP BY 1),
+    -- FULL bin lattice: a bin empty in BOTH halves still carries a
+    -- nonzero |F1-F2| term whenever the CDF gap persists across it —
+    -- dropping the row (as a bare GROUP BY does) under-counts W1
+    g AS (
+      SELECT b.bin, coalesce(g0.n1, 0) AS n1, coalesce(g0.n2, 0) AS n2
+      FROM (SELECT unnest(range(0, {N_BINS})) AS bin) b
+      LEFT JOIN g0 USING (bin)),
     t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM g),
     c AS (
       SELECT bin,
@@ -1461,12 +1468,24 @@ def emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit; outputs rounded at 6."""
     e = load_table(spark, "events", sf_dir)
     mm = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    g = (
+    g0 = (
         e.crossJoin(F.broadcast(mm))
         .groupBy(_bin_col(F.col("value"), F.col("lo"), F.col("hi")).alias("bin"))
         .agg(
             F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).alias("n1"),
             F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)).alias("n2"),
+        )
+    )
+    # full lattice: bins empty in both halves still emit their CDF-gap
+    # term (review finding — 9 of 10 bins appeared on the fixture and
+    # the missing bin's |F1-F2|·Δ was silently dropped from W₁)
+    bins = spark.range(N_BINS).select(F.col("id").cast("bigint").alias("bin"))
+    g = (
+        bins.join(g0, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
         )
     )
     t = g.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))

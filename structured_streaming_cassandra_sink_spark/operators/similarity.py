@@ -1685,8 +1685,10 @@ def _rrf_oracle() -> str:
 @query("rrf_fusion", _rrf_oracle())
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (score = Σ 1/(k+rank),
-    k={RRF_K}) of a lexical ranker (BM25 over the fixed demo query,
-    identical scoring to `bm25_score`) and a dense ranker (cosine
+    k={RRF_K}) of a lexical ranker (the same BM25 scoring formula as `bm25_score`,
+    hand-mirrored here over the probe-excluded corpus — its stats
+    therefore differ by the excluded doc; keep the two in sync when
+    touching either) and a dense ranker (cosine
     against the doc-0 probe embedding; vec_id i is doc i's embedding —
     the paired-corpus convention of the synthetic tables). Doc 0 itself
     is excluded from both lists (self-retrieval).

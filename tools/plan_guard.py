@@ -126,7 +126,7 @@ def main() -> int:
             continue
 
         cartesian = "CartesianProduct" in plan
-        bnlj = plan.count("(") and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
         # Window nodes: formatted Arguments prints [exprs], [partition],
         # [order], OMITTING empty groups — so both "unpartitioned ordered"
         # and "partitioned unordered" (whole-partition aggregates) show 2
@@ -175,6 +175,20 @@ def main() -> int:
             violations.append((name, f"unpartitioned_windows={unpart}"))
         if python_nodes and name not in PYTHON_ALLOWED:
             violations.append((name, f"python_nodes={python_nodes}"))
+
+    # Two-sided allowlist check (full-registry sweeps only): an
+    # allowlisted name whose plan no longer contains the pattern is a
+    # STALE entry — it would silently excuse a future regression, which
+    # is exactly what the pruned-allowlist invariant forbids.
+    if not args:
+        for name, allowed, key in (
+            ("bnlj", BNLJ_ALLOWED, "bnlj"),
+            ("window", UNPART_WINDOW_ALLOWED, "unpartitioned_windows"),
+            ("python", PYTHON_ALLOWED, "python_nodes"),
+        ):
+            for q in sorted(allowed):
+                if report.get(q, {}).get(key, 0) == 0:
+                    violations.append((q, f"stale_allowlist_{name}"))
 
     if out_path:
         with open(out_path, "w") as fh:
