@@ -54,6 +54,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROUND-4 ROTATION DEBT (build the next _PRIORITY_THIS_ROUND from this):
 # - the 4 spilled below: session_chain_recursive, set_intersect_all,
 #   set_except_all, join_shuffle_hash_hint;
+# - the geo family (operators/geo.py), never driver-seen:
+#   geo_grid_hotspots, geo_radius_join;
 # - the round-3 driver-session additions, never driver-seen:
 #   kmeans_lloyd, pq_encode, countmin_sketch_report, rolling_median,
 #   survival_kaplan_meier, ngram_novelty_score, k_anonymity_check,
@@ -182,6 +184,7 @@ def load_all() -> None:
         mleval,
         clustering,
         sketches,
+        geo,
     )
     from ..streaming import batch_equiv  # noqa: F401
 
