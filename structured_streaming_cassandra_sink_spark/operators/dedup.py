@@ -1568,3 +1568,114 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (Fellegi-Sunter scoring) — entity resolution ACROSS
+# records, the probabilistic cousin of the exact/near dedup above
+# ---------------------------------------------------------------------------
+FS_BAL_BAND = 500.0
+# log2(m/u)-style agreement / disagreement weights per comparison field
+# (literature-conventional magnitudes; literals so both engines add the
+# exact same doubles)
+FS_W = {
+    "name": (4.17, -3.25),
+    "bal": (2.0, -1.5),
+    "band": (1.2, -0.8),
+}
+FS_MATCH_T = 4.0
+
+
+@query(
+    "record_linkage_fs",
+    f"""
+    WITH b AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal, c_name,
+             CAST(floor(c_acctbal / {FS_BAL_BAND}) AS INT) AS bal_band
+      FROM customer),
+    scored AS (
+      SELECT a.c_custkey AS cust_a, c.c_custkey AS cust_b,
+             round(CAST(
+               (CASE WHEN levenshtein(substr(a.c_name, 14), substr(c.c_name, 14)) <= 2
+                     THEN {FS_W["name"][0]} ELSE {FS_W["name"][1]} END)
+             + (CASE WHEN abs(a.c_acctbal - c.c_acctbal) < 100.0
+                     THEN {FS_W["bal"][0]} ELSE {FS_W["bal"][1]} END)
+             + (CASE WHEN a.bal_band = c.bal_band
+                     THEN {FS_W["band"][0]} ELSE {FS_W["band"][1]} END) AS DOUBLE), 4) AS score
+      FROM b a JOIN b c
+        ON a.c_nationkey = c.c_nationkey
+       AND a.c_mktsegment = c.c_mktsegment
+       AND a.c_custkey < c.c_custkey)
+    SELECT cust_a, cust_b, score,
+           CASE WHEN score >= {FS_MATCH_T} THEN 'match'
+                WHEN score >= 0.0 THEN 'possible'
+                ELSE 'non_match' END AS match_class
+    FROM scored
+    WHERE score >= 0.0
+    """,
+)
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring over blocked customer
+    pairs: block on (nation, market segment) — an equi-join, so the
+    pairwise compare runs only inside blocks — then sum per-field
+    agreement/disagreement log-weights (name-digit edit distance ≤2,
+    balance within 100, same balance band) and classify by threshold.
+    The F-S machinery (blocking -> field comparators -> log-likelihood
+    sum -> match classes) is what production entity resolution runs; at
+    100 TB the block key is the shuffle key, hot blocks get more
+    discriminating keys (or the df-style caps the near-dup family
+    uses), and the levenshtein comparator runs only on co-blocked
+    candidates, never all pairs. Edit distances are exact ints in both
+    engines; weights are shared literals, so the score grid is
+    bit-identical. (substr(name, 14) = the zero-padded digit suffix of
+    'Customer#000000123'.)"""
+    b = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "c_name",
+        F.floor(F.col("c_acctbal") / F.lit(FS_BAL_BAND)).cast("int").alias(
+            "bal_band"
+        ),
+    )
+    a, c = b.alias("a"), b.alias("c")
+
+    def w(agree, pair):
+        return F.when(agree, F.lit(pair[0])).otherwise(F.lit(pair[1]))
+
+    score = F.round(
+        w(
+            F.levenshtein(
+                F.expr("substring(a.c_name, 14)"), F.expr("substring(c.c_name, 14)")
+            )
+            <= 2,
+            FS_W["name"],
+        )
+        + w(
+            F.abs(F.col("a.c_acctbal") - F.col("c.c_acctbal")) < 100.0,
+            FS_W["bal"],
+        )
+        + w(F.col("a.bal_band") == F.col("c.bal_band"), FS_W["band"]),
+        4,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.c_nationkey") == F.col("c.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("c.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("c.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("c.c_custkey").alias("cust_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.0)
+        .withColumn(
+            "match_class",
+            F.when(F.col("score") >= FS_MATCH_T, "match")
+            .when(F.col("score") >= 0.0, "possible")
+            .otherwise("non_match"),
+        )
+    )

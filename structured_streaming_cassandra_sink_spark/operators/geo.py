@@ -191,6 +191,53 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 3
+
+
+@query(
+    "geo_knn_within_radius",
+    f"""
+    WITH s AS ({_coords_view_sql("supplier", "s_suppkey")}),
+         c AS ({_coords_view_sql("customer", "c_custkey")}),
+         pairs AS (
+           SELECT c.c_custkey, s.s_suppkey,
+                  {_haversine_sql("c.lat", "c.lon", "s.lat", "s.lon")} AS d_km
+           FROM c JOIN s ON TRUE)
+    SELECT c_custkey, s_suppkey, d_km,
+           CAST(row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d_km, s_suppkey) AS INT) AS knn_rank
+    FROM pairs
+    WHERE d_km <= {RADIUS_KM}
+    QUALIFY knn_rank <= {KNN_K}
+    """,
+)
+def geo_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded spatial kNN: the {KNN_K} nearest suppliers within
+    RADIUS_KM of each customer. BOUNDED by the radius is what makes the
+    grid-blocked plan EXACT (plain kNN can't promise the 3×3 ring holds
+    k neighbors; radius-bounded kNN only ranks pairs the radius join
+    already proved complete). Plan: blocked pairs → per-customer
+    row_number window — the window partitions by customer over candidate
+    pairs only (cell-density bounded), never over the corpus. Ties break
+    on the rounded-distance grid then supplier id, so ranks are
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    sup = with_coords(
+        load_table(spark, "supplier", sf_dir).select("s_suppkey"), "s_suppkey"
+    )
+    cust = with_coords(
+        load_table(spark, "customer", sf_dir).select("c_custkey"), "c_custkey"
+    )
+    pairs = radius_pairs_blocked(cust, "c_custkey", sup, "s_suppkey", RADIUS_KM)
+    w = Window.partitionBy("c_custkey").orderBy("d_km", "s_suppkey")
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= KNN_K)
+        .select("c_custkey", "s_suppkey", "d_km", "knn_rank")
+    )
+
+
 def radius_pairs_blocked(
     left: DataFrame,
     left_key: str,

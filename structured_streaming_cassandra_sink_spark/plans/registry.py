@@ -55,7 +55,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # - the 4 spilled below: session_chain_recursive, set_intersect_all,
 #   set_except_all, join_shuffle_hash_hint;
 # - the geo family (operators/geo.py), never driver-seen:
-#   geo_grid_hotspots, geo_radius_join;
+#   geo_grid_hotspots, geo_radius_join, geo_knn_within_radius;
+# - record_linkage_fs (operators/dedup.py), never driver-seen;
 # - the round-3 driver-session additions, never driver-seen:
 #   kmeans_lloyd, pq_encode, countmin_sketch_report, rolling_median,
 #   survival_kaplan_meier, ngram_novelty_score, k_anonymity_check,

@@ -186,3 +186,29 @@ def test_cdc_chunks_shift_invariant(spark, tmp_path):
     # despite every byte offset differing by the prefix length
     assert len(shared) >= 3, shared
     assert all(r.n_docs == 2 for r in shared)
+
+
+def test_record_linkage_scores_on_weight_lattice(spark, sf_dir):
+    """Every F-S score must be one of the 8 agree/disagree weight sums,
+    pairs are canonical (a < b, no self-pairs), and match_class follows
+    the thresholds exactly."""
+    import itertools
+
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        FS_MATCH_T,
+        FS_W,
+        record_linkage_fs,
+    )
+
+    lattice = {
+        round(a + b + c, 4)
+        for a, b, c in itertools.product(FS_W["name"], FS_W["bal"], FS_W["band"])
+    }
+    rows = record_linkage_fs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cust_a < r.cust_b
+        assert r.score in lattice
+        assert r.score >= 0.0
+        expect = "match" if r.score >= FS_MATCH_T else "possible"
+        assert r.match_class == expect

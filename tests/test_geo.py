@@ -151,3 +151,24 @@ def test_hotspots_deterministic_and_capped_lat(spark, sf_dir):
     a = geo_grid_hotspots(spark, sf_dir).collect()
     b = geo_grid_hotspots(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_knn_ranks_contiguous_and_bounded(spark, sf_dir):
+    """knn_rank is 1..K contiguous per customer, never exceeds K, and
+    rank 1 carries the minimum candidate distance."""
+    from structured_streaming_cassandra_sink_spark.operators.geo import (
+        KNN_K,
+        geo_knn_within_radius,
+    )
+
+    rows = geo_knn_within_radius(spark, sf_dir).collect()
+    assert rows, "no in-radius neighbors at this SF; test is vacuous"
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.c_custkey, []).append(r)
+    for cust, rs in by_cust.items():
+        ranks = sorted(x.knn_rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= KNN_K
+        best = min(rs, key=lambda x: (x.d_km, x.s_suppkey))
+        assert best.knn_rank == 1
