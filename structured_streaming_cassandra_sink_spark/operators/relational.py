@@ -1829,3 +1829,95 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= AA_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-sum proration (largest-remainder allocation)
+# ---------------------------------------------------------------------------
+@query(
+    "proration_largest_remainder",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem),
+    o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS t_cents
+      FROM orders),
+    j AS (
+      SELECT l_orderkey, l_linenumber, p, t_cents,
+             sum(p) OVER (PARTITION BY l_orderkey) AS s
+      FROM li JOIN o ON l_orderkey = o_orderkey),
+    base AS (
+      SELECT l_orderkey, l_linenumber, t_cents, s,
+             (t_cents * p) // s AS floor_cents,
+             (t_cents * p) % s  AS rem
+      FROM j),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk,
+             t_cents - sum(floor_cents) OVER (PARTITION BY l_orderkey)
+               AS leftover
+      FROM base)
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM ranked
+    """,
+)
+def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate each order's total across its lineitems proportionally to
+    extended price with an EXACT-SUM guarantee (largest-remainder /
+    Hamilton rounding): floor the proportional share in integer cents,
+    then hand the leftover cents to the largest fractional remainders
+    (tie-broken by line number). ALL arithmetic is int64 (cents,
+    integer div/mod) — no floating point anywhere, so the allocation is
+    bit-identical across engines and the per-order invariant
+    Σalloc_cents == round(o_totalprice·100) holds exactly (pinned in
+    tests). This is the money-safe allocation every billing/cost
+    pipeline needs where naive round(share) drifts by cents. Scale: two
+    windows partitioned by order key — same shuffle, Catalyst plans one
+    Exchange; order groups are small (≤7 lineitems), no skew."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_cents"),
+    )
+    wk = Window.partitionBy("l_orderkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "s", F.sum("p").over(wk)
+    )
+    base = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "t_cents",
+        "s",
+        F.expr("(t_cents * p) div s").alias("floor_cents"),
+        ((F.col("t_cents") * F.col("p")) % F.col("s")).alias("rem"),
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.col("rem").desc(), "l_linenumber"
+            )
+        ),
+    ).withColumn(
+        "leftover", F.col("t_cents") - F.sum("floor_cents").over(wk)
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("floor_cents")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    )

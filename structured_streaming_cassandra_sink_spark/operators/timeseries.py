@@ -2084,3 +2084,69 @@ def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(F.col("yhat") - F.col("x")), 4).alias("bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency
+# ---------------------------------------------------------------------------
+CONC_WINDOW_MIN = 15
+
+
+@query(
+    "max_concurrency_sweep",
+    f"""
+    WITH iv AS (
+      SELECT ts AS s,
+             least(ts + INTERVAL '{CONC_WINDOW_MIN} minutes',
+                   date_trunc('day', ts) + INTERVAL 1 DAY) AS e,
+             date_trunc('day', ts) AS day
+      FROM events),
+    d AS (
+      SELECT day, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta FROM iv),
+    g AS (SELECT day, t, sum(delta) AS net FROM d GROUP BY day, t),
+    r AS (
+      SELECT day,
+             sum(net) OVER (PARTITION BY day ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS cur
+      FROM g)
+    SELECT CAST(day AS DATE) AS day, CAST(max(cur) AS BIGINT) AS peak_concurrency
+    FROM r GROUP BY 1
+    """,
+)
+def max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day by sweep line: each event opens a
+    {CONC_WINDOW_MIN}-minute presence interval (clipped at midnight — an
+    interval counts in the day it STARTS), intervals become +1/-1 deltas,
+    deltas collapse per distinct timestamp (so the running sum is
+    order-deterministic: the within-tie low point can't exceed the
+    after-tie value, and MAX only sees deterministic states), and a
+    per-day ordered window takes the running sum's maximum. Scale: the
+    sort is PARTITIONED BY DAY — days fan out across executors, no global
+    order, no single-partition window (the two-pass prefix-sum in
+    running_total covers the truly-global variant). The sweep-line is the
+    O(n log n) answer to 'max rooms/machines/sessions at once' that a
+    naive self-join makes O(n²)."""
+    e = load_table(spark, "events", sf_dir)
+    iv = e.select(
+        F.col("ts").alias("s"),
+        F.least(
+            F.expr(f"ts + INTERVAL {CONC_WINDOW_MIN} MINUTES"),
+            F.expr("date_trunc('day', ts) + INTERVAL 1 DAY"),
+        ).alias("e"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    d = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    g = d.groupBy("day", "t").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.withColumn("cur", F.sum("net").over(w))
+    return r.groupBy(F.to_date("day").alias("day")).agg(
+        F.max("cur").cast("bigint").alias("peak_concurrency")
+    )

@@ -1057,3 +1057,56 @@ def test_new_operators_handle_degenerate_inputs(spark, tmp_path):
         [], "vec_id long, embedding array<float>, label int"
     ).write.parquet(os.path.join(d3, "embeddings.parquet"))
     assert dbscan_grid_clusters(spark, d3).count() == 0
+
+
+def test_proration_sums_exactly_to_order_total(spark, sf_dir):
+    """The whole point of largest-remainder allocation: per-order cent
+    sums equal round(o_totalprice*100) EXACTLY, and every allocation is
+    within 1 cent of its unrounded proportional share."""
+    from structured_streaming_cassandra_sink_spark.operators.relational import (
+        proration_largest_remainder,
+    )
+
+    alloc = proration_largest_remainder(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("t_cents"),
+    )
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("got")
+    )
+    bad = per_order.join(o, "l_orderkey").filter(F.col("got") != F.col("t_cents"))
+    assert bad.count() == 0
+    assert per_order.count() > 0
+
+
+def test_max_concurrency_matches_python_sweep(spark, sf_dir):
+    """Independent ground truth: a plain-Python sweep over the same
+    clipped intervals reproduces every per-day peak."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        CONC_WINDOW_MIN,
+        max_concurrency_sweep,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts").collect()
+    deltas = defaultdict(lambda: defaultdict(int))
+    for r in events:
+        day = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        end = min(r.ts + timedelta(minutes=CONC_WINDOW_MIN), day + timedelta(days=1))
+        deltas[day.date()][r.ts] += 1
+        deltas[day.date()][end] -= 1
+    expect = {}
+    for day, dd in deltas.items():
+        cur = peak = 0
+        for t in sorted(dd):
+            cur += dd[t]
+            peak = max(peak, cur)
+        expect[day] = peak
+    got = {
+        r.day: r.peak_concurrency
+        for r in max_concurrency_sweep(spark, sf_dir).collect()
+    }
+    assert got == expect
