@@ -21,7 +21,7 @@ differ between engines, md5 is bit-identical everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import fingerprint, tokens
@@ -1314,3 +1314,107 @@ def ivm_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 4).alias("total"))
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — third leg of the privacy release gate
+# ---------------------------------------------------------------------------
+T_CLOSE = 0.2  # max allowed EMD between class and global sensitive dists
+
+
+@query(
+    "t_closeness_check",
+    f"""
+    WITH pts AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {ACB_BAND}) AS BIGINT) AS b
+      FROM customer),
+    cls AS (SELECT c_nationkey, c_mktsegment, b, count(*) AS n
+            FROM pts GROUP BY 1, 2, 3),
+    tot AS (SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS nc
+            FROM cls GROUP BY 1, 2),
+    gl  AS (SELECT b, count(*) AS ng FROM pts GROUP BY 1),
+    n   AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pts),
+    lattice AS (
+      SELECT t.c_nationkey, t.c_mktsegment, t.nc, g.b, g.ng
+      FROM tot t CROSS JOIN gl g),
+    p AS (
+      SELECT l.c_nationkey, l.c_mktsegment, l.b,
+             coalesce(c.n, 0) * 1.0 / l.nc AS p_cls,
+             l.ng * 1.0 / n.nn             AS p_gl
+      FROM lattice l
+      LEFT JOIN cls c
+        ON c.c_nationkey = l.c_nationkey
+       AND c.c_mktsegment = l.c_mktsegment AND c.b = l.b
+      CROSS JOIN n),
+    f1 AS (
+      SELECT c_nationkey, c_mktsegment, b,
+             sum(p_cls - p_gl) OVER w AS cdf_gap
+      FROM p
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    f AS (
+      SELECT c_nationkey, c_mktsegment, b,
+             sum(abs(cdf_gap)) OVER w AS running
+      FROM f1
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT c_nationkey, c_mktsegment,
+           round(max(running), 6)       AS emd,
+           round(max(running), 6) > {T_CLOSE} AS t_violation
+    FROM f
+    GROUP BY 1, 2
+    """,
+)
+def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release gate after
+    k-anonymity and l-diversity (`k_anonymity_check`): a class can be
+    k-large and l-diverse yet still disclosive if its SENSITIVE
+    DISTRIBUTION differs sharply from the table's. Per quasi-identifier
+    class, the 1-D EMD (in band-width units) between the class's and
+    the global balance-band distribution: cumulate (p_cls − p_gl) over
+    the ordered band lattice, |CDF gap| running-sum, whose LAST value is
+    the EMD. Cross-engine determinism trick: the running |gap| sum is
+    MONOTONE, so per-class max(running) == the total — max is
+    order-independent where a float sum aggregate is not, and the
+    window cumsums themselves are sequential over identical doubles in
+    identical band order (same contract as emd_drift). Scale: two hash
+    aggs over one scan + a |classes|×|bands| lattice window — the
+    lattice is tiny at any table size."""
+    pts = load_table(spark, "customer", sf_dir).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / ACB_BAND).cast("bigint").alias("b"),
+    )
+    cls = pts.groupBy("c_nationkey", "c_mktsegment", "b").agg(
+        F.count("*").alias("n")
+    )
+    tot = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("nc")
+    )
+    gl = pts.groupBy("b").agg(F.count("*").alias("ng"))
+    nn = pts.agg(F.count("*").cast("bigint").alias("nn"))
+    lattice = tot.crossJoin(F.broadcast(gl))
+    p = (
+        lattice.join(cls, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "b",
+            (F.coalesce(F.col("n"), F.lit(0)) * 1.0 / F.col("nc")).alias("p_cls"),
+            (F.col("ng") * 1.0 / F.col("nn")).alias("p_gl"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = p.withColumn(
+        "cdf_gap", F.sum(F.col("p_cls") - F.col("p_gl")).over(w)
+    ).withColumn("running", F.sum(F.abs(F.col("cdf_gap"))).over(w))
+    emd = F.round(F.max("running"), 6)
+    return f.groupBy("c_nationkey", "c_mktsegment").agg(
+        emd.alias("emd"), (emd > T_CLOSE).alias("t_violation")
+    )

@@ -1110,3 +1110,46 @@ def test_max_concurrency_matches_python_sweep(spark, sf_dir):
         for r in max_concurrency_sweep(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_t_closeness_matches_python_emd(spark, sf_dir):
+    """Independent ground truth: per-class 1-D EMD computed in plain
+    Python over the same band lattice reproduces every class row."""
+    import math
+    from collections import Counter, defaultdict
+
+    from structured_streaming_cassandra_sink_spark.operators.curation import (
+        ACB_BAND,
+        T_CLOSE,
+        t_closeness_check,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    by_cls = defaultdict(Counter)
+    glob = Counter()
+    for r in rows:
+        b = math.floor(r.c_acctbal / ACB_BAND)
+        by_cls[(r.c_nationkey, r.c_mktsegment)][b] += 1
+        glob[b] += 1
+    bands = sorted(glob)
+    nn = sum(glob.values())
+    expect = {}
+    for cls, cnt in by_cls.items():
+        nc = sum(cnt.values())
+        gap = running = 0.0
+        for b in bands:
+            gap += cnt.get(b, 0) * 1.0 / nc - glob[b] * 1.0 / nn
+            running += abs(gap)
+        expect[cls] = round(running, 6)
+    got = {
+        (r.c_nationkey, r.c_mktsegment): (r.emd, r.t_violation)
+        for r in t_closeness_check(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for cls, (emd, viol) in got.items():
+        assert emd == pytest.approx(expect[cls], abs=2e-6)
+        assert viol == (emd > T_CLOSE)
