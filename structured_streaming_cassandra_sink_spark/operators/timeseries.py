@@ -2150,3 +2150,73 @@ def max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy(F.to_date("day").alias("day")).agg(
         F.max("cur").cast("bigint").alias("peak_concurrency")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+MTA_WINDOW_DAYS = 7
+
+
+@query(
+    "multi_touch_attribution",
+    f"""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS cts, CAST(ts AS DATE) AS conv_day
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, ts, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')),
+    pairs AS (
+      SELECT c.conv_id, c.conv_day, t.channel
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.ts < c.cts
+       AND t.ts >= c.cts - INTERVAL '{MTA_WINDOW_DAYS} days'),
+    n AS (SELECT conv_id, count(*) AS n FROM pairs GROUP BY 1)
+    SELECT channel, conv_day,
+           round(sum(1.0 / n), 4)   AS credit,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM pairs JOIN n USING (conv_id)
+    GROUP BY channel, conv_day
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the fractional-credit complement
+    to `last_touch_attribution`: every view/click in the
+    {MTA_WINDOW_DAYS}-day lookback of a purchase shares the
+    conversion's one unit of credit equally (1/n per touch), rolled up
+    per (channel, conversion day). Plan: user-keyed equi-join with a
+    time-range refine (the same shape as join_range — shuffles on
+    user_id, per-user pair fan-out bounded by per-user activity in the
+    window), then a per-conversion count window (no second join) and
+    one hash agg. At 100 TB a hot user is a salting candidate like any
+    skewed join key; credit sums are 1/n doubles rounded at 4 (engine
+    convention for reassociated float aggregates)."""
+    e = load_table(spark, "events", sf_dir)
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("ts").cast("date").alias("conv_day"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.expr(f"cts - INTERVAL {MTA_WINDOW_DAYS} DAYS")),
+    ).select("conv_id", "conv_day", "channel")
+    n = Window.partitionBy("conv_id")
+    return (
+        pairs.withColumn("n", F.count(F.lit(1)).over(n))
+        .groupBy("channel", "conv_day")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("n")), 4).alias("credit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        )
+    )

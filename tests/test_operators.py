@@ -1153,3 +1153,36 @@ def test_t_closeness_matches_python_emd(spark, sf_dir):
     for cls, (emd, viol) in got.items():
         assert emd == pytest.approx(expect[cls], abs=2e-6)
         assert viol == (emd > T_CLOSE)
+
+
+def test_multi_touch_credit_conserves_conversions(spark, sf_dir):
+    """Linear MTA conservation law: summed credit across all channels
+    and days equals the number of conversions that had at least one
+    in-window touch (each conversion hands out exactly 1.0)."""
+    from datetime import timedelta
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        MTA_WINDOW_DAYS,
+        multi_touch_attribution,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    touches = [(r.user_id, r.ts) for r in rows if r.event_type in ("view", "click")]
+    attributed = sum(
+        1
+        for r in rows
+        if r.event_type == "purchase"
+        and any(
+            u == r.user_id and r.ts - timedelta(days=MTA_WINDOW_DAYS) <= t < r.ts
+            for u, t in touches
+        )
+    )
+    out = multi_touch_attribution(spark, sf_dir).collect()
+    total_credit = sum(r.credit for r in out)
+    # each (channel, day) cell is rounded at 1e-4; tolerance = cells * 5e-5
+    assert total_credit == pytest.approx(attributed, abs=max(1e-3, len(out) * 5e-5))
+    assert attributed > 0
