@@ -54,6 +54,8 @@ BNLJ_ALLOWED = {
     "share_of_group", "skew_profile", "survival_kaplan_meier",
     "emd_drift", "target_encode_smoothed", "temporal_split_embargo",
     "tfidf_top_terms", "ttest_welch", "vocab_coverage", "word_pmi",
+    # class-set x band-lattice product + 1-row total ride-along
+    "t_closeness_check",
 }
 
 # Window with an empty PARTITION BY (single-partition sort): every entry
