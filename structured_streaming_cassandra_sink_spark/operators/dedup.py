@@ -1586,6 +1586,27 @@ FS_W = {
 FS_MATCH_T = 4.0
 
 
+def _deletion_variants(col):
+    """All ≤2-deletion variants of a length-5 string (SymSpell
+    neighborhood): 1 original + 5 single + 10 double deletions = 16.
+    ed(a,b) ≤ 2  ⟹  the neighborhoods intersect, so joining on a shared
+    variant is a LOSSLESS candidate filter for the ≤2 comparator."""
+    out = [col]
+    for i in range(1, 6):
+        out.append(F.concat(F.substring(col, 1, i - 1), F.substring(col, i + 1, 5)))
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            out.append(
+                F.concat(
+                    F.substring(col, 1, i - 1),
+                    F.substring(col, i + 1, j - i - 1),
+                    F.substring(col, j + 1, 5),
+                )
+            )
+    return F.array(*out)
+
+
+
 @query(
     "record_linkage_fs",
     f"""
@@ -1615,62 +1636,78 @@ FS_MATCH_T = 4.0
     """,
 )
 def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter record-linkage scoring over blocked customer
-    pairs: block on (nation, market segment) — an equi-join, so the
-    pairwise compare runs only inside blocks — then sum per-field
-    agreement/disagreement log-weights (name-digit edit distance ≤2,
-    balance within 100, same balance band) and classify by threshold.
-    The F-S machinery (blocking -> field comparators -> log-likelihood
-    sum -> match classes) is what production entity resolution runs; at
-    100 TB the block key is the shuffle key, hot blocks get more
-    discriminating keys (or the df-style caps the near-dup family
-    uses), and the levenshtein comparator runs only on co-blocked
-    candidates, never all pairs. Edit distances are exact ints in both
-    engines; weights are shared literals, so the score grid is
-    bit-identical. (substr(name, 14) = the zero-padded digit suffix of
-    'Customer#000000123'.)"""
+    """Fellegi-Sunter record-linkage scoring: field comparators
+    (name-digit edit distance ≤2, balance within 100, same balance
+    band) summed as agreement/disagreement log-weights and classified
+    by threshold — the blocking -> comparators -> log-likelihood-sum ->
+    match-class machinery production entity resolution runs.
+
+    Scale design (the part that matters at 100 TB): a plain
+    (nation, segment) block grows linearly with data, so in-block pairs
+    grow QUADRATICALLY — measured 7.3x wall over 100x data before this
+    plan. The weight structure makes the fix exact: the best score a
+    pair can reach WITHOUT name agreement is
+    name_dis + bal_agr + band_agr = -0.05 < 0, so every output row
+    (score ≥ 0) has name edit distance ≤ 2 — and ed ≤ 2 pairs are
+    EXACTLY what a SymSpell ≤2-deletion neighborhood join finds
+    (16 variants per record, join on (nation, segment, variant),
+    lossless). Candidates are high-cardinality-blocked (variant
+    carries ~5 digits of entropy), deduped, then scored EXACTLY — the
+    same block-then-verify contract as the near-dup family, with the
+    brute-force oracle proving zero recall loss at sf0.01. Edit
+    distances are exact ints in both engines; weights are shared
+    literals, so the score grid is bit-identical. (substr(name, 14) =
+    the last 5 digits of 'Customer#000012345'.)"""
+    # blocking-completeness precondition (documented above): if the
+    # weights ever change so a name-disagree pair can score >= 0, the
+    # deletion-neighborhood block is no longer lossless
+    assert FS_W["name"][1] + FS_W["bal"][0] + FS_W["band"][0] < 0.0
+
     b = load_table(spark, "customer", sf_dir).select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
         "c_acctbal",
-        "c_name",
+        F.substring(F.col("c_name"), 14, 5).alias("digits"),
         F.floor(F.col("c_acctbal") / F.lit(FS_BAL_BAND)).cast("int").alias(
             "bal_band"
         ),
     )
-    a, c = b.alias("a"), b.alias("c")
-
-    def w(agree, pair):
-        return F.when(agree, F.lit(pair[0])).otherwise(F.lit(pair[1]))
-
-    score = F.round(
-        w(
-            F.levenshtein(
-                F.expr("substring(a.c_name, 14)"), F.expr("substring(c.c_name, 14)")
-            )
-            <= 2,
-            FS_W["name"],
-        )
-        + w(
-            F.abs(F.col("a.c_acctbal") - F.col("c.c_acctbal")) < 100.0,
-            FS_W["bal"],
-        )
-        + w(F.col("a.bal_band") == F.col("c.bal_band"), FS_W["band"]),
-        4,
-    )
-    return (
+    ex = b.withColumn("v", F.explode(_deletion_variants(F.col("digits"))))
+    a, c = ex.alias("a"), ex.alias("c")
+    cand = (
         a.join(
             c,
             (F.col("a.c_nationkey") == F.col("c.c_nationkey"))
             & (F.col("a.c_mktsegment") == F.col("c.c_mktsegment"))
+            & (F.col("a.v") == F.col("c.v"))
             & (F.col("a.c_custkey") < F.col("c.c_custkey")),
         )
         .select(
             F.col("a.c_custkey").alias("cust_a"),
             F.col("c.c_custkey").alias("cust_b"),
-            score.alias("score"),
+            F.col("a.digits").alias("dig_a"),
+            F.col("c.digits").alias("dig_b"),
+            F.col("a.c_acctbal").alias("bal_a"),
+            F.col("c.c_acctbal").alias("bal_b"),
+            F.col("a.bal_band").alias("band_a"),
+            F.col("c.bal_band").alias("band_b"),
         )
+        # shared-variant multiplicity: one candidate row per pair
+        .dropDuplicates(["cust_a", "cust_b"])
+    )
+
+    def w(agree, pair):
+        return F.when(agree, F.lit(pair[0])).otherwise(F.lit(pair[1]))
+
+    score = F.round(
+        w(F.levenshtein(F.col("dig_a"), F.col("dig_b")) <= 2, FS_W["name"])
+        + w(F.abs(F.col("bal_a") - F.col("bal_b")) < 100.0, FS_W["bal"])
+        + w(F.col("band_a") == F.col("band_b"), FS_W["band"]),
+        4,
+    )
+    return (
+        cand.select("cust_a", "cust_b", score.alias("score"))
         .filter(F.col("score") >= 0.0)
         .withColumn(
             "match_class",
