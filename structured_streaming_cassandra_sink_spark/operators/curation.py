@@ -1334,10 +1334,18 @@ T_CLOSE = 0.2  # max allowed EMD between class and global sensitive dists
     tot AS (SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS nc
             FROM cls GROUP BY 1, 2),
     gl  AS (SELECT b, count(*) AS ng FROM pts GROUP BY 1),
+    -- CONTIGUOUS band lattice min..max: an interior band empty
+    -- table-wide still carries its |CDF-gap| term (the emd_drift
+    -- dropped-bin lesson — a bare GROUP BY under-counts W1)
+    glf AS (
+      SELECT r.b, coalesce(gl.ng, 0) AS ng
+      FROM (SELECT unnest(range((SELECT min(b) FROM gl),
+                                (SELECT max(b) FROM gl) + 1)) AS b) r
+      LEFT JOIN gl USING (b)),
     n   AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pts),
     lattice AS (
       SELECT t.c_nationkey, t.c_mktsegment, t.nc, g.b, g.ng
-      FROM tot t CROSS JOIN gl g),
+      FROM tot t CROSS JOIN glf g),
     p AS (
       SELECT l.c_nationkey, l.c_mktsegment, l.b,
              coalesce(c.n, 0) * 1.0 / l.nc AS p_cls,
@@ -1393,8 +1401,15 @@ def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("nc")
     )
     gl = pts.groupBy("b").agg(F.count("*").alias("ng"))
+    # contiguous min..max band lattice (mirrors the oracle's range()):
+    # a band empty table-wide still emits its CDF-gap term
+    mm = gl.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    bands = mm.select(F.explode(F.sequence("lo", "hi")).alias("b"))
+    gl_full = bands.join(gl, "b", "left").select(
+        "b", F.coalesce("ng", F.lit(0)).alias("ng")
+    )
     nn = pts.agg(F.count("*").cast("bigint").alias("nn"))
-    lattice = tot.crossJoin(F.broadcast(gl))
+    lattice = tot.crossJoin(F.broadcast(gl_full))
     p = (
         lattice.join(cls, ["c_nationkey", "c_mktsegment", "b"], "left")
         .crossJoin(F.broadcast(nn))

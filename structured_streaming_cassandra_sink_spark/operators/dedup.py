@@ -1628,9 +1628,10 @@ def _deletion_variants(col):
        AND a.c_mktsegment = c.c_mktsegment
        AND a.c_custkey < c.c_custkey)
     SELECT cust_a, cust_b, score,
+           -- two-valued on purpose: the score >= 0 filter already
+           -- excludes non-matches (see blocking precondition)
            CASE WHEN score >= {FS_MATCH_T} THEN 'match'
-                WHEN score >= 0.0 THEN 'possible'
-                ELSE 'non_match' END AS match_class
+                ELSE 'possible' END AS match_class
     FROM scored
     WHERE score >= 0.0
     """,
@@ -1711,8 +1712,6 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= 0.0)
         .withColumn(
             "match_class",
-            F.when(F.col("score") >= FS_MATCH_T, "match")
-            .when(F.col("score") >= 0.0, "possible")
-            .otherwise("non_match"),
+            F.when(F.col("score") >= FS_MATCH_T, "match").otherwise("possible"),
         )
     )

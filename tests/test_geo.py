@@ -107,8 +107,9 @@ def test_grid_cells_cover_radius(spark):
     still within radius are found — i.e. the 1-cell ring suffices at
     the derivation's lat cap."""
     # lat 59.9: 1° lon ≈ 111.19*cos(59.9°) ≈ 55.8 km; 0.85° ≈ 47 km
-    a = _pts(spark, [(1, 59.9, 10.95)])
-    b = _pts(spark, [(2, 59.9, 10.10)])  # previous cell, within 50 km
+    a = _pts(spark, [(1, 59.9, 11.05)])  # cell_lon 11
+    b = _pts(spark, [(2, 59.9, 10.20)])  # cell_lon 10 — ADJACENT cell,
+    # within 50 km: found only through the ±1 probe ring
     got = radius_pairs_blocked(
         a.withColumnRenamed("id", "aid"),
         "aid",

@@ -1135,14 +1135,16 @@ def test_t_closeness_matches_python_emd(spark, sf_dir):
         b = math.floor(r.c_acctbal / ACB_BAND)
         by_cls[(r.c_nationkey, r.c_mktsegment)][b] += 1
         glob[b] += 1
-    bands = sorted(glob)
+    # contiguous lattice min..max, matching the query (empty interior
+    # bands still carry their |CDF-gap| term)
+    bands = list(range(min(glob), max(glob) + 1))
     nn = sum(glob.values())
     expect = {}
     for cls, cnt in by_cls.items():
         nc = sum(cnt.values())
         gap = running = 0.0
         for b in bands:
-            gap += cnt.get(b, 0) * 1.0 / nc - glob[b] * 1.0 / nn
+            gap += cnt.get(b, 0) * 1.0 / nc - glob.get(b, 0) * 1.0 / nn
             running += abs(gap)
         expect[cls] = round(running, 6)
     got = {
@@ -1186,3 +1188,31 @@ def test_multi_touch_credit_conserves_conversions(spark, sf_dir):
     # each (channel, day) cell is rounded at 1e-4; tolerance = cells * 5e-5
     assert total_credit == pytest.approx(attributed, abs=max(1e-3, len(out) * 5e-5))
     assert attributed > 0
+
+
+def test_t_closeness_counts_empty_interior_bands(spark, tmp_path):
+    """Regression pin for the emd_drift dropped-bin bug class: global
+    mass only at bands 0 and 10 (bands 1-9 empty table-wide) — the
+    persistent CDF gap must accumulate across ALL interior bands, not
+    just the two observed ones."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import (
+        ACB_BAND,
+        t_closeness_check,
+    )
+
+    # class A: all mass in band 0; class B: all mass in band 10;
+    # global: 50/50. |p_cls - p_gl| cumulates to 0.5 per band edge ->
+    # EMD = 0.5 * 10 bands = 5.0 for each class.
+    rows = []
+    for i in range(8):
+        rows.append((i, f"Customer#{i:09d}", 0, 100.0, "A"))          # band 0
+        rows.append((100 + i, f"Customer#{100+i:09d}", 1, 10 * ACB_BAND + 100.0, "B"))
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r.emd
+        for r in t_closeness_check(spark, str(tmp_path)).collect()
+    }
+    assert got == {(0, "A"): 5.0, (1, "B"): 5.0}
