@@ -2220,3 +2220,143 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage (merge overlapping presence intervals per key)
+# ---------------------------------------------------------------------------
+@query(
+    "interval_union_time",
+    f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {CONC_WINDOW_MIN} * 60 * 1000000 AS e
+      FROM events),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked),
+    spans AS (
+      SELECT user_id, island, max(e) - min(s) AS span_us
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)          AS n_islands,
+           CAST(sum(span_us) // 1000000 AS BIGINT) AS covered_sec
+    FROM spans
+    GROUP BY user_id
+    """,
+)
+def interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per user after merging overlapping presence
+    intervals (each event opens {CONC_WINDOW_MIN} minutes) — the per-key
+    union-of-intervals complement to max_concurrency_sweep's global
+    overlap count. Classic gaps-and-islands: an interval starts a new
+    island iff its start exceeds the running max of prior ends
+    (touching intervals merge, half-open semantics), islands then
+    aggregate to spans. ALL arithmetic is integer microseconds —
+    bit-exact across engines, no float rounding contract needed.
+    Scale: both windows and both aggregations share ONE user_id
+    shuffle; per-user state is the running max only. This is the
+    'billable connected time / machine uptime / ad exposure' kernel."""
+    e = load_table(spark, "events", sf_dir)
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.lit(CONC_WINDOW_MIN * 60 * 1_000_000)
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e").over(w_prev)
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    spans = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.expr("sum(span_us) div 1000000").cast("bigint").alias("covered_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness (growth accounting)
+# ---------------------------------------------------------------------------
+WAU_DAYS = 7
+
+
+@query(
+    "dau_wau_stickiness",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    lattice AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    probes AS (
+      SELECT ud.user_id, ud.day + CAST(k AS INT) AS pday
+      FROM ud CROSS JOIN unnest(range(0, {WAU_DAYS})) AS t(k)),
+    wau AS (
+      SELECT p.pday AS day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+      FROM probes p JOIN lattice l ON p.pday = l.day
+      GROUP BY 1)
+    SELECT d.day, d.dau, w.wau,
+           round(d.dau * 1.0 / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the growth-accounting ratio ('what
+    fraction of this week's users showed up today'). Trailing
+    {WAU_DAYS}-day distinct users WITHOUT a rolling-distinct window
+    (which Spark can't stream and both engines evaluate O(days·users)):
+    each (user, active-day) row probes the next {WAU_DAYS} calendar days
+    (constant fan-out, map-side), the probe day equi-joins the observed
+    day lattice (no phantom days past the data), and one
+    count-distinct-per-day hash agg finishes it. Scale: the per-user-day
+    dedup is one shuffle of (user, day) pairs; the 7x probe explode is a
+    constant; the distinct agg shuffles (day, user) — all linear in
+    active user-days, the plan a 100 TB events table needs."""
+    e = load_table(spark, "events", sf_dir)
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    lattice = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    probes = ud.select(
+        "user_id",
+        F.expr(f"explode(sequence(0, {WAU_DAYS - 1}))").alias("k"),
+        F.col("day"),
+    ).select("user_id", F.expr("date_add(day, k)").alias("pday"))
+    wau = (
+        probes.join(lattice, probes.pday == lattice.day)
+        .groupBy(F.col("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") * 1.0 / F.col("wau"), 4).alias("stickiness"),
+    )

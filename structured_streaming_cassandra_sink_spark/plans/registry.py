@@ -58,7 +58,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   geo_grid_hotspots, geo_radius_join, geo_knn_within_radius;
 # - record_linkage_fs (operators/dedup.py), never driver-seen;
 # - max_concurrency_sweep, proration_largest_remainder,
-#   t_closeness_check, multi_touch_attribution, never driver-seen;
+#   t_closeness_check, multi_touch_attribution, interval_union_time,
+#   dau_wau_stickiness, never driver-seen;
 # - the round-3 driver-session additions, never driver-seen:
 #   kmeans_lloyd, pq_encode, countmin_sketch_report, rolling_median,
 #   survival_kaplan_meier, ngram_novelty_score, k_anonymity_check,

@@ -1216,3 +1216,72 @@ def test_t_closeness_counts_empty_interior_bands(spark, tmp_path):
         for r in t_closeness_check(spark, str(tmp_path)).collect()
     }
     assert got == {(0, "A"): 5.0, (1, "B"): 5.0}
+
+
+def test_interval_union_matches_python_merge(spark, sf_dir):
+    """Independent ground truth: classic sort-and-merge interval union
+    in plain Python reproduces every user's island count and coverage."""
+    from collections import defaultdict
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        CONC_WINDOW_MIN,
+        interval_union_time,
+    )
+
+    win_us = CONC_WINDOW_MIN * 60 * 1_000_000
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("s")
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.s, r.s + win_us))
+    expect = {}
+    for u, ivs in by_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect[u] = (len(merged), sum(e - s for s, e in merged) // 1_000_000)
+    got = {
+        r.user_id: (r.n_islands, r.covered_sec)
+        for r in interval_union_time(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_stickiness_invariants_and_python_truth(spark, sf_dir):
+    """WAU >= DAU always; stickiness in (0, 1]; and a plain-Python
+    trailing-window recomputation reproduces every day's row."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        WAU_DAYS,
+        dau_wau_stickiness,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r.day].add(r.user_id)
+    days = sorted(by_day)
+    expect = {}
+    for d in days:
+        wau = set()
+        for k in range(WAU_DAYS):
+            wau |= by_day.get(d - timedelta(days=k), set())
+        expect[d] = (len(by_day[d]), len(wau))
+    got = dau_wau_stickiness(spark, sf_dir).collect()
+    assert {r.day for r in got} == set(days)
+    for r in got:
+        assert (r.dau, r.wau) == expect[r.day]
+        assert 0 < r.stickiness <= 1.0
+        assert r.wau >= r.dau
