@@ -65,6 +65,8 @@ HEADLINERS = {
     "markov_transitions": "event stream collapses map-side to the |types|^2 pair space before the wire",
     "vocab_coverage": "corpus crosses the wire once as vocabulary-sized partial counts; thresholds broadcast",
     "bigram_lm_probs": "top-30 winners broadcast onto vocab marginals; |V| rides as a 1-row broadcast cross join",
+    "geo_radius_join": "spatial radius join is an EQUI-join on grid-cell keys (3x3 probe ring, antimeridian pmod wrap) — hash join + exact haversine refine, never CartesianProduct",
+    "record_linkage_fs": "SymSpell deletion-neighborhood join: 16x variant explode feeds a high-entropy equi key, so candidate pairs stay linear where the demographic block went quadratic",
 }
 
 
