@@ -1285,3 +1285,82 @@ def test_stickiness_invariants_and_python_truth(spark, sf_dir):
         assert (r.dau, r.wau) == expect[r.day]
         assert 0 < r.stickiness <= 1.0
         assert r.wau >= r.dau
+
+
+def test_session_operators_handle_degenerate_inputs(spark, tmp_path):
+    """Empty/single-row inputs flow through the session's operators with
+    the mathematically right degenerate outputs (no errors, no phantom
+    rows)."""
+    import datetime
+    import os
+
+    from structured_streaming_cassandra_sink_spark.operators.curation import (
+        t_closeness_check,
+    )
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        record_linkage_fs,
+    )
+    from structured_streaming_cassandra_sink_spark.operators.geo import (
+        geo_knn_within_radius,
+        geo_radius_join,
+    )
+    from structured_streaming_cassandra_sink_spark.operators.relational import (
+        proration_largest_remainder,
+    )
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        CONC_WINDOW_MIN,
+        dau_wau_stickiness,
+        interval_union_time,
+        max_concurrency_sweep,
+        multi_touch_attribution,
+    )
+
+    # empty suppliers + one customer: radius join and kNN emit nothing
+    d = str(tmp_path / "geo")
+    spark.createDataFrame(
+        [], "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, "Customer#000000001", 0, 10.0, "A")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    assert geo_radius_join(spark, d).count() == 0
+    assert geo_knn_within_radius(spark, d).count() == 0
+    # single customer: no linkage pairs; single class == global: EMD 0
+    assert record_linkage_fs(spark, d).count() == 0
+    tc = t_closeness_check(spark, d).collect()
+    assert len(tc) == 1 and tc[0].emd == 0.0 and not tc[0].t_violation
+
+    # one order with one lineitem: the whole total lands on that line
+    d2 = str(tmp_path / "pro")
+    spark.createDataFrame(
+        [(7, 1, 123.456)], "l_orderkey long, l_linenumber int, l_extendedprice double"
+    ).write.parquet(os.path.join(d2, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(7, 999.994)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(os.path.join(d2, "orders.parquet"))
+    got = proration_largest_remainder(spark, d2).collect()
+    assert [(r.l_orderkey, r.l_linenumber, r.alloc_cents) for r in got] == [(7, 1, 99999)]
+
+    # events: empty -> no concurrency rows; single event -> one island,
+    # full window coverage, dau == wau, stickiness 1.0, no MTA rows
+    d3 = str(tmp_path / "ev")
+    ts = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, ts, 42, "purchase", 1.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(os.path.join(d3, "events.parquet"))
+    assert max_concurrency_sweep(spark, d3).collect()[0].peak_concurrency == 1
+    iu = interval_union_time(spark, d3).collect()[0]
+    assert (iu.n_islands, iu.covered_sec) == (1, CONC_WINDOW_MIN * 60)
+    st = dau_wau_stickiness(spark, d3).collect()[0]
+    assert (st.dau, st.wau, st.stickiness) == (1, 1, 1.0)
+    assert multi_touch_attribution(spark, d3).count() == 0  # no touches
+
+    d4 = str(tmp_path / "empty_ev")
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(os.path.join(d4, "events.parquet"))
+    assert max_concurrency_sweep(spark, d4).count() == 0
+    assert interval_union_time(spark, d4).count() == 0
+    assert dau_wau_stickiness(spark, d4).count() == 0
