@@ -1364,3 +1364,42 @@ def test_session_operators_handle_degenerate_inputs(spark, tmp_path):
     assert max_concurrency_sweep(spark, d4).count() == 0
     assert interval_union_time(spark, d4).count() == 0
     assert dau_wau_stickiness(spark, d4).count() == 0
+
+
+def test_interval_union_equals_session_window_aggregate(spark, sf_dir):
+    """Cross-operator consistency: with the same 15-minute gap, per-user
+    interval union IS the aggregate of Spark's session_window sessions —
+    islands == sessions, covered time == sum of session spans. Two
+    independent implementations (running-max islands vs the engine's
+    native session assignment) must agree row for row."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        CONC_WINDOW_MIN,
+        interval_union_time,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.batch_equiv import (
+        SESSION_GAP_MIN,
+        session_agg,
+    )
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    assert CONC_WINDOW_MIN == SESSION_GAP_MIN  # precondition for the pin
+    sess = session_agg(load_table(spark, "events", sf_dir))
+    via_sessions = {
+        (r.user_id): (r.n_islands, r.covered_sec)
+        for r in sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.expr(
+                "sum(unix_micros(cast(session_end as timestamp))"
+                " - unix_micros(cast(session_start as timestamp))) div 1000000"
+            )
+            .cast("bigint")
+            .alias("covered_sec"),
+        )
+        .collect()
+    }
+    via_union = {
+        r.user_id: (r.n_islands, r.covered_sec)
+        for r in interval_union_time(spark, sf_dir).collect()
+    }
+    assert via_union == via_sessions
