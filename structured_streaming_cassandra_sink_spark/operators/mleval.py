@@ -1507,3 +1507,493 @@ def emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("f1") - F.col("f2")), 6).alias("cdf_gap"),
         F.round(F.abs(F.col("f1") - F.col("f2")) * F.col("delta"), 6).alias("emd_term"),
     )
+
+
+# =====================================================================
+# Nonparametric & agreement statistics
+#
+# The rank-based / categorical-agreement battery that rounds out the
+# parametric tests above (ttest_welch, chi2, regression_agg): Spearman
+# and Kendall run entirely on the (quantity, discount) CONTINGENCY
+# LATTICE — 50×11 cells per return flag, a size fixed by the column
+# domains, not the row count — so the pair/rank math never touches raw
+# rows. The same bounded-lattice discipline as roc_auc/ks_statistic.
+# =====================================================================
+
+
+@query(
+    "spearman_corr",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS flag, l_quantity AS x, l_discount AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2, 3),
+    rx AS (
+      SELECT flag, x,
+             CAST(sum(n) AS BIGINT) AS nx,
+             CAST(coalesce(sum(sum(n)) OVER (PARTITION BY flag ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumb
+      FROM cells GROUP BY flag, x),
+    ry AS (
+      SELECT flag, y,
+             CAST(sum(n) AS BIGINT) AS ny,
+             CAST(coalesce(sum(sum(n)) OVER (PARTITION BY flag ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumb
+      FROM cells GROUP BY flag, y),
+    j AS (
+      SELECT c.flag, c.n,
+             rx.cumb + (rx.nx + 1) / 2.0 AS rkx,
+             ry.cumb + (ry.ny + 1) / 2.0 AS rky
+      FROM cells c
+      JOIN rx ON rx.flag = c.flag AND rx.x = c.x
+      JOIN ry ON ry.flag = c.flag AND ry.y = c.y),
+    s AS (
+      SELECT flag,
+             CAST(sum(n) AS BIGINT) AS nn,
+             sum(n * rkx)       AS sx,
+             sum(n * rky)       AS sy,
+             sum(n * rkx * rkx) AS sxx,
+             sum(n * rky * rky) AS syy,
+             sum(n * rkx * rky) AS sxy
+      FROM j GROUP BY flag)
+    SELECT flag, nn AS n_rows,
+           round((nn * sxy - sx * sy)
+                 / (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount per
+    return flag — the monotone-association companion to
+    `column_corr`'s Pearson. Classic Spearman ranks every row, an
+    O(n log n) per-group sort that dies at 100 TB; here both columns
+    have domain-bounded cardinality, so the ranking happens on the
+    MARGINAL LATTICES instead: one hash agg collapses rows to
+    (flag, qty, disc) cells, midranks come from cumulative-count
+    windows over the ≤50-row x-lattice / ≤11-row y-lattice, and the
+    weighted Pearson over cell ranks equals row-level Spearman exactly
+    (every row in a cell shares the cell's midrank pair).
+
+    FP parity: midranks are integers-plus-half (cumb + (n+1)/2), i.e.
+    EXACT binary doubles, and every moment term is n·rank products of
+    such values — partial-merge order cannot change the sums until far
+    past 2^53, so both engines agree bit-for-bit before round(6)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_discount").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wx = Window.partitionBy("flag").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rx = (
+        cells.groupBy("flag", "x")
+        .agg(F.sum("n").alias("nx"))
+        .withColumn("cumb", F.coalesce(F.sum("nx").over(wx), F.lit(0)))
+        .select("flag", "x", (F.col("cumb") + (F.col("nx") + 1) / 2.0).alias("rkx"))
+    )
+    wy = Window.partitionBy("flag").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ry = (
+        cells.groupBy("flag", "y")
+        .agg(F.sum("n").alias("ny"))
+        .withColumn("cumb", F.coalesce(F.sum("ny").over(wy), F.lit(0)))
+        .select("flag", "y", (F.col("cumb") + (F.col("ny") + 1) / 2.0).alias("rky"))
+    )
+    j = cells.join(rx, ["flag", "x"]).join(ry, ["flag", "y"])
+    s = j.groupBy("flag").agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("rkx")).alias("sx"),
+        F.sum(F.col("n") * F.col("rky")).alias("sy"),
+        F.sum(F.col("n") * F.col("rkx") * F.col("rkx")).alias("sxx"),
+        F.sum(F.col("n") * F.col("rky") * F.col("rky")).alias("syy"),
+        F.sum(F.col("n") * F.col("rkx") * F.col("rky")).alias("sxy"),
+    )
+    num = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "flag",
+        F.col("nn").alias("n_rows"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+# ------------------------------------------------------------ kendall_tau
+
+
+@query(
+    "kendall_tau",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS flag, l_quantity AS x, l_discount AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.flag,
+             CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                             OR (a.x > b.x AND a.y > b.y)
+                      THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                             OR (a.x > b.x AND a.y < b.y)
+                      THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS disc
+      FROM cells a JOIN cells b ON a.flag = b.flag
+      GROUP BY a.flag),
+    tx AS (
+      SELECT flag, CAST(sum(nx * (nx - 1) / 2) AS BIGINT) AS ties_x
+      FROM (SELECT flag, x, sum(n) AS nx FROM cells GROUP BY 1, 2)
+      GROUP BY flag),
+    ty AS (
+      SELECT flag, CAST(sum(ny * (ny - 1) / 2) AS BIGINT) AS ties_y
+      FROM (SELECT flag, y, sum(n) AS ny FROM cells GROUP BY 1, 2)
+      GROUP BY flag),
+    tot AS (
+      SELECT flag, CAST(sum(n) AS BIGINT) AS nn FROM cells GROUP BY flag)
+    SELECT t.flag, t.nn AS n_rows, cd.conc AS concordant,
+           cd.disc AS discordant,
+           round((cd.conc - cd.disc)
+                 / (sqrt(CAST(t.nn * (t.nn - 1) / 2 - tx.ties_x AS DOUBLE))
+                    * sqrt(CAST(t.nn * (t.nn - 1) / 2 - ty.ties_y AS DOUBLE))),
+                 6) AS tau_b
+    FROM tot t
+    JOIN cd USING (flag) JOIN tx USING (flag) JOIN ty USING (flag)
+    """,
+)
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount per return flag —
+    the pair-concordance view of the same association `spearman_corr`
+    measures by rank. Naive Kendall is O(n²) row pairs (absurd at any
+    scale); on domain-bounded columns the concordant/discordant counts
+    factor through the contingency lattice: a symmetric self-join of
+    the ≤550 cells per flag (≤300k cell pairs TOTAL, independent of row
+    count) with n_a·n_b weights, halved to undo the double count. Tie
+    corrections come from the two marginal lattices. Every intermediate
+    is an exact int64 (products of counts), so cross-engine parity is
+    trivial; only tau itself is a rounded float."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_discount").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pair = a.join(b, F.col("a.flag") == F.col("b.flag"))
+    conc_w = F.when(
+        ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+        | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") > F.col("b.y"))),
+        F.col("a.n") * F.col("b.n"),
+    ).otherwise(F.lit(0))
+    disc_w = F.when(
+        ((F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+        | ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") < F.col("b.y"))),
+        F.col("a.n") * F.col("b.n"),
+    ).otherwise(F.lit(0))
+    cd = pair.groupBy(F.col("a.flag").alias("flag")).agg(
+        (F.sum(conc_w) / 2).cast("bigint").alias("conc"),
+        (F.sum(disc_w) / 2).cast("bigint").alias("disc"),
+    )
+    tx = (
+        cells.groupBy("flag", "x")
+        .agg(F.sum("n").alias("nx"))
+        .groupBy("flag")
+        .agg(F.sum(F.col("nx") * (F.col("nx") - 1) / 2).cast("bigint").alias("ties_x"))
+    )
+    ty = (
+        cells.groupBy("flag", "y")
+        .agg(F.sum("n").alias("ny"))
+        .groupBy("flag")
+        .agg(F.sum(F.col("ny") * (F.col("ny") - 1) / 2).cast("bigint").alias("ties_y"))
+    )
+    tot = cells.groupBy("flag").agg(F.sum("n").alias("nn"))
+    n0 = (F.col("nn") * (F.col("nn") - 1) / 2).cast("bigint")
+    out = (
+        tot.join(cd, "flag").join(tx, "flag").join(ty, "flag")
+        .select(
+            "flag",
+            F.col("nn").alias("n_rows"),
+            F.col("conc").alias("concordant"),
+            F.col("disc").alias("discordant"),
+            F.round(
+                (F.col("conc") - F.col("disc"))
+                / (
+                    F.sqrt((n0 - F.col("ties_x")).cast("double"))
+                    * F.sqrt((n0 - F.col("ties_y")).cast("double"))
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+    return out
+
+
+# ----------------------------------------------------------- anova_oneway
+
+
+@query(
+    "anova_oneway",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(value)  AS s,
+             sum(value * value) AS s2
+      FROM events GROUP BY 1),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT)   AS nn,
+             sum(s)  AS ts,
+             sum(s2) AS ts2,
+             sum(s * s / n) AS sgm
+      FROM g)
+    SELECT k AS n_groups, nn AS n_rows,
+           round((sgm - ts * ts / nn) / (k - 1), 4)        AS ms_between,
+           round((ts2 - sgm) / (nn - k), 4)                AS ms_within,
+           round(((sgm - ts * ts / nn) / (k - 1))
+                 / ((ts2 - sgm) / (nn - k)), 4)            AS f_stat,
+           round((sgm - ts * ts / nn) / (ts2 - ts * ts / nn), 6)
+                                                           AS eta_squared
+    FROM t
+    """,
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test — does mean event value differ across the 5
+    event types? Generalizes `ttest_welch` from 2 arms to k. The whole
+    decomposition (SSB, SSW, F, η²) is algebra over per-group
+    (n, Σx, Σx²) moment partials: ONE hash aggregation over one scan,
+    map-side combinable, shuffling k tiny states — the ideal 100 TB
+    aggregation shape, same as column_corr. The between/within split
+    uses the Σ(s²/n) group-moment form so both engines run the
+    identical expression tree; raw-double sum-order noise (~1e-12
+    relative) is absorbed by round(4)/round(6).
+
+    Reference provenance: generalizes the aggregate surface of
+    cassandra_sink.scala:113-120 to the model-diagnostics side."""
+    e = load_table(spark, "events", sf_dir)
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ts"),
+        F.sum("s2").alias("ts2"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgm"),
+    )
+    ssb = F.col("sgm") - F.col("ts") * F.col("ts") / F.col("nn")
+    ssw = F.col("ts2") - F.col("sgm")
+    sst = F.col("ts2") - F.col("ts") * F.col("ts") / F.col("nn")
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        F.round(ssb / (F.col("k") - 1), 4).alias("ms_between"),
+        F.round(ssw / (F.col("nn") - F.col("k")), 4).alias("ms_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 4).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+# ----------------------------------------------------------- cohens_kappa
+
+
+@query(
+    "cohens_kappa",
+    f"""
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_totalprice > {CONF_THRESHOLD}
+                            AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_pos,
+             CAST(sum(CASE WHEN o_totalprice > {CONF_THRESHOLD}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b_pos
+      FROM orders GROUP BY 1)
+    SELECT priority, n, both_pos, a_pos, b_pos,
+           round((n - a_pos - b_pos + 2 * both_pos) * 1.0 / n, 6) AS p_obs,
+           round((a_pos * 1.0 / n) * (b_pos * 1.0 / n)
+                 + ((n - a_pos) * 1.0 / n) * ((n - b_pos) * 1.0 / n), 6)
+             AS p_exp,
+           round(((n - a_pos - b_pos + 2 * both_pos) * 1.0 / n
+                  - ((a_pos * 1.0 / n) * (b_pos * 1.0 / n)
+                     + ((n - a_pos) * 1.0 / n) * ((n - b_pos) * 1.0 / n)))
+                 / (1 - ((a_pos * 1.0 / n) * (b_pos * 1.0 / n)
+                     + ((n - a_pos) * 1.0 / n) * ((n - b_pos) * 1.0 / n))),
+                 6) AS kappa
+    FROM c
+    """,
+)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per order priority: chance-corrected agreement
+    between the price-threshold classifier (price > {CONF_THRESHOLD},
+    the same decision rule as `confusion_report`) and the realized
+    label (finalized). The 2×2 agreement table per group reduces to
+    four conditional counts in ONE aggregation pass — p_observed,
+    p_expected and kappa are pure arithmetic on those int64s, so both
+    engines compute identical floats from identical integers before
+    round(6). The degenerate guard (a rater with zero variance →
+    p_exp = 1) cannot occur on this data: both raters have both classes
+    in every priority, pinned in tests."""
+    o = load_table(spark, "orders", sf_dir)
+    a = F.when(F.col("o_totalprice") > CONF_THRESHOLD, 1).otherwise(0)
+    b = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    c = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).alias("both_pos"),
+        F.sum(a).alias("a_pos"),
+        F.sum(b).alias("b_pos"),
+    )
+    po = (F.col("n") - F.col("a_pos") - F.col("b_pos") + 2 * F.col("both_pos")) * 1.0 / F.col("n")
+    pe = (F.col("a_pos") * 1.0 / F.col("n")) * (F.col("b_pos") * 1.0 / F.col("n")) + (
+        (F.col("n") - F.col("a_pos")) * 1.0 / F.col("n")
+    ) * ((F.col("n") - F.col("b_pos")) * 1.0 / F.col("n"))
+    return c.select(
+        "priority",
+        "n",
+        "both_pos",
+        "a_pos",
+        "b_pos",
+        F.round(po, 6).alias("p_obs"),
+        F.round(pe, 6).alias("p_exp"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------- pr_auc
+
+
+@query(
+    "pr_auc",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS score,
+             CAST(count(*) AS BIGINT)          AS n,
+             CAST(sum({_LABEL_SQL}) AS BIGINT) AS npos
+      FROM orders GROUP BY 1, 2),
+    c AS (
+      SELECT priority, n, npos,
+             sum(npos) OVER (PARTITION BY priority ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n) OVER (PARTITION BY priority ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      FROM g),
+    t AS (SELECT priority, CAST(sum(npos) AS BIGINT) AS pos,
+                 CAST(sum(n) AS BIGINT) AS nn
+          FROM g GROUP BY priority)
+    SELECT c.priority, t.nn AS n_orders, t.pos AS n_pos,
+           round(sum((npos * 1.0 / t.pos) * (tp * 1.0 / cum_n)), 6)
+             AS average_precision
+    FROM c JOIN t ON c.priority = t.priority
+    GROUP BY c.priority, t.nn, t.pos
+    """,
+)
+def pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-wise PR-AUC) per priority — the
+    imbalance-robust companion to `roc_auc`: AP = Σ_thresholds
+    ΔRecall · Precision, walking distinct scores high→low. Runs on the
+    same (priority, score) lattice as roc_auc: one hash agg collapses
+    rows to per-score (n, npos) counts; cumulative TP and predicted-
+    positive counts are windows over the lattice (bounded by score
+    cardinality, not row count); AP is one more aggregation of exact
+    count ratios. Tied scores form one threshold block (the only
+    self-consistent choice for both engines — they cumulate in
+    identical DESC score order), so the floats match bit-for-bit
+    before round(6)."""
+    o = load_table(spark, "orders", sf_dir)
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("score"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(_label()).alias("npos"))
+    w = Window.partitionBy("priority").orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.withColumn("tp", F.sum("npos").over(w)).withColumn(
+        "cum_n", F.sum("n").over(w)
+    )
+    t = g.groupBy("priority").agg(
+        F.sum("npos").alias("pos"), F.sum("n").alias("nn")
+    )
+    j = c.join(F.broadcast(t), "priority")
+    return j.groupBy("priority", F.col("nn").alias("n_orders"), F.col("pos").alias("n_pos")).agg(
+        F.round(
+            F.sum((F.col("npos") * 1.0 / F.col("pos")) * (F.col("tp") * 1.0 / F.col("cum_n"))),
+            6,
+        ).alias("average_precision")
+    )
+
+
+# --------------------------------------------------------- log_loss_brier
+
+
+P_EPS = 1e-6  # probability clamp for log-loss finiteness
+
+
+@query(
+    "log_loss_brier",
+    f"""
+    WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM orders),
+    p AS (
+      SELECT o_orderpriority AS priority,
+             {_LABEL_SQL} AS y,
+             least(1 - {P_EPS},
+                   greatest({P_EPS},
+                            (o_totalprice - lo) / (hi - lo))) AS prob
+      FROM orders CROSS JOIN mm)
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(-avg(y * ln(prob) + (1 - y) * ln(1 - prob)), 6)
+             AS log_loss,
+           round(avg((prob - y) * (prob - y)), 6) AS brier
+    FROM p GROUP BY priority
+    """,
+)
+def log_loss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper scoring rules (log loss + Brier) per priority for the
+    min-max-normalized price read as a pseudo-probability of the
+    finalized label — the "how good are the probabilities themselves"
+    counterpart to `calibration_bins`' reliability view. One broadcast
+    1-row min/max cross-join feeds a single conditional aggregation:
+    one scan, no extra shuffle, the calibration-family shape. The
+    probability is clamped to [{P_EPS}, 1-{P_EPS}] on BOTH engines so
+    ln() stays finite at the min/max rows; expression op-order is
+    identical cross-engine and round(6) absorbs partial-merge ULP
+    noise in the averages."""
+    o = load_table(spark, "orders", sf_dir)
+    mm = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    prob = F.least(
+        F.lit(1 - P_EPS),
+        F.greatest(
+            F.lit(P_EPS),
+            (F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+        ),
+    )
+    p = o.crossJoin(F.broadcast(mm)).select(
+        F.col("o_orderpriority").alias("priority"),
+        _label().alias("y"),
+        prob.alias("prob"),
+    )
+    return p.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log(F.col("prob"))
+                + (1 - F.col("y")) * F.log(1 - F.col("prob"))
+            ),
+            6,
+        ).alias("log_loss"),
+        F.round(F.avg((F.col("prob") - F.col("y")) * (F.col("prob") - F.col("y"))), 6).alias(
+            "brier"
+        ),
+    )

