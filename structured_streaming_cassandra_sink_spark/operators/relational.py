@@ -1921,3 +1921,182 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics on the purchase graphs (HITS, weighted SSSP)
+# ---------------------------------------------------------------------------
+HITS_ITERS = 2
+SSSP_HOPS = 3
+SSSP_MIN_SUPPORT = 2   # co-purchase support floor keeps the graph sparse
+SSSP_SEED_MOD = 199    # seed parts: partkey % 199 == 0
+
+_HITS_ITER_TMPL = """
+    a{i} AS (
+      SELECT p, sum(h) AS s
+      FROM cp JOIN h{prev} USING (c) GROUP BY p),
+    an{i} AS (SELECT max(s) AS m FROM a{i}),
+    auth{i} AS (SELECT p, round(s / (SELECT m FROM an{i}), 9) AS a FROM a{i}),
+    hh{i} AS (
+      SELECT c, sum(a) AS s
+      FROM cp JOIN auth{i} USING (p) GROUP BY c),
+    hn{i} AS (SELECT max(s) AS m FROM hh{i}),
+    h{i} AS (SELECT c, round(s / (SELECT m FROM hn{i}), 9) AS h FROM hh{i}),"""
+
+_HITS_ORACLE = (
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM cp),"""
+    + "".join(
+        _HITS_ITER_TMPL.format(i=i, prev=i - 1) for i in range(1, HITS_ITERS + 1)
+    ).rstrip(",")
+    + f"""
+    SELECT 'hub' AS kind, c AS node_id, round(h, 6) AS score FROM h{HITS_ITERS}
+    UNION ALL
+    SELECT 'auth' AS kind, p AS node_id, round(a, 6) AS score
+    FROM auth{HITS_ITERS}
+    """
+)
+
+
+@query("graph_hits_bipartite", _HITS_ORACLE)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the customer-part purchase
+    bipartite graph: {HITS_ITERS} synchronous iterations of
+    auth(p) = Σ hub(buyers), hub(c) = Σ auth(parts bought) — broad
+    buyers become hubs, broadly-bought parts become authorities. The
+    second message-passing template next to `dup_graph_pagerank`
+    (PageRank walks a homogeneous graph; HITS alternates sides of a
+    bipartite one, the shape recommendation bootstraps use).
+
+    Scale shape: each half-iteration is ONE equi-join of the incidence
+    list against the current score vector plus a map-side-combinable
+    sum — linear in edges, never a self-join, and a hot part (millions
+    of buyers) is absorbed by partial aggregation rather than skewing
+    a pair join. The normalizer is max(), not an L2 norm: max of
+    quantized scores is EXACT (order-free), so normalization adds no
+    cross-engine noise, while Σ-accumulation noise (~1e-15) is crushed
+    by the per-iteration 1e-9 quantization and the final round(6) —
+    the ewma/pagerank FP-parity discipline. Incidence is
+    localCheckpointed once; score state is one row per live node."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = cp.select("c").distinct().withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = cp.join(hub, "c").groupBy("p").agg(F.sum("h").alias("s"))
+        an = a_raw.agg(F.max("s").alias("m"))
+        auth = a_raw.crossJoin(F.broadcast(an)).select(
+            "p", F.round(F.col("s") / F.col("m"), 9).alias("a")
+        )
+        h_raw = cp.join(auth, "p").groupBy("c").agg(F.sum("a").alias("s"))
+        hn = h_raw.agg(F.max("s").alias("m"))
+        hub = h_raw.crossJoin(F.broadcast(hn)).select(
+            "c", F.round(F.col("s") / F.col("m"), 9).alias("h")
+        )
+    hubs = hub.select(
+        F.lit("hub").alias("kind"),
+        F.col("c").alias("node_id"),
+        F.round("h", 6).alias("score"),
+    )
+    auths = auth.select(
+        F.lit("auth").alias("kind"),
+        F.col("p").alias("node_id"),
+        F.round("a", 6).alias("score"),
+    )
+    return hubs.unionAll(auths)
+
+
+@query(
+    "graph_sssp_weighted",
+    f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {SSSP_MIN_SUPPORT}),
+    edges AS (
+      SELECT pa AS s, pb AS d, round(1.0 / ln(1 + n), 6) AS w FROM pairs
+      UNION ALL
+      SELECT pb, pa, round(1.0 / ln(1 + n), 6) FROM pairs),
+    walk AS (
+      SELECT DISTINCT s AS node, CAST(0.0 AS DOUBLE) AS dist, 0 AS hops
+      FROM edges WHERE s % {SSSP_SEED_MOD} = 0
+      UNION ALL
+      SELECT e.d, w.dist + e.w, w.hops + 1
+      FROM walk w JOIN edges e ON e.s = w.node
+      WHERE w.hops < {SSSP_HOPS})
+    SELECT node, round(min(dist), 6) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford, {SSSP_HOPS}
+    relaxation rounds) over the part co-purchase graph: edge weight
+    1/ln(1+support) makes strongly co-bought parts "close", and the
+    distance from a seed set ranks substitution/affinity reach — the
+    weighted upgrade of `dup_graph_bfs_depth`'s hop counting.
+
+    Scale shape: per round ONE join of the frontier distance vector
+    against the symmetric edge list then a min-aggregate — the
+    relaxation after round k is exactly the min over ≤k-hop paths, so
+    no per-path explosion (contrast the oracle's recursive CTE, which
+    walks every path and min-aggregates; the relaxation form is the
+    one that scales). The support floor ({SSSP_MIN_SUPPORT}+) prunes
+    the noise edges BEFORE the pair join, the same df-cap discipline as
+    the shingle index. FP parity: weights are quantized to 1e-6 at
+    construction and each path sum associates hop-by-hop in BOTH
+    engines ((w1+w2)+w3), so the min-reduced distances are
+    bit-identical before the final (no-op) round."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= SSSP_MIN_SUPPORT)
+    )
+    w = F.round(F.lit(1.0) / F.log(1 + F.col("n")), 6)
+    edges = (
+        pairs.select(F.col("pa").alias("s"), F.col("pb").alias("d"), w.alias("w"))
+        .unionAll(
+            pairs.select(F.col("pb").alias("s"), F.col("pa").alias("d"), w.alias("w"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.filter(F.col("s") % SSSP_SEED_MOD == 0)
+        .select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+    )
+    for _ in range(SSSP_HOPS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.s)
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.round("dist", 6).alias("dist"))

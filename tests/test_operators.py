@@ -1403,3 +1403,62 @@ def test_interval_union_equals_session_window_aggregate(spark, sf_dir):
         for r in interval_union_time(spark, sf_dir).collect()
     }
     assert via_union == via_sessions
+
+
+def test_hits_normalization_and_bipartite_support(spark, sf_dir):
+    """Max-normalized HITS: scores in (0, 1], exactly one hub and one
+    auth at 1.0-after-rounding, and every scored node appears in the
+    incidence list side it belongs to."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["graph_hits_bipartite"](spark, sf_dir).collect()
+    hubs = [r for r in rows if r["kind"] == "hub"]
+    auths = [r for r in rows if r["kind"] == "auth"]
+    assert hubs and auths
+    for r in rows:
+        assert 0.0 < r["score"] <= 1.0
+    assert max(r["score"] for r in hubs) == 1.0
+    assert max(r["score"] for r in auths) == 1.0
+
+
+def test_sssp_exact_on_synthetic_path_graph(spark, tmp_path):
+    """Two-edge path graph with known weights: seed 398 → part 1 →
+    part 2, support 2 per edge, so dist must be exactly k·1/ln(3)
+    (quantized at 1e-6 per edge, summed hop-by-hop)."""
+    import math
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.operators.relational import graph_sssp_weighted
+
+    rows = []
+    for ok, parts in [(10, (398, 1)), (11, (398, 1)), (12, (1, 2)), (13, (1, 2))]:
+        for p in parts:
+            rows.append((ok, p))
+    spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["node"]: r["dist"] for r in graph_sssp_weighted(spark, str(tmp_path)).collect()}
+    w = round(1.0 / math.log(3), 6)
+    assert got[398] == 0.0
+    assert abs(got[1] - w) < 1e-9
+    assert abs(got[2] - 2 * w) < 1e-9
+
+
+def test_sssp_distances_bounded_and_seeds_zero(spark, sf_dir):
+    """Seeds sit at distance 0; every distance is ≥ 0 and ≤ hops·max
+    edge weight (support≥2 → w ≤ 1/ln(3))."""
+    import math
+
+    from structured_streaming_cassandra_sink_spark.operators.relational import (
+        SSSP_HOPS,
+        SSSP_SEED_MOD,
+    )
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["graph_sssp_weighted"](spark, sf_dir).collect()
+    assert rows
+    wmax = 1.0 / math.log(3)
+    for r in rows:
+        assert 0.0 <= r["dist"] <= SSSP_HOPS * wmax + 1e-9
+        if r["node"] % SSSP_SEED_MOD == 0:
+            assert r["dist"] == 0.0
