@@ -1433,3 +1433,70 @@ def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.groupBy("c_nationkey", "c_mktsegment").agg(
         emd.alias("emd"), (emd > T_CLOSE).alias("t_violation")
     )
+
+
+# ------------------------------------------------------ epoch_shuffle_assign
+
+
+N_EPOCHS = 3
+N_SHARDS = 8
+
+
+@query(
+    "epoch_shuffle_assign",
+    f"""
+    WITH e AS (SELECT unnest(range({N_EPOCHS})) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+               AS k
+      FROM documents d CROSS JOIN e)
+    SELECT epoch,
+           CAST(('0x' || substr(k, 1, 8))::BIGINT % {N_SHARDS} AS INT)
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY epoch,
+                          ('0x' || substr(k, 1, 8))::BIGINT % {N_SHARDS}
+             ORDER BY k, doc_id) AS BIGINT) AS position,
+           doc_id
+    FROM keyed
+    """,
+)
+def epoch_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch shuffle plan: for each of {N_EPOCHS} epochs, every
+    document gets a fresh pseudo-random (shard, position) — the
+    deterministic, RNG-free re-shuffle a multi-epoch pretraining run
+    needs so that epoch 2's batch order is decorrelated from epoch 1's
+    while staying bit-reproducible across restarts. The shuffle key is
+    md5(doc_id:epoch): shard = first-8-hex mod {N_SHARDS} (the repo's
+    portable hash-bucket convention), position = rank of the hex digest
+    within the shard.
+
+    Scale shape: the cross join with the {N_EPOCHS}-row epoch lattice
+    is a broadcast Expand (×{N_EPOCHS} map-side, no shuffle); the only
+    shuffle is the (epoch, shard) window sort, whose partition count —
+    epochs × shards — is the unit of parallelism: production sizes
+    {N_SHARDS} to the cluster (e.g. 4k shards → ~25M-row sorts per
+    task at 100 TB), exactly how training-data loaders shard anyway.
+    No RNG: reshuffling is pure recomputation, and a doc's placement
+    can be answered point-wise without materializing the plan."""
+    d = load_table(spark, "documents", sf_dir)
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string")
+            )
+        ).alias("k"),
+    )
+    shard = (
+        F.conv(F.substring(F.col("k"), 1, 8), 16, 10).cast("bigint") % N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "shard", "position", "doc_id")
+    )

@@ -8,6 +8,8 @@ the 100 TB-friendly shape), aggregations shuffle only tiny group keys.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1332,4 +1334,92 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(novel).alias("n_novel"),
             F.round(F.sum(novel) / F.count("*"), 4).alias("novel_frac"),
         )
+    )
+
+
+# ------------------------------------------------------ js_divergence_sources
+
+
+@query(
+    "js_divergence_sources",
+    """
+    WITH wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nn FROM wc GROUP BY 1),
+    p AS (
+      SELECT wc.source, wc.w, wc.n * 1.0 / tot.nn AS p
+      FROM wc JOIN tot USING (source)),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common_words,
+             sum(a.p) AS pa, sum(b.p) AS pb,
+             sum(a.p * ln(2 * a.p / (a.p + b.p))) AS ta,
+             sum(b.p * ln(2 * b.p / (a.p + b.p))) AS tb
+      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_common_words,
+           round(0.5 * (ta + (1 - pa) * ln(2))
+                 + 0.5 * (tb + (1 - pb) * ln(2)), 6) AS jsd
+    FROM pair
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the corpus-mixture diagnostic
+    ("which sources are interchangeable, which add diversity?") that
+    drives mixture_interleave's weights. JSD is symmetric, bounded by
+    ln 2, and zero iff the distributions match.
+
+    The disjoint-support mass never joins: for words present in only
+    one side, the JSD term is exactly p·ln 2/2, so those contributions
+    collapse to (1 − Σ_common p)·ln 2 — the pair join only touches
+    words the sources SHARE, and the whole query is one vocab-keyed
+    inverted-index self-join (the word_pmi shape: fan-out bounded by
+    sources-per-word², never documents²) plus one hash agg to the
+    source-pair lattice. Probabilities are exact-integer ratios, ln
+    terms sum per pair with round(6) absorbing order noise."""
+    d = load_table(spark, "documents", sf_dir)
+    wc = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("n").alias("nn"))
+    p = wc.join(tot, "source").select(
+        "source", "w", (F.col("n") * 1.0 / F.col("nn")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pair = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common_words"),
+            F.sum("a.p").alias("pa"),
+            F.sum("b.p").alias("pb"),
+            F.sum(
+                F.col("a.p")
+                * F.log(2 * F.col("a.p") / (F.col("a.p") + F.col("b.p")))
+            ).alias("ta"),
+            F.sum(
+                F.col("b.p")
+                * F.log(2 * F.col("b.p") / (F.col("a.p") + F.col("b.p")))
+            ).alias("tb"),
+        )
+    )
+    ln2 = math.log(2.0)
+    return pair.select(
+        "src_a",
+        "src_b",
+        "n_common_words",
+        F.round(
+            0.5 * (F.col("ta") + (1 - F.col("pa")) * F.lit(ln2))
+            + 0.5 * (F.col("tb") + (1 - F.col("pb")) * F.lit(ln2)),
+            6,
+        ).alias("jsd"),
     )

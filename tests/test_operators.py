@@ -1462,3 +1462,53 @@ def test_sssp_distances_bounded_and_seeds_zero(spark, sf_dir):
         assert 0.0 <= r["dist"] <= SSSP_HOPS * wmax + 1e-9
         if r["node"] % SSSP_SEED_MOD == 0:
             assert r["dist"] == 0.0
+
+
+def test_epoch_shuffle_properties(spark, sf_dir):
+    """Each epoch is a complete permutation: every doc appears exactly
+    once per epoch, positions are contiguous 1..n within each shard,
+    and consecutive epochs order docs differently (decorrelation)."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import N_EPOCHS
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["epoch_shuffle_assign"](spark, sf_dir).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == set(range(N_EPOCHS))
+    n_docs = len(by_epoch[0])
+    orders = {}
+    for ep, rs in by_epoch.items():
+        assert len(rs) == n_docs
+        assert len({r["doc_id"] for r in rs}) == n_docs
+        shard_pos = {}
+        for r in rs:
+            shard_pos.setdefault(r["shard"], []).append(r["position"])
+        for shard, ps in shard_pos.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), (ep, shard)
+        orders[ep] = [
+            r["doc_id"] for r in sorted(rs, key=lambda r: (r["shard"], r["position"]))
+        ]
+    assert orders[0] != orders[1] != orders[2]
+
+
+def test_jsd_bounds_symmetry_and_self_zero(spark, sf_dir, tmp_path):
+    """JSD in [0, ln2]; identical sources (same text corpus twice)
+    score exactly 0."""
+    import math
+
+    from structured_streaming_cassandra_sink_spark.operators.text import js_divergence_sources
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["js_divergence_sources"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9
+    # two sources with the identical word distribution → jsd == 0
+    docs = [(1, "alpha beta beta gamma", "en", "sA", 21),
+            (2, "alpha beta beta gamma", "en", "sB", 21)]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = js_divergence_sources(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["jsd"] == 0.0 and r[0]["n_common_words"] == 3
