@@ -1997,3 +1997,159 @@ def log_loss_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier"
         ),
     )
+
+
+# ------------------------------------------------- naive_bayes train/score
+
+
+NB_SMOOTH = 1  # add-one Laplace smoothing
+
+
+def _nb_model_sql() -> str:
+    """Shared CTE prefix building the multinomial NB model — the oracle
+    twin of `_nb_model()`; keep the two in lockstep."""
+    return f"""
+    WITH wc AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1, 2),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM wc),
+    lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nn FROM wc GROUP BY 1),
+    grid AS (
+      SELECT l.lang, w.w, l.nn, coalesce(wc.n, 0) AS n
+      FROM (SELECT DISTINCT w FROM wc) w
+      CROSS JOIN lt l
+      LEFT JOIN wc ON wc.lang = l.lang AND wc.w = w.w),
+    model AS (
+      SELECT lang, w, n,
+             round(ln((n + {NB_SMOOTH}) * 1.0
+                      / (nn + {NB_SMOOTH} * (SELECT v FROM vocab))), 9)
+               AS log_p
+      FROM grid)"""
+
+
+@query(
+    "naive_bayes_train",
+    _nb_model_sql() + """
+    SELECT lang, w, n, log_p FROM model
+    """,
+)
+def naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes training over the documents corpus:
+    add-one-smoothed log P(word | lang) on the full lang×vocab grid —
+    the classic scale-friendly text classifier whose "training" is
+    nothing but counting, i.e. exactly one hash aggregation over the
+    exploded token stream plus two tiny broadcast marginals (per-lang
+    token totals, global vocab size). The model table is
+    |vocab|×|langs| — bounded by language content, not corpus size —
+    which is why NB remains the baseline classifier at 100 TB: training
+    cost is one scan regardless of model quality.
+
+    The grid includes zero-count (lang, word) cells: smoothing gives
+    them mass, and the scorer depends on every (lang, word) pair
+    existing. log_p is quantized at 1e-9 so the scorer's sums run over
+    identical doubles cross-engine (the pagerank discipline)."""
+    d = load_table(spark, "documents", sf_dir)
+    wc = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = wc.select("w").distinct()
+    v = vocab.count()  # bounded driver scalar: vocab size (one int)
+    lt = wc.groupBy("lang").agg(F.sum("n").alias("nn"))
+    grid = (
+        vocab.crossJoin(F.broadcast(lt))
+        .join(wc, ["lang", "w"], "left")
+        .select(
+            "lang", "w", F.coalesce("n", F.lit(0)).alias("n"), "nn"
+        )
+    )
+    return grid.select(
+        "lang",
+        "w",
+        "n",
+        F.round(
+            F.log((F.col("n") + NB_SMOOTH) * 1.0 / (F.col("nn") + NB_SMOOTH * v)),
+            9,
+        ).alias("log_p"),
+    )
+
+
+@query(
+    "naive_bayes_score",
+    _nb_model_sql() + """,
+    prior AS (
+      SELECT lang, ln(count(*) * 1.0
+                     / (SELECT count(*) FROM documents)) AS log_prior
+      FROM documents GROUP BY lang),
+    dw AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1, 2),
+    scores AS (
+      SELECT dw.doc_id, m.lang,
+             round(any_value(p.log_prior) + sum(dw.c * m.log_p), 6) AS score
+      FROM dw
+      JOIN model m ON m.w = dw.w
+      JOIN prior p ON p.lang = m.lang
+      GROUP BY dw.doc_id, m.lang)
+    SELECT doc_id, lang AS pred_lang, score AS best_score
+    FROM (SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """,
+)
+def naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive Bayes inference over the same corpus: every document is
+    scored against every language (ln prior + Σ count·log_p) and the
+    argmax wins. The model (|vocab|×|langs|, built by the train query's
+    shared expression) is BROADCAST onto the per-doc word counts — the
+    join fans each doc-word row out |langs| ways, collapses map-side to
+    (doc, lang) partials, and never shuffles the corpus by vocab key.
+    This is the canonical "apply a small model at scale" plan: one scan
+    of the docs, one broadcast, one partial-agg shuffle of
+    |docs|×|langs| score rows.
+
+    Determinism: model log_p is 1e-9-quantized and scores round(6)
+    BEFORE the argmax; ties on the rounded score break by lang asc on
+    both engines (arg_min over the (-score, lang) tuple mirrors the
+    window sort), so the prediction cannot flip on sum-order ULPs."""
+    d = load_table(spark, "documents", sf_dir)
+    model = naive_bayes_train(spark, sf_dir).select("lang", "w", "log_p")
+    n_docs = d.count()  # bounded driver scalar (one int)
+    prior = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .select("lang", F.log(F.col("nd") * 1.0 / n_docs).alias("log_prior"))
+    )
+    dw = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scores = (
+        dw.join(F.broadcast(model), "w")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.first("log_prior") + F.sum(F.col("c") * F.col("log_p")), 6
+            ).alias("score")
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            F.round("score", 6).alias("best_score"),
+        )
+    )

@@ -410,3 +410,52 @@ def test_stats_battery_plans_jvm_side(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+def test_naive_bayes_model_is_proper_distribution(spark, sf_dir):
+    """Per language, Σ_w P(w|lang) == 1 (the smoothed probabilities are
+    a proper distribution over the vocab grid), and every (lang, word)
+    cell exists — including zero-count cells."""
+    import math
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["naive_bayes_train"](spark, sf_dir).collect()
+    langs = {r["lang"] for r in rows}
+    vocab = {r["w"] for r in rows}
+    assert len(rows) == len(langs) * len(vocab)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += math.exp(r["log_p"])
+    for lang, tot in by_lang.items():
+        assert abs(tot - 1.0) < 1e-6, (lang, tot)
+
+
+def test_naive_bayes_score_covers_corpus_and_separable_case(spark, sf_dir, tmp_path):
+    """Every document gets exactly one prediction from the known label
+    set (fixture word distributions are near-identical across langs, so
+    accuracy there is meaningless); on a synthetic corpus with disjoint
+    per-lang vocabularies, NB must recover every label exactly."""
+    from structured_streaming_cassandra_sink_spark.operators.mleval import naive_bayes_score
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    pred = {r["doc_id"]: r["pred_lang"] for r in QUERIES["naive_bayes_score"](spark, sf_dir).collect()}
+    truth = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, "documents", sf_dir).select("doc_id", "lang").collect()
+    }
+    assert set(pred) == set(truth)
+    assert set(pred.values()) <= set(truth.values())
+    docs = [
+        (1, "aaa aaa bbb", "en", "s", 11),
+        (2, "bbb aaa aaa", "en", "s", 11),
+        (3, "xxx yyy xxx", "de", "s", 11),
+        (4, "yyy xxx xxx", "de", "s", 11),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r["pred_lang"] for r in naive_bayes_score(spark, str(tmp_path)).collect()}
+    assert got == {1: "en", 2: "en", 3: "de", 4: "de"}
