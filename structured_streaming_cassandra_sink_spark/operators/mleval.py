@@ -2153,3 +2153,95 @@ def naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("best_score"),
         )
     )
+
+
+# ----------------------------------------------------- isotonic_calibration
+
+
+@query(
+    "isotonic_calibration",
+    f"""
+    WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM orders),
+    bins AS (
+      SELECT {_bin_sql('o_totalprice')} AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({_LABEL_SQL}) AS BIGINT) AS pos
+      FROM orders CROSS JOIN mm GROUP BY 1),
+    pre AS (
+      SELECT bin, n, pos,
+             sum(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             sum(pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+      FROM bins),
+    iv AS (
+      SELECT i.bin AS i, j.bin AS j,
+             (j.cpos - (i.cpos - i.pos)) * 1.0
+               / (j.cn - (i.cn - i.n)) AS wavg
+      FROM pre i JOIN pre j ON i.bin <= j.bin),
+    mn AS (
+      SELECT iv.i, b.bin, min(iv.wavg) AS m
+      FROM iv JOIN pre b ON iv.i <= b.bin AND b.bin <= iv.j
+      GROUP BY iv.i, b.bin),
+    iso AS (SELECT bin, max(m) AS iso_raw FROM mn GROUP BY bin)
+    SELECT b.bin, b.n, b.pos,
+           round(b.pos * 1.0 / b.n, 6) AS raw_rate,
+           round(iso.iso_raw, 6)       AS iso_rate
+    FROM bins b JOIN iso USING (bin)
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the reliability curve: the
+    monotone-nondecreasing rates closest (weighted L2) to the observed
+    per-bin positive rates — what turns `calibration_bins`' raw
+    diagram into a usable score→probability mapping. Classic PAV is a
+    sequential pool-adjacent-violators sweep (hostile to distribution);
+    here the fit uses the exact minimax identity
+    iso(b) = max_{{i≤b}} min_{{j≥b}} wavg(rate, i..j), which is pure
+    relational algebra over the {N_BINS}-row bin LATTICE: interval
+    averages from prefix sums, then two bounded min/max aggregations —
+    at most {N_BINS}³ lattice tuples regardless of corpus size, after
+    the same single-scan binning as calibration_bins.
+
+    FP parity: interval averages are exact-integer ratios and min/max
+    are order-free, so both engines produce identical doubles before
+    round(6). Monotonicity of iso_rate is pinned in tests against a
+    brute-force sequential PAV."""
+    o = load_table(spark, "orders", sf_dir)
+    mm = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bins = (
+        o.crossJoin(F.broadcast(mm))
+        .groupBy(_bin_col(F.col("o_totalprice"), F.col("lo"), F.col("hi")).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_label()).alias("pos"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.withColumn("cn", F.sum("n").over(w)).withColumn(
+        "cpos", F.sum("pos").over(w)
+    )
+    i, j = pre.alias("i"), pre.alias("j")
+    iv = i.join(j, F.col("i.bin") <= F.col("j.bin")).select(
+        F.col("i.bin").alias("i"),
+        F.col("j.bin").alias("j"),
+        (
+            (F.col("j.cpos") - (F.col("i.cpos") - F.col("i.pos"))) * 1.0
+            / (F.col("j.cn") - (F.col("i.cn") - F.col("i.n")))
+        ).alias("wavg"),
+    )
+    b = pre.select(F.col("bin"))
+    mn = (
+        iv.join(b, (F.col("i") <= F.col("bin")) & (F.col("bin") <= F.col("j")))
+        .groupBy("i", "bin")
+        .agg(F.min("wavg").alias("m"))
+    )
+    iso = mn.groupBy("bin").agg(F.max("m").alias("iso_raw"))
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round("iso_raw", 6).alias("iso_rate"),
+        )
+    )

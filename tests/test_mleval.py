@@ -459,3 +459,43 @@ def test_naive_bayes_score_covers_corpus_and_separable_case(spark, sf_dir, tmp_p
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = {r["doc_id"]: r["pred_lang"] for r in naive_bayes_score(spark, str(tmp_path)).collect()}
     assert got == {1: "en", 2: "en", 3: "de", 4: "de"}
+
+
+def test_isotonic_matches_sequential_pav_and_monotone(spark, sf_dir):
+    """The minimax-lattice fit equals the classic sequential
+    pool-adjacent-violators algorithm run on the same bins, and the
+    fitted rates are monotone nondecreasing."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+    # brute-force sequential PAV on (pos/n, weight n)
+    blocks = []  # (sum_pos, sum_n)
+    for r in rows:
+        blocks.append((r["pos"], r["n"]))
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, n2 = blocks.pop()
+            p1, n1 = blocks.pop()
+            blocks.append((p1 + p2, n1 + n2))
+    # expand blocks back over bins
+    want = []
+    k = 0
+    for p, n in blocks:
+        # count how many original bins this block covers by matching n
+        acc = 0
+        cnt = 0
+        while acc < n:
+            acc += rows[k + cnt]["n"]
+            cnt += 1
+        want.extend([p / n] * cnt)
+        k += cnt
+    assert len(want) == len(iso)
+    for got, exp in zip(iso, want):
+        assert abs(got - round(exp, 6)) < 1e-9
