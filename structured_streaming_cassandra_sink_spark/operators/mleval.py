@@ -2245,3 +2245,154 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("iso_raw", 6).alias("iso_rate"),
         )
     )
+
+
+# --------------------------------------------- experimentation: CUPED, delta
+
+
+@query(
+    "cuped_adjustment",
+    """
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN day(ts) <= 15 THEN value ELSE 0 END) AS x_pre,
+             sum(CASE WHEN day(ts) >  15 THEN value ELSE 0 END) AS y_post
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             covar_pop(x_pre, y_post) AS cxy,
+             var_pop(x_pre)  AS vx,
+             var_pop(y_post) AS vy
+      FROM u)
+    SELECT n_users,
+           round(cxy / vx, 6)                         AS theta,
+           round(vy, 4)                               AS var_raw,
+           round(vy - cxy * cxy / vx, 4)              AS var_adjusted,
+           round((cxy * cxy / vx) / vy, 6)            AS variance_reduction
+    FROM m
+    """,
+)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experimentation: using each user's
+    pre-period activity (days 1-15) as the control covariate for their
+    post-period metric (days 16+), θ = cov(x,y)/var(x) and the adjusted
+    metric y − θ(x − x̄) has variance var(y) − cov²/var(x) — the
+    standard trick that shrinks A/B confidence intervals without
+    touching assignment. Two shuffles total at any scale: one
+    user-level conditional aggregation (map-side combinable), then the
+    global moment aggregation of 4 scalars via single-pass mergeable
+    (co)variance states. The reported variance_reduction = ρ² is the
+    fraction of metric variance the covariate explains.
+
+    FP parity: var_pop/covar_pop run different internal orders per
+    engine; outputs round at 4 (value-scale) / 6 (ratios), the
+    engine-pair convention for raw-double moments."""
+    e = load_table(spark, "events", sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(0.0)).alias(
+            "x_pre"
+        ),
+        F.sum(F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(0.0)).alias(
+            "y_post"
+        ),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.covar_pop("x_pre", "y_post").alias("cxy"),
+        F.var_pop("x_pre").alias("vx"),
+        F.var_pop("y_post").alias("vy"),
+    )
+    theta = F.col("cxy") / F.col("vx")
+    return m.select(
+        "n_users",
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("vy"), 4).alias("var_raw"),
+        F.round(F.col("vy") - F.col("cxy") * F.col("cxy") / F.col("vx"), 4).alias(
+            "var_adjusted"
+        ),
+        F.round((F.col("cxy") * F.col("cxy") / F.col("vx")) / F.col("vy"), 6).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+@query(
+    "delta_method_ratio_ci",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             avg(y * 1.0)    AS my,
+             var_pop(x * 1.0)  AS vx,
+             var_pop(y * 1.0)  AS vy,
+             covar_pop(x * 1.0, y * 1.0) AS cxy
+      FROM u GROUP BY arm),
+    r AS (
+      SELECT arm, n_users, sx, sy,
+             sx * 1.0 / sy AS ratio,
+             sqrt((vx - 2 * (sx * 1.0 / sy) * cxy
+                   + (sx * 1.0 / sy) * (sx * 1.0 / sy) * vy)
+                  / (n_users * my * my)) AS se
+      FROM m)
+    SELECT arm, n_users, sx AS clicks, sy AS views,
+           round(ratio, 6)            AS ratio,
+           round(se, 6)               AS se,
+           round(ratio - 1.96 * se, 6) AS ci_lo,
+           round(ratio + 1.96 * se, 6) AS ci_hi
+    FROM r
+    """,
+)
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for a ratio-of-sums metric (clicks per view) per
+    experiment arm — the correct standard error when the unit of
+    randomization (user) differs from the unit of analysis (view), the
+    mistake naive per-view binomial CIs make. Per arm:
+    se² = (var(x) − 2R·cov(x,y) + R²·var(y)) / (n·ȳ²) with user-level
+    (x, y) pairs. Shape: one user-level conditional count aggregation,
+    then a per-arm moment aggregation — two map-side-combinable
+    shuffles at any scale, no per-user state afterward.
+
+    Ratios are exact-integer quotients; moment outputs follow the
+    round(6) convention for raw-double (co)variance noise."""
+    e = load_table(spark, "events", sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.avg(F.col("y") * 1.0).alias("my"),
+        F.var_pop(F.col("x") * 1.0).alias("vx"),
+        F.var_pop(F.col("y") * 1.0).alias("vy"),
+        F.covar_pop(F.col("x") * 1.0, F.col("y") * 1.0).alias("cxy"),
+    )
+    ratio = F.col("sx") * 1.0 / F.col("sy")
+    se = F.sqrt(
+        (
+            F.col("vx")
+            - 2 * ratio * F.col("cxy")
+            + ratio * ratio * F.col("vy")
+        )
+        / (F.col("n_users") * F.col("my") * F.col("my"))
+    )
+    return m.select(
+        "arm",
+        "n_users",
+        F.col("sx").alias("clicks"),
+        F.col("sy").alias("views"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(ratio - 1.96 * se, 6).alias("ci_lo"),
+        F.round(ratio + 1.96 * se, 6).alias("ci_hi"),
+    )

@@ -499,3 +499,30 @@ def test_isotonic_matches_sequential_pav_and_monotone(spark, sf_dir):
     assert len(want) == len(iso)
     for got, exp in zip(iso, want):
         assert abs(got - round(exp, 6)) < 1e-9
+
+
+def test_cuped_variance_identities(spark, sf_dir):
+    """var_adjusted = var_raw·(1 − ρ²) ≥ 0, variance_reduction = ρ² in
+    [0, 1], and the adjusted variance never exceeds the raw one (CUPED
+    can only help or no-op)."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    r = QUERIES["cuped_adjustment"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["variance_reduction"] <= 1.0
+    assert 0.0 <= r["var_adjusted"] <= r["var_raw"] + 1e-6
+    assert abs(r["var_adjusted"] - r["var_raw"] * (1 - r["variance_reduction"])) < max(
+        1e-2, r["var_raw"] * 1e-4
+    )
+
+
+def test_delta_method_ci_brackets_ratio(spark, sf_dir):
+    """Per arm: ci_lo < ratio < ci_hi, se > 0, and the ratio equals the
+    sum quotient exactly."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["delta_method_ratio_ci"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["se"] > 0
+        assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+        assert abs(r["ratio"] - round(r["clicks"] / r["views"], 6)) < 1e-9
