@@ -2396,3 +2396,133 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio - 1.96 * se, 6).alias("ci_lo"),
         F.round(ratio + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+# -------------------------------------------------------- feature_info_gain
+
+
+@query(
+    "feature_info_gain",
+    f"""
+    WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM orders),
+    fv AS (
+      SELECT 'price_bin' AS feature,
+             CAST({_bin_sql('o_totalprice')} AS VARCHAR) AS val,
+             {_LABEL_SQL} AS y
+      FROM orders CROSS JOIN mm
+      UNION ALL
+      SELECT 'priority', o_orderpriority, {_LABEL_SQL} FROM orders
+      UNION ALL
+      SELECT 'month', CAST(month(o_orderdate) AS VARCHAR), {_LABEL_SQL}
+      FROM orders
+      UNION ALL
+      SELECT 'cust_mod10', CAST(o_custkey % 10 AS VARCHAR), {_LABEL_SQL}
+      FROM orders),
+    cells AS (
+      SELECT feature, val,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT)   AS pos
+      FROM fv GROUP BY 1, 2),
+    tot AS (
+      SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(pos) AS BIGINT) AS tpos
+      FROM cells GROUP BY feature),
+    ent AS (
+      SELECT c.feature,
+             t.nn, t.tpos,
+             sum((c.n * 1.0 / t.nn)
+                 * (CASE WHEN c.pos = 0 OR c.pos = c.n THEN 0.0
+                    ELSE -(c.pos * 1.0 / c.n) * ln(c.pos * 1.0 / c.n)
+                         - (1 - c.pos * 1.0 / c.n)
+                           * ln(1 - c.pos * 1.0 / c.n) END)) AS h_cond,
+             CAST(count(*) AS BIGINT) AS n_values
+      FROM cells c JOIN tot t USING (feature)
+      GROUP BY c.feature, t.nn, t.tpos)
+    SELECT feature, n_values,
+           round((CASE WHEN tpos = 0 OR tpos = nn THEN 0.0
+                  ELSE -(tpos * 1.0 / nn) * ln(tpos * 1.0 / nn)
+                       - (1 - tpos * 1.0 / nn) * ln(1 - tpos * 1.0 / nn) END)
+                 - h_cond, 6) AS info_gain
+    FROM ent
+    """,
+)
+def feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature ranking: how many bits (nats) each
+    candidate feature — price bin, priority, order month, and a
+    deliberate noise feature (custkey mod 10) — carries about the
+    finalized label. IG(f) = H(y) − Σ_v p(v)·H(y|v). The k features are
+    evaluated in ONE scan: an Expand (explode of (feature, value)
+    structs — Spark's grouping-sets machinery, k rows out per input
+    row, all map-side) feeds one hash aggregation to the per-feature
+    value lattices; entropies are arithmetic over those ≤Σ|domain|
+    cells. This is the feature-selection pass a training pipeline runs
+    before committing to an encoder — the multi-feature generalization
+    of `mutual_information` (binary label instead of binned metric).
+
+    The noise feature pins the statistic's sanity: its IG must land
+    near 0 (asserted in tests). Probabilities are exact-integer ratios;
+    per-feature entropy sums run over bounded cells with round(6)."""
+    o = load_table(spark, "orders", sf_dir)
+    mm = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    y = _label().alias("y")
+    fv = (
+        o.crossJoin(F.broadcast(mm))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("price_bin").alias("feature"),
+                        _bin_col(F.col("o_totalprice"), F.col("lo"), F.col("hi"))
+                        .cast("string")
+                        .alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("priority").alias("feature"),
+                        F.col("o_orderpriority").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("month").alias("feature"),
+                        F.month("o_orderdate").cast("string").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("cust_mod10").alias("feature"),
+                        (F.col("o_custkey") % 10).cast("string").alias("val"),
+                    ),
+                )
+            ).alias("f"),
+            y,
+        )
+        .select(F.col("f.feature").alias("feature"), F.col("f.val").alias("val"), "y")
+    )
+    cells = fv.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("n").alias("nn"), F.sum("pos").alias("tpos")
+    )
+
+    def _h(p: F.Column) -> F.Column:
+        return -(p * F.log(p)) - (1 - p) * F.log(1 - p)
+
+    p_cell = F.col("pos") * 1.0 / F.col("n")
+    h_cell = F.when(
+        (F.col("pos") == 0) | (F.col("pos") == F.col("n")), F.lit(0.0)
+    ).otherwise(_h(p_cell))
+    ent = (
+        cells.join(F.broadcast(tot), "feature")
+        .groupBy("feature", "nn", "tpos")
+        .agg(
+            F.sum((F.col("n") * 1.0 / F.col("nn")) * h_cell).alias("h_cond"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+    )
+    p_glob = F.col("tpos") * 1.0 / F.col("nn")
+    h_glob = F.when(
+        (F.col("tpos") == 0) | (F.col("tpos") == F.col("nn")), F.lit(0.0)
+    ).otherwise(_h(p_glob))
+    return ent.select(
+        "feature",
+        "n_values",
+        F.round(h_glob - F.col("h_cond"), 6).alias("info_gain"),
+    )

@@ -2360,3 +2360,120 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") * 1.0 / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+HOLT_ALPHA = 0.3   # level smoothing
+HOLT_BETA = 0.1    # trend smoothing
+
+
+@query(
+    "holt_linear_smooth",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, day_ts, y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day_ts) AS rn
+      FROM daily),
+    rec AS (
+      SELECT event_type, rn, day_ts, y,
+             y AS lvl, CAST(0.0 AS DOUBLE) AS trend
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.day_ts, s.y,
+             round({HOLT_ALPHA} * s.y
+                   + (1 - {HOLT_ALPHA}) * (r.lvl + r.trend), 4),
+             round({HOLT_BETA}
+                   * (round({HOLT_ALPHA} * s.y
+                      + (1 - {HOLT_ALPHA}) * (r.lvl + r.trend), 4) - r.lvl)
+                   + (1 - {HOLT_BETA}) * r.trend, 4)
+      FROM seq s JOIN rec r
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+    SELECT event_type, rn, day_ts, y,
+           lvl AS level, trend,
+           round(lvl + trend, 4) AS forecast_next
+    FROM rec
+    """,
+)
+def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) of the
+    daily value series per event type — the forecasting upgrade of
+    `ewma_smooth`: l_i = α·y_i + (1−α)(l_{i-1}+b_{i-1}),
+    b_i = β(l_i − l_{i-1}) + (1−β)b_{i-1}, with forecast_next =
+    l_i + b_i feeding `forecast_snaive_backtest`-style evaluation.
+    A two-variable coupled recurrence no window frame expresses —
+    grouped-map pandas over the DAY LATTICE: the daily rollup is one
+    hash agg (map-side combinable), so each Arrow batch holds ≤31 rows
+    per type regardless of corpus size; the event table itself never
+    enters the recurrence. Same state-bounding story as ewma, but the
+    series length is calendar-bounded, not events-bounded.
+
+    FP parity: inputs land on the 1e-4 grid at the rollup, and BOTH
+    state variables are re-quantized after every step with DuckDB's
+    half-away-from-zero rule (the ewma trick, doubled); the oracle's
+    recursive CTE inlines the level expression into the trend update so
+    the two engines see bit-identical intermediate state."""
+    import math
+
+    import pandas as pd
+
+    e = load_table(spark, "events", sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = 10.0**4
+
+        def rnd(v: float) -> float:
+            # DuckDB round(): scale then half-AWAY-from-zero (see
+            # ewma_smooth for why Python's bankers' round can't be used)
+            s = v * p
+            f = math.floor(s)
+            d = s - f
+            if d > 0.5:
+                f += 1.0
+            elif d == 0.5:
+                f = f + 1.0 if s >= 0 else f
+            return f / p
+
+        pdf = pdf.sort_values("day_ts").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        n = len(y)
+        lvl = [0.0] * n
+        trd = [0.0] * n
+        if n:
+            lvl[0] = float(y[0])
+            trd[0] = 0.0
+        for i in range(1, n):
+            li = rnd(
+                HOLT_ALPHA * float(y[i]) + (1.0 - HOLT_ALPHA) * (lvl[i - 1] + trd[i - 1])
+            )
+            lvl[i] = li
+            trd[i] = rnd(
+                HOLT_BETA * (li - lvl[i - 1]) + (1.0 - HOLT_BETA) * trd[i - 1]
+            )
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "rn": range(1, n + 1),
+                "day_ts": pdf["day_ts"],
+                "y": y,
+                "level": lvl,
+                "trend": trd,
+                "forecast_next": [rnd(a + b) for a, b in zip(lvl, trd)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, rn int, day_ts timestamp_ntz, y double,"
+        " level double, trend double, forecast_next double",
+    )

@@ -526,3 +526,16 @@ def test_delta_method_ci_brackets_ratio(spark, sf_dir):
         assert r["se"] > 0
         assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
         assert abs(r["ratio"] - round(r["clicks"] / r["views"], 6)) < 1e-9
+
+
+def test_info_gain_nonnegative_and_noise_feature_near_zero(spark, sf_dir):
+    """IG >= 0 for every feature (Jensen), and the deliberate noise
+    feature (custkey mod 10) carries almost no information about the
+    label — the sanity anchor for the statistic."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = {r["feature"]: r for r in QUERIES["feature_info_gain"](spark, sf_dir).collect()}
+    assert set(rows) == {"price_bin", "priority", "month", "cust_mod10"}
+    for r in rows.values():
+        assert r["info_gain"] >= -1e-9
+    assert rows["cust_mod10"]["info_gain"] < 0.01

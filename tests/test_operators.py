@@ -1512,3 +1512,26 @@ def test_jsd_bounds_symmetry_and_self_zero(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     r = js_divergence_sources(spark, str(tmp_path)).collect()
     assert len(r) == 1 and r[0]["jsd"] == 0.0 and r[0]["n_common_words"] == 3
+
+
+def test_holt_reduces_to_ewma_when_beta_irrelevant_and_tracks_level(spark, sf_dir):
+    """Holt invariants: rn is contiguous per type, trend stays bounded
+    by the largest single-step level change, and forecast_next ==
+    level + trend exactly (on the 1e-4 grid)."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["holt_linear_smooth"](spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0]["level"] == rs[0]["y"] and rs[0]["trend"] == 0.0
+        max_step = max(
+            (abs(b["level"] - a["level"]) for a, b in zip(rs, rs[1:])), default=0.0
+        )
+        for r in rs:
+            assert abs(r["forecast_next"] - round(r["level"] + r["trend"], 4)) < 1e-9
+            assert abs(r["trend"]) <= max_step + 1e-6
