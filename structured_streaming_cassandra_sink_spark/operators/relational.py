@@ -2100,3 +2100,111 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+@query(
+    "rfm_segmentation",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT
+        {', '.join(f"round(quantile_cont(recency_days, {q}), 4) AS r{i}" for i, q in enumerate(RFM_QS))},
+        {', '.join(f"round(quantile_cont(n_orders, {q}), 4) AS f{i}" for i, q in enumerate(RFM_QS))},
+        {', '.join(f"round(quantile_cont(monetary, {q}), 4) AS m{i}" for i, q in enumerate(RFM_QS))}
+      FROM cust),
+    scored AS (
+      SELECT c.o_custkey, c.recency_days, c.n_orders, c.monetary,
+             CAST(5 - ((c.recency_days > b.r0)::INT + (c.recency_days > b.r1)::INT
+                 + (c.recency_days > b.r2)::INT + (c.recency_days > b.r3)::INT)
+               AS INT) AS r_score,
+             CAST(1 + (c.n_orders > b.f0)::INT + (c.n_orders > b.f1)::INT
+                 + (c.n_orders > b.f2)::INT + (c.n_orders > b.f3)::INT
+               AS INT) AS f_score,
+             CAST(1 + (c.monetary > b.m0)::INT + (c.monetary > b.m1)::INT
+                 + (c.monetary > b.m2)::INT + (c.monetary > b.m3)::INT
+               AS INT) AS m_score
+      FROM cust c CROSS JOIN b)
+    SELECT o_custkey, recency_days, n_orders, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS segment
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the workhorse marketing rollup:
+    per-customer Recency (days since last order, anchored at the
+    corpus-max date so the query is reproducible), Frequency (order
+    count) and Monetary (total spend), each scored 1-5 against the
+    population quintile boundaries, composed into the 111-555 segment
+    code. Recency scores INVERT (recent = 5).
+
+    Scale shape: one customer-level hash aggregation, one 1-row exact-
+    percentile aggregate over the customer table (12 scalars;
+    approx_percentile swap documented on `exact_percentiles` for
+    crawl scale), broadcast back for a map-side score assignment — no
+    sort, no ntile: quintiles-by-boundary-comparison replaces the
+    global ntile(5) window that would serialize on one task at 100 TB.
+    Boundary parity: cuts are rounded to the 4dp grid BEFORE any
+    comparison and metrics are exact ints / 4dp-rounded sums, so no
+    customer can land on different sides of a cut across engines (the
+    winsorize_clip discipline)."""
+    o = load_table(spark, "orders", sf_dir)
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("ref_date"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+    )
+    b = cust.agg(
+        *[
+            F.round(F.expr(f"percentile(recency_days, {q})"), 4).alias(f"r{i}")
+            for i, q in enumerate(RFM_QS)
+        ],
+        *[
+            F.round(F.expr(f"percentile(n_orders, {q})"), 4).alias(f"f{i}")
+            for i, q in enumerate(RFM_QS)
+        ],
+        *[
+            F.round(F.expr(f"percentile(monetary, {q})"), 4).alias(f"m{i}")
+            for i, q in enumerate(RFM_QS)
+        ],
+    )
+
+    def _score(col: str, prefix: str) -> F.Column:
+        s = F.lit(0)
+        for i in range(len(RFM_QS)):
+            s = s + F.when(F.col(col) > F.col(f"{prefix}{i}"), 1).otherwise(0)
+        return s
+
+    scored = cust.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        (5 - _score("recency_days", "r")).cast("int").alias("r_score"),
+        (1 + _score("n_orders", "f")).cast("int").alias("f_score"),
+        (1 + _score("monetary", "m")).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )

@@ -2477,3 +2477,64 @@ def holt_linear_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, rn int, day_ts timestamp_ntz, y double,"
         " level double, trend double, forecast_next double",
     )
+
+
+@query(
+    "running_balance_floor",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'click')
+                  THEN round(value, 4) ELSE -round(value, 4) END AS delta
+      FROM events),
+    c AS (
+      SELECT user_id, ts, event_id, delta,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d),
+    s AS (
+      SELECT user_id, ts, event_id, delta, cum,
+             min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+      FROM c)
+    SELECT user_id, event_id, round(delta, 4) AS delta,
+           round(cum - LEAST(0, run_min), 4) AS balance
+    FROM s
+    """,
+)
+def running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-negative running balance (credits minus debits, clamped at
+    zero — the inventory/wallet semantics where you can't go below
+    empty): bal_i = max(0, bal_{i-1} + δ_i). The recurrence LOOKS
+    sequential like `ewma_smooth`, but the zero-floor case has a
+    closed-form identity — bal_i = S_i − min(0, min_{j≤i} S_j), the
+    running prefix sum re-leveled by its running minimum — so it runs
+    as TWO stacked window functions in one sort/shuffle, fully
+    JVM-side, no pandas recurrence at all. The didactic counterpoint
+    in the recurrence family: reach for the algebraic identity before
+    applyInPandas (a floor AND cap together genuinely needs the
+    recurrence; floor-only does not).
+
+    Parity: deltas are 1e-4-quantized BEFORE the cumulation and both
+    engines accumulate in the identical (ts, event_id) frame order, so
+    the prefix sums are bit-identical; min/least are exact."""
+    e = load_table(spark, "events", sf_dir)
+    delta = F.when(
+        F.col("event_type").isin("purchase", "click"), F.round("value", 4)
+    ).otherwise(-F.round("value", 4))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = (
+        e.select("user_id", "ts", "event_id", delta.alias("delta"))
+        .withColumn("cum", F.sum("delta").over(w))
+        .withColumn("run_min", F.min("cum").over(w))
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        F.round("delta", 4).alias("delta"),
+        F.round(F.col("cum") - F.least(F.lit(0.0), F.col("run_min")), 4).alias(
+            "balance"
+        ),
+    )

@@ -1535,3 +1535,59 @@ def test_holt_reduces_to_ewma_when_beta_irrelevant_and_tracks_level(spark, sf_di
         for r in rs:
             assert abs(r["forecast_next"] - round(r["level"] + r["trend"], 4)) < 1e-9
             assert abs(r["trend"]) <= max_step + 1e-6
+
+
+def test_rfm_scores_quintile_balanced_and_composed(spark, sf_dir):
+    """Each score is 1-5, the segment code decomposes exactly, and
+    every quintile bucket is reasonably populated (boundary comparison
+    against exact percentiles cannot empty a bucket)."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    assert rows
+    from collections import Counter
+
+    for dim in ("r_score", "f_score", "m_score"):
+        c = Counter(r[dim] for r in rows)
+        assert set(c) <= {1, 2, 3, 4, 5}
+    for r in rows:
+        assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    m = Counter(r["m_score"] for r in rows)
+    # monetary is continuous → quintiles must be near-balanced
+    n = len(rows)
+    for k in (1, 2, 3, 4, 5):
+        assert 0.1 * n < m[k] < 0.3 * n, (k, m[k], n)
+
+
+def test_running_balance_matches_sequential_clamp(spark, sf_dir):
+    """The prefix-min identity equals the literal sequential recurrence
+    bal = max(0, bal + delta), replayed in Python per user."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    got = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in QUERIES["running_balance_floor"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "ts", "event_id", "event_type", F.round("value", 4).alias("v"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[r["user_id"]].append(r)
+    for uid, rs in series.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        bal = 0.0
+        for r in rs:
+            d = r["v"] if r["event_type"] in ("purchase", "click") else -r["v"]
+            bal = max(0.0, bal + d)
+            assert abs(got[(uid, r["event_id"])] - round(bal, 4)) < 1e-6, (
+                uid,
+                r["event_id"],
+            )
