@@ -56,6 +56,19 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms", "ttest_welch", "vocab_coverage", "word_pmi",
     # class-set x band-lattice product + 1-row total ride-along
     "t_closeness_check",
+    # 1-row scalar / stats-row ride-alongs (session additions):
+    "log_loss_brier",        # global min/max row for the prob clamp
+    "epoch_shuffle_assign",  # 3-row epoch lattice Expand ride-along
+    "naive_bayes_train",     # per-lang token-total marginal ride-along
+    "naive_bayes_score",     # model + prior broadcasts (vocab x langs)
+    "feature_info_gain",     # min/max row + per-feature totals ride-along
+    "rfm_segmentation",      # ref-date row + 12-scalar boundary row
+    "cuped_adjustment",      # (pruned if plan loses its ride-along)
+    # max-normalizer 1-row ride-alongs, 2 per HITS iteration (lineage
+    # re-expands them in the formatted plan — count is cosmetic):
+    "graph_hits_bipartite",
+    # bin-lattice x interval-lattice products (<=10^3 tuples by design):
+    "isotonic_calibration",
 }
 
 # Window with an empty PARTITION BY (single-partition sort): every entry
@@ -78,6 +91,7 @@ UNPART_WINDOW_ALLOWED = {
     "vocab_coverage",         # vocabulary rank
     "window_rolling_corr",    # hour-grid frames
     "zipf_fit",               # vocabulary rank
+    "isotonic_calibration",   # prefix sums over the 10-row bin lattice
 }
 
 # Python eval (BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas
@@ -96,6 +110,8 @@ PYTHON_ALLOWED = {
     "heavy_hitters",            # Misra-Gries per-partition partial
                                 # (mapInPandas mg_partial) — the
                                 # mergeable-summary design
+    "holt_linear_smooth",       # two-state coupled recurrence
+                                # (grouped-map over the day lattice)
 }
 
 
