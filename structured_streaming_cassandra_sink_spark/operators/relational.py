@@ -2208,3 +2208,174 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph structure statistics on the co-purchase graph
+# ---------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+_COPURCHASE_EDGES_SQL = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {SSSP_MIN_SUPPORT}),
+    edges AS (
+      SELECT pa AS s, pb AS d FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """Symmetric support-filtered co-purchase edge list — the shared
+    graph every structure statistic below runs on (same construction
+    as graph_sssp_weighted, weights dropped)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= SSSP_MIN_SUPPORT)
+    )
+    return (
+        pairs.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
+        .unionAll(pairs.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "graph_assortativity",
+    _COPURCHASE_EDGES_SQL + """,
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS k
+            FROM edges GROUP BY 1),
+    ek AS (
+      SELECT ds.k AS ks, dd.k AS kd
+      FROM edges e JOIN deg ds ON ds.node = e.s
+                   JOIN deg dd ON dd.node = e.d),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(ks) AS BIGINT) AS sx,
+             CAST(sum(kd) AS BIGINT) AS sy,
+             CAST(sum(ks * ks) AS BIGINT) AS sxx,
+             CAST(sum(kd * kd) AS BIGINT) AS syy,
+             CAST(sum(ks * kd) AS BIGINT) AS sxy
+      FROM ek)
+    SELECT ne AS n_directed_edges,
+           round((ne * sxy - sx * sy)
+                 / (sqrt(CAST(ne * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(ne * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of (deg(u), deg(v)) over directed edge endpoints —
+    positive means popular parts co-sell with popular parts (hub-hub
+    coupling), negative means hub-and-spoke structure. One number that
+    summarizes whether the dup/recommendation graph family's hot-key
+    mitigations (caps, salting) will be needed at scale.
+
+    Shape: degree table = one hash agg on the edge list; attaching
+    degrees to both endpoints = two broadcast-able equi-joins (degree
+    table is |nodes|, edges |E|); the correlation is a single moment
+    aggregation of INTEGER products — exact int64 sums (headroom to
+    deg~10^4 at |E|~10^9, then DECIMAL swap, documented), one float at
+    the end. Symmetric edges make sx == sy; kept separate so the
+    formula is the general directed one."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("k").alias("ks"))
+    dd = deg.select(F.col("node").alias("d"), F.col("k").alias("kd"))
+    ek = edges.join(ds, "s").join(dd, "d")
+    m = ek.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.sum("ks").alias("sx"),
+        F.sum("kd").alias("sy"),
+        F.sum(F.col("ks") * F.col("ks")).alias("sxx"),
+        F.sum(F.col("kd") * F.col("kd")).alias("syy"),
+        F.sum(F.col("ks") * F.col("kd")).alias("sxy"),
+    )
+    num = F.col("ne") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("ne") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("ne") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("ne").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+_KCORE_ITER_TMPL = """
+    d{i} AS (SELECT s AS node, count(*) AS k FROM e{prev} GROUP BY 1),
+    keep{i} AS (SELECT node FROM d{i} WHERE k >= {kk}),
+    e{i} AS (
+      SELECT e.s, e.d FROM e{prev} e
+      JOIN keep{i} ks ON ks.node = e.s
+      JOIN keep{i} kd ON kd.node = e.d),"""
+
+_KCORE_ORACLE = (
+    _COPURCHASE_EDGES_SQL
+    + ",\n    e0 AS (SELECT s, d FROM edges),"
+    + "".join(
+        _KCORE_ITER_TMPL.format(i=i, prev=i - 1, kk=KCORE_K)
+        for i in range(1, KCORE_ROUNDS + 1)
+    ).rstrip(",")
+    + f"""
+    SELECT node, CAST(k AS BIGINT) AS degree_in_core
+    FROM (SELECT s AS node, count(*) AS k FROM e{KCORE_ROUNDS} GROUP BY 1)
+    WHERE k >= {KCORE_K}
+    """
+)
+
+
+@query("graph_kcore", _KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the co-purchase graph by synchronous peeling:
+    {KCORE_ROUNDS} rounds of "drop every node with degree < {KCORE_K},
+    drop incident edges, recount" — the dense-substructure extraction
+    behind community seeds and spam-cluster triage (degree counts
+    alone overstate cohesion; a node's core membership depends on its
+    NEIGHBORS surviving too). K={KCORE_K} — the cycle core — keeps the
+    statistic non-vacuous on the sparse high-sf co-purchase graphs
+    (max degree 6 at sf0.1), where a triangle core is already empty.
+
+    Per round: one hash agg (degrees) + two semi-join-shaped filters
+    of the edge list against the survivor set, `localCheckpoint` to cut
+    lineage — the CC/BFS discipline, cost |E| per round. The round
+    count is FIXED (bounded driver loop, like PageRank/BFS): peeling
+    converges when a round removes nothing, monitored in tests at test
+    scale; production picks rounds from the degeneracy-ordering depth
+    or runs to fixpoint with the same per-round plan. All-integer
+    logic, no FP parity concerns."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e = edges
+    for _ in range(KCORE_ROUNDS):
+        deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+        keep = deg.filter(F.col("k") >= KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "s"), "s")
+            .join(keep.withColumnRenamed("node", "d"), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree_in_core")
+    )
+    return final_deg.filter(F.col("degree_in_core") >= KCORE_K).select(
+        "node", F.col("degree_in_core").cast("bigint").alias("degree_in_core")
+    )

@@ -1591,3 +1591,39 @@ def test_running_balance_matches_sequential_clamp(spark, sf_dir):
                 uid,
                 r["event_id"],
             )
+
+
+def test_kcore_membership_closed_and_converged(spark, sf_dir):
+    """Every surviving node has >= K neighbors INSIDE the core (core
+    closure), and one more peel round removes nothing (the fixed round
+    budget reached the fixpoint at test scale)."""
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.operators.relational import (
+        KCORE_K,
+        _copurchase_edges,
+    )
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    core = QUERIES["graph_kcore"](spark, sf_dir)
+    nodes = {r["node"] for r in core.collect()}
+    assert nodes, "2-core must be non-empty at test scale"
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for r in edges:
+        nbrs[r["s"]].add(r["d"])
+    for n in nodes:
+        assert len(nbrs[n] & nodes) >= KCORE_K, n
+    # fixpoint: peeling the returned core once more removes nobody
+    for n in nodes:
+        assert len(nbrs[n] & nodes) >= KCORE_K
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    r = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_directed_edges"] > 0 and r["n_directed_edges"] % 2 == 0
