@@ -1767,3 +1767,106 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOPK)
         .select("doc_id", "rrf", "n_lists", "rnk")
     )
+
+
+# ------------------------------------------------- embedding_matryoshka_eval
+
+
+MAT_DIMS = 16  # truncation prefix length under evaluation
+
+
+@query(
+    "embedding_matryoshka_eval",
+    f"""
+    WITH pairs AS (
+      SELECT a.label,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6)
+               AS cos_full,
+             round(list_cosine_similarity((a.embedding[1:{MAT_DIMS}])::DOUBLE[],
+                                          (b.embedding[1:{MAT_DIMS}])::DOUBLE[]),
+                   6) AS cos_trunc
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id),
+    m AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             avg(abs(cos_full - cos_trunc)) AS mad,
+             count(*) * sum(cos_full * cos_trunc)
+               - sum(cos_full) * sum(cos_trunc) AS cnum,
+             sqrt(count(*) * sum(cos_full * cos_full)
+                  - sum(cos_full) * sum(cos_full))
+               * sqrt(count(*) * sum(cos_trunc * cos_trunc)
+                      - sum(cos_trunc) * sum(cos_trunc)) AS cden
+      FROM pairs GROUP BY label)
+    SELECT label, n_pairs,
+           round(mad, 4)         AS mean_abs_dev,
+           round(cnum / cden, 4) AS fidelity_corr
+    FROM m
+    """,
+)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation fidelity: if the {MAT_DIMS}-dim prefix of
+    each embedding replaced the full 64-dim vector, how well would
+    pairwise cosine structure survive? Reports, per label block, the
+    mean |cos_full − cos_trunc| and the Pearson correlation between
+    full and truncated pair similarities — the evaluation that decides
+    whether the ANN index (and its 4× memory) can run on truncated
+    vectors. Modern embedding models train nested prefixes exactly so
+    this report comes back favorable.
+
+    Shape: the pair set reuses `dedup_embedding_cosine`'s label
+    blocking (within-block products only — never corpus²); both
+    cosines per pair come from one zip_with/aggregate fold pass over
+    the pair row, truncation via `slice` before the fold (codegen,
+    no second scan). Moments aggregate ROUNDED cosines, so both
+    engines sum identical doubles; round(4) on the two outputs."""
+    emb = spread(load_table(spark, "embeddings", sf_dir))
+    v = as_double(F.col("embedding"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        v.alias("vf"),
+        F.slice(v, 1, MAT_DIMS).alias("vt"),
+    )
+    # norms once per row, not per pair (the family discipline)
+    e = e.withColumn("nf", norm(F.col("vf"))).withColumn("nt", norm(F.col("vt")))
+    a, b = e.alias("a"), e.alias("b")
+    cos_f = dot(F.col("a.vf"), F.col("b.vf")) / (F.col("a.nf") * F.col("b.nf"))
+    cos_t = dot(F.col("a.vt"), F.col("b.vt")) / (F.col("a.nt") * F.col("b.nt"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.round(cos_f, 6).alias("cos_full"),
+            F.round(cos_t, 6).alias("cos_trunc"),
+        )
+    )
+    m = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(F.abs(F.col("cos_full") - F.col("cos_trunc"))).alias("mad"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("cos_full") * F.col("cos_trunc"))
+            - F.sum("cos_full") * F.sum("cos_trunc")
+        ).alias("cnum"),
+        (
+            F.sqrt(
+                F.count(F.lit(1)) * F.sum(F.col("cos_full") * F.col("cos_full"))
+                - F.sum("cos_full") * F.sum("cos_full")
+            )
+            * F.sqrt(
+                F.count(F.lit(1)) * F.sum(F.col("cos_trunc") * F.col("cos_trunc"))
+                - F.sum("cos_trunc") * F.sum("cos_trunc")
+            )
+        ).alias("cden"),
+    )
+    return m.select(
+        "label",
+        "n_pairs",
+        F.round("mad", 4).alias("mean_abs_dev"),
+        F.round(F.col("cnum") / F.col("cden"), 4).alias("fidelity_corr"),
+    )

