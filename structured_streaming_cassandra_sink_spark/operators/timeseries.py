@@ -2538,3 +2538,201 @@ def running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance"
         ),
     )
+
+
+CONF_ALPHA = 0.1      # 90% target coverage
+CONF_CAL_LAST_DAY = 23  # residual days <= this calibrate; later days test
+
+
+@query(
+    "conformal_forecast_interval",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1, 2),
+    res AS (
+      SELECT event_type, day_ts, y,
+             round(abs(y - lag(y, 7) OVER (PARTITION BY event_type
+                                           ORDER BY day_ts)), 4) AS r
+      FROM daily QUALIFY r IS NOT NULL),
+    cal AS (
+      SELECT event_type, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY r)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_cal
+      FROM res WHERE day(day_ts) <= {CONF_CAL_LAST_DAY}),
+    q AS (
+      SELECT event_type, n_cal, r AS q_hat
+      FROM cal
+      WHERE rn = LEAST(n_cal, CAST(ceil((n_cal + 1) * (1 - {CONF_ALPHA}))
+                                   AS BIGINT))),
+    t AS (
+      SELECT res.event_type,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN res.r <= q.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM res JOIN q ON res.event_type = q.event_type
+      WHERE day(res.day_ts) > {CONF_CAL_LAST_DAY}
+      GROUP BY res.event_type)
+    SELECT q.event_type, q.n_cal, round(q.q_hat, 4) AS q_hat,
+           t.n_test, t.n_covered,
+           round(t.n_covered * 1.0 / t.n_test, 4) AS coverage
+    FROM q JOIN t ON q.event_type = t.event_type
+    """,
+)
+def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecast: the calibration days' absolute residuals give q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest |residual| (the finite-sample-valid
+    DISCRETE quantile — no interpolation, so the cutoff is an actual
+    observed residual and engine-portable by construction), and the
+    later days report empirical coverage of ŷ ± q̂. This is the
+    distribution-free uncertainty wrapper (`forecast_snaive_backtest`
+    gives point accuracy; this gives calibrated intervals).
+
+    Shape: everything runs on the per-type DAY lattice (≤31 rows per
+    type at any corpus size) — lag-7 residuals, a rank window for the
+    order statistic, a broadcast of the 5-row q̂ table back onto the
+    test days. The raw events table is touched exactly once (the daily
+    rollup). Residuals live on the 1e-4 grid (rounded daily sums), so
+    rank order and the coverage comparisons are identical cross-engine."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day_ts")
+    res = (
+        daily.withColumn("r", F.round(F.abs(F.col("y") - F.lag("y", 7).over(w)), 4))
+        .filter(F.col("r").isNotNull())
+    )
+    cal = res.filter(F.dayofmonth("day_ts") <= CONF_CAL_LAST_DAY)
+    wr = Window.partitionBy("event_type").orderBy("r")
+    wn = Window.partitionBy("event_type")
+    cal = cal.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_cal", F.count(F.lit(1)).over(wn)
+    )
+    k = F.least(
+        F.col("n_cal"),
+        F.ceil((F.col("n_cal") + 1) * (1 - CONF_ALPHA)).cast("bigint"),
+    )
+    q = cal.filter(F.col("rn") == k).select(
+        "event_type", "n_cal", F.col("r").alias("q_hat")
+    )
+    test = res.filter(F.dayofmonth("day_ts") > CONF_CAL_LAST_DAY)
+    t = (
+        test.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        q.join(t, "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            F.round("q_hat", 4).alias("q_hat"),
+            "n_test",
+            "n_covered",
+            F.round(F.col("n_covered") * 1.0 / F.col("n_test"), 4).alias("coverage"),
+        )
+    )
+
+
+VAR_Q = 0.05  # tail probability for VaR/CVaR
+
+
+@query(
+    "var_cvar_report",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1, 2),
+    chg AS (
+      SELECT event_type, day_ts,
+             round(y - lag(y) OVER (PARTITION BY event_type
+                                    ORDER BY day_ts), 4) AS chg
+      FROM daily QUALIFY chg IS NOT NULL),
+    ranked AS (
+      SELECT event_type, chg,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY chg, day_ts) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM chg),
+    v AS (
+      SELECT event_type, n, chg AS var_cut
+      FROM ranked
+      WHERE rn = GREATEST(1, CAST(ceil(n * {VAR_Q}) AS BIGINT)))
+    SELECT r.event_type, v.n AS n_days,
+           round(-v.var_cut, 4) AS var_95,
+           round(-avg(CASE WHEN r.rn <= GREATEST(1, CAST(ceil(v.n * {VAR_Q})
+                                                 AS BIGINT))
+                      THEN r.chg END), 4) AS cvar_95
+    FROM ranked r JOIN v ON r.event_type = v.event_type
+    GROUP BY r.event_type, v.n, v.var_cut
+    """,
+)
+def var_cvar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and expected shortfall (CVaR) of the daily change
+    in per-type volume: the 5th-percentile worst day (discrete order
+    statistic — same engine-portable choice as the conformal q̂) and
+    the mean of the days at or beyond it. CVaR is the coherent tail
+    measure (VaR says where the tail starts, CVaR how bad it is on
+    average) — with `max_drawdown` this completes the risk battery.
+
+    Day-lattice shapes throughout: diff window, rank window, a tiny
+    cut-row broadcast, and a conditional mean over the ≤31-row lattice
+    per type. Changes sit on the 1e-4 grid; ties in the rank order
+    break by day_ts on both engines."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day_ts")
+    chg = (
+        daily.withColumn("chg", F.round(F.col("y") - F.lag("y").over(w), 4))
+        .filter(F.col("chg").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("chg", "day_ts")
+    wn = Window.partitionBy("event_type")
+    ranked = chg.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    kq = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * VAR_Q).cast("bigint"))
+    v = ranked.filter(F.col("rn") == kq).select(
+        "event_type", F.col("n").alias("n_days"), F.col("chg").alias("var_cut")
+    )
+    out = (
+        ranked.drop("n")
+        .join(F.broadcast(v), "event_type")
+        .groupBy("event_type", "n_days", "var_cut")
+        .agg(
+            F.round(
+                -F.avg(
+                    F.when(
+                        F.col("rn")
+                        <= F.greatest(
+                            F.lit(1).cast("bigint"),
+                            F.ceil(F.col("n_days") * VAR_Q).cast("bigint"),
+                        ),
+                        F.col("chg"),
+                    )
+                ),
+                4,
+            ).alias("cvar_95")
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round(-F.col("var_cut"), 4).alias("var_95"),
+        "cvar_95",
+    )

@@ -1627,3 +1627,33 @@ def test_assortativity_in_range(spark, sf_dir):
     r = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
     assert -1.0 <= r["assortativity"] <= 1.0
     assert r["n_directed_edges"] > 0 and r["n_directed_edges"] % 2 == 0
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """The conformal guarantee: coverage >= 1 - alpha - slack on
+    exchangeable data (slack loose at tiny n_test); q_hat is an actual
+    observed residual (discrete order statistic, not interpolated)."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import CONF_ALPHA
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["conformal_forecast_interval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cal"] > 0 and r["n_test"] > 0
+        assert 0.0 <= r["coverage"] <= 1.0
+        # finite-sample slack: 1 binomial sd below target
+        import math
+
+        slack = math.sqrt(CONF_ALPHA * (1 - CONF_ALPHA) / r["n_test"])
+        assert r["coverage"] >= 1 - CONF_ALPHA - 2 * slack - 1e-9, r
+
+
+def test_var_cvar_ordering(spark, sf_dir):
+    """CVaR >= VaR always (the tail mean is at least the cutoff), and
+    both are reported as positive losses when the tail is negative."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["var_cvar_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cvar_95"] >= r["var_95"] - 1e-9, r
