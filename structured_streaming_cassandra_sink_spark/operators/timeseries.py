@@ -2736,3 +2736,123 @@ def var_cvar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("var_cut"), 4).alias("var_95"),
         "cvar_95",
     )
+
+
+# band upper bounds in seconds; the last band is open-ended
+LATE_BANDS = ((0, "on_time"), (60, "le_1m"), (300, "le_5m"),
+              (900, "le_15m"), (3600, "le_1h"))
+LATE_JITTER_US = 600_000_000  # simulated ingestion jitter bound: 10 min
+
+
+def _late_band_sql() -> str:
+    cases = " ".join(
+        f"WHEN late_s <= {ub} THEN '{lbl}'" for ub, lbl in LATE_BANDS
+    )
+    return f"CASE {cases} ELSE 'gt_1h' END"
+
+
+@query(
+    "late_data_audit",
+    f"""
+    WITH arr AS (
+      SELECT event_id, ts,
+             epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                            1, 8))::BIGINT
+                            % {LATE_JITTER_US} AS aj,
+             NULL AS _pad
+      FROM events),
+    hw AS (
+      SELECT event_id, ts,
+             max(epoch_us(ts)) OVER (ORDER BY aj, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_us
+      FROM arr),
+    lat AS (
+      SELECT (high_us - epoch_us(ts)) // 1000000 AS late_s FROM hw),
+    band AS (SELECT {{_late_band_sql()}} AS band, late_s FROM lat),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM band)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frac,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM band GROUP BY band
+    """.replace("{_late_band_sql()}", _late_band_sql()),
+)
+def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: each event's LATENESS relative to the
+    stream's event-time high-water mark at its ARRIVAL — exactly the
+    quantity a `withWatermark` bound must exceed for the event to
+    survive. The fixture's ingestion order is perfectly monotone (ts
+    and event_id correlate at 0.99998, every event would be on-time),
+    so arrival is modeled as event time plus a deterministic md5-hash
+    jitter bounded at 10 minutes — the bounded-disorder regime real
+    ingestion exhibits. The banded histogram (on-time / ≤1m / ≤5m /
+    ≤15m / …) is what you read before picking every withWatermark
+    delay in this repo: the smallest band prefix covering ~99% of
+    events IS the watermark recommendation.
+
+    The running maximum over global arrival order would be a
+    single-partition window at scale; here it is the TWO-PASS prefix
+    scan (`running_total`'s discipline, max instead of sum):
+    range-partition by the arrival key, per-partition running max,
+    then `greatest` with the broadcast prefix-max of earlier
+    partitions — identical result, no serialized sort. Lateness is
+    exact integer micros end-to-end."""
+    e = load_table(spark, "events", sf_dir).select("event_id", "ts")
+    ts_us = ts_micros("ts")
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % LATE_JITTER_US
+    )
+    e = e.withColumn("aj", ts_us + jitter)
+    n = spark.sparkContext.defaultParallelism
+    ranged = e.repartitionByRange(n, F.col("aj"), F.col("event_id")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both passes
+    # pass 1: per-partition event-time maxima in micros (tiny driver collect)
+    subs = sorted(
+        (r["__pid"], r["__mx"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.max(ts_micros("ts")).alias("__mx"))
+        .collect()
+    )
+    offsets, run = {}, None
+    for pid, mx in subs:
+        offsets[pid] = -(2**62) if run is None else run
+        run = mx if run is None or mx > run else run
+    off_us = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        ),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("aj", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = ranged.withColumn(
+        "high_us", F.greatest(F.max(ts_micros("ts")).over(w), off_us)
+    )
+    late_s = F.floor((F.col("high_us") - ts_micros("ts")) / 1_000_000).cast("bigint")
+    band = F.coalesce(
+        *[F.when(F.col("late_s") <= ub, F.lit(lbl)) for ub, lbl in LATE_BANDS],
+        F.lit("gt_1h"),
+    )
+    lat = arr.withColumn("late_s", late_s).withColumn("band", band)
+    tot = lat.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        lat.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_s").alias("max_late_s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_events",
+            F.round(F.col("n_events") * 1.0 / F.col("n"), 6).alias("frac"),
+            "max_late_s",
+        )
+    )

@@ -1657,3 +1657,18 @@ def test_var_cvar_ordering(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["cvar_95"] >= r["var_95"] - 1e-9, r
+
+
+def test_late_data_audit_bands_and_jitter_bound(spark, sf_dir):
+    """Bounded-jitter arrival: every lateness is < the jitter bound
+    (high-water can't outrun an event by more than the max jitter),
+    fractions sum to 1, and at least two bands are occupied (the audit
+    is non-vacuous)."""
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import LATE_JITTER_US
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["late_data_audit"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["max_late_s"] <= LATE_JITTER_US / 1_000_000

@@ -69,6 +69,7 @@ BNLJ_ALLOWED = {
     "graph_hits_bipartite",
     # bin-lattice x interval-lattice products (<=10^3 tuples by design):
     "isotonic_calibration",
+    "late_data_audit",       # 1-row total-count ride-along onto the band lattice
 }
 
 # Window with an empty PARTITION BY (single-partition sort): every entry
