@@ -2856,3 +2856,114 @@ def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_late_s",
         )
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first_seen GROUP BY 1),
+    rev AS (
+      SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day,
+                  CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS INT)
+               AS day_since,
+             CAST(round(sum(CASE WHEN e.event_type = 'purchase'
+                            THEN e.value ELSE 0 END) * 10000) AS BIGINT)
+               AS rev_units
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_day, day_since, rev_units,
+             CAST(sum(rev_units) OVER (PARTITION BY cohort_day
+               ORDER BY day_since
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_units
+      FROM rev)
+    SELECT c.cohort_day, c.day_since, s.cohort_users,
+           round(c.rev_units / 10000.0, 4)  AS day_revenue,
+           round(c.cum_units / 10000.0, 4)  AS cum_revenue,
+           ((2 * c.cum_units + s.cohort_users) // (2 * s.cohort_users))
+             / 10000.0 AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort_day = s.cohort_day
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per signup-day
+    cohort, normalized per cohort user — the growth-analytics view that
+    turns `retention_cohort`'s "do they come back" into "what are they
+    WORTH over time". Payback analysis reads acquisition cost against
+    this curve.
+
+    Shape: first-seen day per user (one hash agg), revenue re-keyed to
+    (cohort, days-since) — a lattice bounded by days², not users — then
+    a cumulative window over that lattice and a broadcast join of
+    cohort sizes. Three shuffles total, none proportional to anything
+    but the user count. Money moves through EXACT int64 1e-4 units
+    (the proration discipline): per-cell revenue quantizes ONCE at the
+    aggregate, cumulation is integer addition, and every reported
+    float is one division of identical integers — the first version
+    divided a cumulated DOUBLE and a .18375 midpoint flipped the last
+    digit across engines."""
+    e = load_table(spark, "events", sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    rev = (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            (
+                F.floor(
+                    (
+                        ts_micros(F.date_trunc("day", F.col("ts")))
+                        - ts_micros("cohort_day")
+                    )
+                    / (24 * 3600 * 1_000_000)
+                )
+            )
+            .cast("int")
+            .alias("day_since"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                        0.0
+                    )
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("rev_units")
+        )
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn("cum_units", F.sum("rev_units").over(w).cast("bigint"))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_since",
+            "cohort_users",
+            F.round(F.col("rev_units") / 10000.0, 4).alias("day_revenue"),
+            F.round(F.col("cum_units") / 10000.0, 4).alias("cum_revenue"),
+            (
+                F.floor(
+                    (2 * F.col("cum_units") + F.col("cohort_users"))
+                    / (2 * F.col("cohort_users"))
+                ).cast("bigint")
+                / 10000.0
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -1672,3 +1672,33 @@ def test_late_data_audit_bands_and_jitter_bound(spark, sf_dir):
     assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r["max_late_s"] <= LATE_JITTER_US / 1_000_000
+
+
+def test_ltv_curve_monotone_and_conserves_revenue(spark, sf_dir):
+    """cum_revenue is nondecreasing within each cohort, ltv_per_user =
+    cum/users on the unit grid, and summing day_revenue over everything
+    equals total purchase revenue."""
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    rows = QUERIES["cohort_ltv_curve"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["day_since"])
+        assert rs[0]["day_since"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b["cum_revenue"] >= a["cum_revenue"] - 1e-9
+        assert abs(rs[-1]["cum_revenue"] - sum(x["day_revenue"] for x in rs)) < 1e-2
+    total = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    ) or 0.0
+    got = sum(r["day_revenue"] for r in rows)
+    assert abs(got - total) < max(1.0, 1e-4 * abs(total))
