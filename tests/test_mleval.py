@@ -539,3 +539,26 @@ def test_info_gain_nonnegative_and_noise_feature_near_zero(spark, sf_dir):
     for r in rows.values():
         assert r["info_gain"] >= -1e-9
     assert rows["cust_mod10"]["info_gain"] < 0.01
+
+
+def test_qini_conservation_and_final_point(spark, sf_dir):
+    """Decile counts partition the population; the LAST cumulative row
+    (full population) reproduces the overall incremental conversions
+    yt_total - yc_total*NT/NC; uplift_cum is a rate in [-1, 1]."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["qini_uplift_curve"](spark, sf_dir).collect(),
+        key=lambda r: -r["decile"],
+    )
+    assert len(rows) == 10
+    nt = sum(r["nt"] for r in rows)
+    nc = sum(r["nc"] for r in rows)
+    yt = sum(r["yt"] for r in rows)
+    yc = sum(r["yc"] for r in rows)
+    last = rows[-1]
+    assert last["qini_cum"] is not None
+    assert abs(last["qini_cum"] - (yt - yc * nt / nc)) < 5e-4
+    for r in rows:
+        if r["uplift_cum"] is not None:
+            assert -1.0 <= r["uplift_cum"] <= 1.0

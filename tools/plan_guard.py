@@ -70,6 +70,7 @@ BNLJ_ALLOWED = {
     # bin-lattice x interval-lattice products (<=10^3 tuples by design):
     "isotonic_calibration",
     "late_data_audit",       # 1-row total-count ride-along onto the band lattice
+    "qini_uplift_curve",     # 9-scalar decile-cut row ride-along
 }
 
 # Window with an empty PARTITION BY (single-partition sort): every entry
@@ -93,6 +94,7 @@ UNPART_WINDOW_ALLOWED = {
     "window_rolling_corr",    # hour-grid frames
     "zipf_fit",               # vocabulary rank
     "isotonic_calibration",   # prefix sums over the 10-row bin lattice
+    "qini_uplift_curve",      # cumulations over the 10-row decile lattice
 }
 
 # Python eval (BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas
