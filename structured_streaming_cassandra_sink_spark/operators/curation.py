@@ -1500,3 +1500,77 @@ def epoch_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("position", F.row_number().over(w).cast("bigint"))
         .select("epoch", "shard", "position", "doc_id")
     )
+
+
+# ------------------------------------------------------ span_corruption_mask
+
+
+SPAN_LEN = 3        # masked span length (tokens)
+SPAN_MIN_TOKENS = 8  # docs shorter than this are left unmasked (skipped)
+SENTINEL = "<extra_id_0>"
+
+
+@query(
+    "span_corruption_mask",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    ok AS (SELECT * FROM toks WHERE n >= {SPAN_MIN_TOKENS}),
+    pick AS (
+      SELECT doc_id, t, n,
+             1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT % (n - {SPAN_LEN} + 1) AS BIGINT) AS s
+      FROM ok)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(s AS INT)    AS span_start,
+           array_to_string(
+             list_concat(list_concat(t[1:s-1], ['{SENTINEL}']),
+                         t[s+{SPAN_LEN}:n]), ' ') AS input_text,
+           '{SENTINEL} ' || array_to_string(t[s:s+{SPAN_LEN}-1], ' ')
+             AS target_text
+    FROM pick
+    """,
+)
+def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: every long-enough document yields one
+    (input, target) training pair with a {SPAN_LEN}-token span replaced
+    by a sentinel — the denoising-objective construction step of a
+    pretraining pipeline, downstream of curation and upstream of
+    `sequence_packing`. Span position is the md5 hash of the doc id
+    (the repo's RNG-free convention): reproducible across restarts,
+    re-derivable per document without materializing the corpus, and a
+    fresh epoch seed just concatenates an epoch suffix (the
+    `epoch_shuffle_assign` trick).
+
+    Shape: PURE MAP — split, hash, slice, concat, join, all Catalyst
+    codegen on one scan, zero shuffles, trivially scale-free. The
+    oracle spells the identical 1-based slice arithmetic; both engines
+    emit byte-identical strings."""
+    d = load_table(spark, "documents", sf_dir)
+    t = F.split(F.col("text"), " ")
+    toks = d.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(
+        F.col("n") >= SPAN_MIN_TOKENS
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    pick = toks.withColumn("s", (1 + h % (F.col("n") - SPAN_LEN + 1)).cast("bigint"))
+    before = F.slice(F.col("t"), 1, (F.col("s") - 1).cast("int"))
+    after = F.slice(
+        F.col("t"),
+        (F.col("s") + SPAN_LEN).cast("int"),
+        (F.col("n") - F.col("s") - SPAN_LEN + 1).cast("int"),
+    )
+    span = F.slice(F.col("t"), F.col("s").cast("int"), SPAN_LEN)
+    return pick.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("s").cast("int").alias("span_start"),
+        F.array_join(
+            F.concat(F.concat(before, F.array(F.lit(SENTINEL))), after), " "
+        ).alias("input_text"),
+        F.concat(F.lit(SENTINEL + " "), F.array_join(span, " ")).alias("target_text"),
+    )

@@ -1702,3 +1702,25 @@ def test_ltv_curve_monotone_and_conserves_revenue(spark, sf_dir):
     ) or 0.0
     got = sum(r["day_revenue"] for r in rows)
     assert abs(got - total) < max(1.0, 1e-4 * abs(total))
+
+
+def test_span_corruption_reconstructs_original(spark, sf_dir):
+    """Replacing the sentinel in input_text with the target span (minus
+    its sentinel prefix) reconstructs the original document exactly —
+    the losslessness property of the masking objective."""
+    from structured_streaming_cassandra_sink_spark.operators.curation import SENTINEL, SPAN_LEN
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    }
+    rows = QUERIES["span_corruption_mask"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        span = r["target_text"][len(SENTINEL) + 1 :]
+        assert len(span.split(" ")) == SPAN_LEN
+        rebuilt = r["input_text"].replace(SENTINEL, span, 1)
+        assert rebuilt == orig[r["doc_id"]], r["doc_id"]
+        assert SENTINEL in r["input_text"]
