@@ -63,7 +63,6 @@ BNLJ_ALLOWED = {
     "naive_bayes_score",     # model + prior broadcasts (vocab x langs)
     "feature_info_gain",     # min/max row + per-feature totals ride-along
     "rfm_segmentation",      # ref-date row + 12-scalar boundary row
-    "cuped_adjustment",      # (pruned if plan loses its ride-along)
     # max-normalizer 1-row ride-alongs, 2 per HITS iteration (lineage
     # re-expands them in the formatted plan — count is cosmetic):
     "graph_hits_bipartite",

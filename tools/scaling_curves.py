@@ -67,6 +67,14 @@ QUERIES = [
     "t_closeness_check",      # class x band lattice EMD windows
     "interval_union_time",    # per-key gaps-and-islands union, int64 us
     "dau_wau_stickiness",     # 7x probe explode + day-lattice distinct agg
+    "spearman_corr",          # contingency-lattice midrank windows
+    "graph_hits_bipartite",   # iterative incidence join + partial agg
+    "graph_kcore",            # synchronous peel rounds, |E| per round
+    "naive_bayes_score",      # broadcast model apply, |docs|x|langs| partials
+    "holt_linear_smooth",     # grouped-map recurrence over the day lattice
+    "late_data_audit",        # two-pass prefix max over arrival order
+    "epoch_shuffle_assign",   # epoch Expand + (epoch,shard) window sort
+    "span_corruption_mask",   # pure codegen map, zero shuffles
 ]
 
 RUNS = 2  # min-of-N like bench.py
