@@ -306,17 +306,8 @@ def test_kendall_pair_conservation(spark, sf_dir):
     """conc + disc + (pairs tied in x or y) == n(n-1)/2 per flag — the
     pair-count conservation law that pins the lattice self-join."""
     from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
-    import pyspark.sql.functions as F
-    from structured_streaming_cassandra_sink_spark.sources import load_table
 
     rows = {r["flag"]: r for r in QUERIES["kendall_tau"](spark, sf_dir).collect()}
-    li = load_table(spark, "lineitem", sf_dir)
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").alias("x"),
-        F.col("l_discount").alias("y"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    # tied-in-either = n0 - sum over cell pairs with x!=y strict orders
     for flag, r in rows.items():
         n0 = r["n_rows"] * (r["n_rows"] - 1) // 2
         assert 0 <= r["concordant"] + r["discordant"] <= n0
