@@ -2652,3 +2652,206 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("qini_cum"),
     )
+
+
+# ------------------------------------------------------- kruskal_wallis
+
+
+@query(
+    "kruskal_wallis",
+    """
+    WITH lv AS (
+      SELECT c_nationkey, c_mktsegment, c_acctbal AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    tv AS (
+      SELECT c_nationkey, v, CAST(sum(c) AS BIGINT) AS t
+      FROM lv GROUP BY 1, 2),
+    rk AS (
+      SELECT c_nationkey, v, t,
+             CAST(2 * (sum(t) OVER (PARTITION BY c_nationkey ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+                  + t + 1 AS BIGINT) AS two_r
+      FROM tv),
+    grp AS (
+      SELECT lv.c_nationkey, c_mktsegment,
+             CAST(sum(lv.c) AS BIGINT)               AS n_g,
+             CAST(sum(lv.c * rk.two_r) AS BIGINT)    AS r2_g
+      FROM lv JOIN rk ON lv.c_nationkey = rk.c_nationkey AND lv.v = rk.v
+      GROUP BY 1, 2),
+    ties AS (
+      SELECT c_nationkey, CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM tv GROUP BY 1),
+    nat AS (
+      SELECT g.c_nationkey,
+             CAST(count(*) AS BIGINT)   AS k,
+             CAST(sum(n_g) AS BIGINT)   AS n,
+             sum((CAST(r2_g AS DOUBLE) * r2_g) / (4.0 * n_g)) AS s
+      FROM grp g GROUP BY 1),
+    h AS (
+      SELECT nat.c_nationkey AS nationkey, n AS n_rows, k AS n_groups,
+             (12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1))
+               / (1.0 - CAST(tie_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * n - n)) AS hc
+      FROM nat JOIN ties ON nat.c_nationkey = ties.c_nationkey
+      WHERE k >= 2 AND n > k
+        AND tie_sum < CAST(n AS DOUBLE) * n * n - n)
+    SELECT nationkey, n_rows, n_groups,
+           round(hc, 4) AS h_stat,
+           round((hc - n_groups + 1) / (n_rows - n_groups), 6) AS epsilon_sq
+    FROM h
+    """,
+)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H per nation: does the account-balance DISTRIBUTION
+    differ across market segments? The rank-based (distribution-free)
+    companion to `anova_oneway` (means) and the k-sample generalization
+    of the Mann-Whitney machinery `roc_auc` uses — with the midrank tie
+    correction 1 - sum(t^3 - t)/(N^3 - N).
+
+    Shape: ranks are NEVER assigned to rows. The table collapses to the
+    (nation, value) lattice in one hash aggregation; the midrank window
+    runs per nation over the lattice (parallel across nations, lattice-
+    bounded rows per task); group rank sums come from the integer
+    identity 2*midrank = 2*cum_before + t + 1, so both engines sum EXACT
+    int64s and floats appear only in the final H algebra. r2_g is cast
+    to double BEFORE squaring on both engines (int64 r2^2 overflows at
+    ~10^5 rows/nation; the double path is engine-identical). Degenerate
+    nations (one segment; n <= k; all balances tied, where the tie
+    correction's N^3 - N equals tie_sum making hc 0/0) are excluded by
+    the k >= 2 AND n > k AND tie_sum < N^3 - N gate — none occur on
+    this data, and the all-tied exclusion is pinned in tests.
+
+    Reference provenance: generalizes the aggregate surface of
+    cassandra_sink.scala:113-120 to distribution-level significance
+    testing."""
+    c = load_table(spark, "customer", sf_dir)
+    lv = c.groupBy("c_nationkey", "c_mktsegment", F.col("c_acctbal").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tv = lv.groupBy("c_nationkey", "v").agg(F.sum("c").alias("t"))
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = tv.select(
+        "c_nationkey",
+        "v",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1)
+        .cast("bigint")
+        .alias("two_r"),
+    )
+    grp = (
+        lv.join(rk, ["c_nationkey", "v"])
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.col("c") * F.col("two_r")).alias("r2_g"),
+        )
+    )
+    ties = tv.groupBy("c_nationkey").agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum")
+    )
+    nat = grp.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum((F.col("r2_g").cast("double") * F.col("r2_g")) / (4.0 * F.col("n_g"))).alias("s"),
+    )
+    n, k = F.col("n"), F.col("k")
+    hc = (12.0 / (n * (n + 1.0)) * F.col("s") - 3.0 * (n + 1)) / (
+        1.0
+        - F.col("tie_sum").cast("double") / (n.cast("double") * n * n - n)
+    )
+    return (
+        nat.join(ties, "c_nationkey")
+        .filter(
+            (k >= 2)
+            & (n > k)
+            & (F.col("tie_sum") < n.cast("double") * n * n - n)
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            n.alias("n_rows"),
+            k.alias("n_groups"),
+            F.round(hc, 4).alias("h_stat"),
+            F.round((hc - k + 1) / (n - k), 6).alias("epsilon_sq"),
+        )
+    )
+
+
+# ----------------------------------------------- levene_brown_forsythe
+
+
+@query(
+    "levene_brown_forsythe",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY 1),
+    z AS (
+      SELECT e.event_type, abs(e.value - med.m) AS z
+      FROM events e JOIN med ON e.event_type = med.event_type),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(z) AS s, sum(z * z) AS s2
+      FROM z GROUP BY 1),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             sum(s) AS ts, sum(s2) AS ts2,
+             sum(s * s / n) AS sgm
+      FROM g)
+    SELECT k AS n_groups, nn AS n_rows,
+           CAST(k - 1 AS BIGINT)  AS df1,
+           CAST(nn - k AS BIGINT) AS df2,
+           round(((sgm - ts * ts / nn) / (k - 1))
+                 / ((ts2 - sgm) / (nn - k)), 4) AS w_stat
+    FROM t
+    """,
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with median centers): is event-value
+    VARIANCE homogeneous across event types? The spread-equality
+    companion to `anova_oneway` (which assumes it) — W is exactly the
+    one-way ANOVA F computed on z = |x - median(group)|, median-centered
+    for robustness to the heavy-tailed values this table has.
+
+    Shape: two aggregation passes over one scan — per-group exact
+    medians (Spark `percentile`, a per-group sort of bounded width;
+    at 100 TB swap for percentile_approx and document the tolerance),
+    broadcast back (k rows), then the same moment-partial (n, sum z,
+    sum z^2) reduction anova_oneway uses: map-side combinable, k tiny
+    states shuffled. Both engines interpolate the same exact median
+    from identical doubles, so z agrees per-row and only the ~1e-12
+    partial-sum-order noise reaches round(4).
+
+    Reference provenance: generalizes the aggregate surface of
+    cassandra_sink.scala:113-120 to variance diagnostics."""
+    e = load_table(spark, "events", sf_dir)
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ts"),
+        F.sum("s2").alias("ts2"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgm"),
+    )
+    ssb = F.col("sgm") - F.col("ts") * F.col("ts") / F.col("nn")
+    ssw = F.col("ts2") - F.col("sgm")
+    return t.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_rows"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("df2"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 4
+        ).alias("w_stat"),
+    )

@@ -2379,3 +2379,97 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_deg.filter(F.col("degree_in_core") >= KCORE_K).select(
         "node", F.col("degree_in_core").cast("bigint").alias("degree_in_core")
     )
+
+
+# ------------------------------------------------- subquery_double_exists
+
+DBLX_TOPK = 20
+
+
+@query(
+    "subquery_double_exists",
+    f"""
+    WITH r AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R')
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           CAST(count(*) AS BIGINT) AS sole_fault_orders
+    FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = r.l_orderkey
+              AND l2.l_suppkey <> r.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = r.l_orderkey
+              AND l3.l_suppkey <> r.l_suppkey
+              AND l3.l_returnflag = 'R')
+    GROUP BY 1, 2
+    ORDER BY sole_fault_orders DESC, supp_name
+    LIMIT {DBLX_TOPK}
+    """,
+)
+def subquery_double_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape on the available columns: suppliers who were the
+    SOLE supplier at fault — finalized multi-supplier orders where this
+    supplier's lines came back returned ('R') and no co-supplier's did.
+    Pairs a correlated EXISTS with a correlated NOT EXISTS against the
+    same fact table — the hardest decorrelation pattern in the classic
+    benchmark suite.
+
+    Shape: both subqueries decorrelate to ONE-SHUFFLE joins on
+    l_orderkey — the EXISTS to a LEFT SEMI with the supplier
+    inequality as a residual (non-equi) condition, the NOT EXISTS to a
+    LEFT ANTI with the same residual plus the returnflag filter pushed
+    into the build side. No per-row re-scan of lineitem: at 100 TB all
+    three legs shuffle-partition on orderkey and co-locate, and AQE
+    picks broadcast for the anti build side if the 'R' fraction is
+    small. The driving set pre-dedupes to DISTINCT (orderkey, suppkey)
+    so multi-line faults count once; supplier names ride a broadcast
+    dim join at the end, after aggregation has collapsed to |suppliers|
+    rows. Top-k is TakeOrderedAndProject with name tie-break.
+
+    Reference provenance: extends the reference's filter surface
+    (cassandra_sink.scala:117-119) to correlated-subquery planning."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    others_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+    )
+    with_other = r.join(
+        others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        others_r,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supp_name")
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("sole_fault_orders"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("suppkey"))
+        .select("suppkey", "supp_name", "sole_fault_orders")
+        .orderBy(F.col("sole_fault_orders").desc(), "supp_name")
+        .limit(DBLX_TOPK)
+    )

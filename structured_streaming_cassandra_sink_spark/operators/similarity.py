@@ -1870,3 +1870,91 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 4).alias("mean_abs_dev"),
         F.round(F.col("cnum") / F.col("cden"), 4).alias("fidelity_corr"),
     )
+
+
+# -------------------------------------------------------- knn_classify_eval
+
+KNN_K = 5
+KNN_TEST_MOD = 10  # vec_id % 10 == 0 -> held-out eval row
+
+
+@query(
+    "knn_classify_eval",
+    f"""
+    WITH te AS (SELECT vec_id AS tid, embedding AS tvec, label AS tlabel
+                FROM embeddings WHERE vec_id % {KNN_TEST_MOD} = 0),
+         tr AS (SELECT vec_id, embedding, label FROM embeddings
+                WHERE vec_id % {KNN_TEST_MOD} <> 0),
+         sims AS (
+           SELECT te.tid, te.tlabel, tr.vec_id, tr.label,
+                  round(list_cosine_similarity(tvec::DOUBLE[],
+                                               embedding::DOUBLE[]), 6) AS cs
+           FROM te, tr),
+         nn AS (
+           SELECT tid, tlabel, label,
+                  row_number() OVER (PARTITION BY tid
+                                     ORDER BY cs DESC, vec_id) AS rnk
+           FROM sims QUALIFY rnk <= {KNN_K}),
+         votes AS (
+           SELECT tid, tlabel, label AS plabel,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM nn GROUP BY 1, 2, 3),
+         pred AS (
+           SELECT tid, tlabel, plabel,
+                  row_number() OVER (PARTITION BY tid
+                                     ORDER BY n DESC, plabel) AS vr
+           FROM votes QUALIFY vr = 1)
+    SELECT tlabel AS label, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS accuracy
+    FROM pred GROUP BY 1
+    """,
+)
+def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation over the embedding corpus: hold out
+    every {KNN_TEST_MOD}th vector, predict its label by majority vote of
+    its {KNN_K} nearest training neighbours (cosine), report per-label
+    accuracy — the standard embedding-quality probe (is the space
+    linearly separable by label?) complementing `ann_recall_report`
+    (which scores the INDEX, not the space).
+
+    Shape: the held-out side is bounded by construction (an eval set —
+    1/{KNN_TEST_MOD} here, a fixed sample at 100 TB), so it BROADCASTS
+    and the train corpus streams through ONE scan, exactly the
+    `sim_search_topk` plan; norms are precomputed per row, never per
+    pair. Vote -> winner -> accuracy are all lattice-sized aggregations
+    (|test| x |labels|). Ranking uses the ROUNDED cosine (6dp) with
+    vec_id tie-break, majority ties break to the smallest label — both
+    deterministic and engine-portable. For a large eval set, swap the
+    broadcast for the LSH-bucketed candidate join of
+    `dedup_embedding_lsh`; semantics unchanged."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    te = emb.filter(F.col("vec_id") % KNN_TEST_MOD == 0).select(
+        F.col("vec_id").alias("tid"),
+        as_double(F.col("embedding")).alias("tv"),
+        F.col("label").alias("tlabel"),
+    ).withColumn("tn", norm(F.col("tv")))
+    tr = emb.filter(F.col("vec_id") % KNN_TEST_MOD != 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("cv"), "label"
+    ).withColumn("cn", norm(F.col("cv")))
+    cs = F.round(dot(F.col("tv"), F.col("cv")) / (F.col("tn") * F.col("cn")), 6)
+    sims = tr.crossJoin(F.broadcast(te)).select(
+        "tid", "tlabel", "vec_id", "label", cs.alias("cs")
+    )
+    wk = Window.partitionBy("tid").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    nn = sims.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= KNN_K
+    )
+    votes = nn.groupBy("tid", "tlabel", F.col("label").alias("plabel")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("tid").orderBy(F.col("n").desc(), F.col("plabel"))
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(F.col("vr") == 1)
+    correct = F.sum(F.when(F.col("plabel") == F.col("tlabel"), 1).otherwise(0))
+    return pred.groupBy(F.col("tlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        correct.alias("n_correct"),
+        F.round(correct * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
+    )

@@ -1423,3 +1423,115 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     )
+
+
+# --------------------------------------------------------- collocation_g2
+
+G2_TOPK = 30
+G2_MIN_COUNT = 20  # bigram support floor before scoring
+
+
+@query(
+    "collocation_g2",
+    f"""
+    WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT unnest(list_transform(range(len(tk) - 1),
+                 i -> [tk[i+1], tk[i+2]])) AS pair
+      FROM t),
+    cb AS (SELECT pair[1] AS x, pair[2] AS y,
+                  CAST(count(*) AS BIGINT) AS c_xy
+           FROM bg GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS rx FROM cb GROUP BY 1),
+    my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS cy FROM cb GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nb FROM cb),
+    k AS (
+      SELECT cb.x, cb.y, c_xy AS k11,
+             rx - c_xy AS k12, cy - c_xy AS k21,
+             nb - rx - cy + c_xy AS k22,
+             rx, cy, nb
+      FROM cb JOIN mx ON cb.x = mx.x JOIN my ON cb.y = my.y CROSS JOIN tot
+      WHERE c_xy >= {G2_MIN_COUNT}),
+    s AS (
+      SELECT x, y, k11,
+             2 * ((CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * nb
+                    / (CAST(rx AS DOUBLE) * cy)) ELSE 0 END)
+                + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * nb
+                    / (CAST(rx AS DOUBLE) * (nb - cy))) ELSE 0 END)
+                + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * nb
+                    / (CAST(nb - rx AS DOUBLE) * cy)) ELSE 0 END)
+                + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * nb
+                    / (CAST(nb - rx AS DOUBLE) * (nb - cy))) ELSE 0 END)) AS g2
+      FROM k)
+    SELECT x, y, k11 AS c_xy, round(g2, 4) AS g2
+    FROM s ORDER BY round(g2, 4) DESC, x, y LIMIT {G2_TOPK}
+    """,
+)
+def collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{G2_TOPK} bigram collocations by Dunning's log-likelihood
+    ratio (G^2, CL'93) — the phrase-mining statistic that, unlike
+    `word_pmi`, stays calibrated at LOW counts (PMI explodes for rare
+    pairs; G^2 weights evidence by how many observations back it). The
+    2x2 contingency table per pair uses bigram-derived marginals
+    (row = x-as-left-word, col = y-as-right-word), so margins sum to
+    the table total exactly.
+
+    Shape: one bigram count (position-explode, linear), two
+    vocabulary-bounded marginal aggregations joined back by word, the
+    grand total as a broadcast one-row crossJoin — no row-level rank
+    or sort; the top-k is TakeOrderedAndProject on the ROUNDED score
+    (4dp) with (x, y) tie-break so ordering is engine-portable. The
+    support floor ({G2_MIN_COUNT}) prunes the pair table BEFORE the
+    joins feed the sort. Every k_ij is exact int64 on both engines;
+    the 0*ln(0) = 0 guard is an explicit CASE, not an engine-specific
+    null propagation.
+
+    Reference provenance: generalizes the reference's text split
+    surface (cassandra_sink.scala:107-111) to corpus statistics."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    base = d.select(tokens(F.col("text")).alias("tk")).filter(F.size("tk") >= 2)
+    ex = base.select("tk", F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"))
+    cb = (
+        ex.select(F.expr("tk[i-1]").alias("x"), F.expr("tk[i]").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    mx = cb.groupBy("x").agg(F.sum("c_xy").alias("rx"))
+    my = cb.groupBy("y").agg(F.sum("c_xy").alias("cy"))
+    tot = cb.agg(F.sum("c_xy").alias("nb"))
+    k = (
+        cb.filter(F.col("c_xy") >= G2_MIN_COUNT)
+        .join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").alias("k11"),
+            (F.col("rx") - F.col("c_xy")).alias("k12"),
+            (F.col("cy") - F.col("c_xy")).alias("k21"),
+            (F.col("nb") - F.col("rx") - F.col("cy") + F.col("c_xy")).alias("k22"),
+            "rx",
+            "cy",
+            "nb",
+        )
+    )
+
+    def term(kc, num_r, num_c):
+        return F.when(
+            kc > 0,
+            kc * F.log(kc.cast("double") * F.col("nb") / (num_r.cast("double") * num_c)),
+        ).otherwise(0.0)
+
+    g2 = 2 * (
+        term(F.col("k11"), F.col("rx"), F.col("cy"))
+        + term(F.col("k12"), F.col("rx"), F.col("nb") - F.col("cy"))
+        + term(F.col("k21"), F.col("nb") - F.col("rx"), F.col("cy"))
+        + term(F.col("k22"), F.col("nb") - F.col("rx"), F.col("nb") - F.col("cy"))
+    )
+    return (
+        k.select("x", "y", F.col("k11").alias("c_xy"), F.round(g2, 4).alias("g2"))
+        .orderBy(F.col("g2").desc(), "x", "y")
+        .limit(G2_TOPK)
+    )

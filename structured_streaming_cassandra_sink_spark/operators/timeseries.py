@@ -2967,3 +2967,291 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# ------------------------------------------------------ join_asof_nearest
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH rates AS (
+      SELECT event_type,
+             epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS htus,
+             round(avg(value), 4)                         AS hourly_rate
+      FROM events GROUP BY 1, 2),
+    e AS (SELECT event_id, event_type, epoch_us(ts) AS tus FROM events),
+    be AS (
+      SELECT e.event_id, e.event_type, e.tus,
+             b.hourly_rate AS b_rate, b.htus AS b_ts
+      FROM e ASOF LEFT JOIN rates b
+        ON e.event_type = b.event_type AND e.tus >= b.htus),
+    bf AS (
+      SELECT be.*, f.hourly_rate AS f_rate, f.htus AS f_ts
+      FROM be ASOF LEFT JOIN rates f
+        ON be.event_type = f.event_type AND be.tus <= f.htus)
+    SELECT event_id, event_type,
+           CASE WHEN f_ts IS NULL THEN b_rate
+                WHEN b_ts IS NULL THEN f_rate
+                WHEN tus - b_ts <= f_ts - tus THEN b_rate
+                ELSE f_rate END AS nearest_rate,
+           CAST(CASE WHEN f_ts IS NULL THEN tus - b_ts
+                     WHEN b_ts IS NULL THEN f_ts - tus
+                     WHEN tus - b_ts <= f_ts - tus THEN tus - b_ts
+                     ELSE f_ts - tus END // 1000000 AS BIGINT) AS delta_sec
+    FROM bf
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — each event picks the hourly rate whose hour
+    start is closest in time, in EITHER direction (pandas
+    merge_asof(direction='nearest')): the sensor-alignment semantics
+    when neither look-back nor look-ahead is privileged. Completes the
+    as-of triple (backward `join_asof`, forward `join_asof_forward`).
+
+    Shape: nearest = backward + forward + a per-row argmin — both legs
+    are the same single-shuffle union+window kernels, over the SAME
+    key partitioning (one Exchange on event_type feeds both windows;
+    no range-join explosion however many events share an hour). The
+    deltas are pure int64 microsecond math; at an exact tie (an event
+    precisely mid-way between two hour starts) the EARLIER rate wins,
+    documented and mirrored in the oracle (<= on the backward delta).
+    `div 1000000` truncation == DuckDB `//` floor on this non-negative
+    domain. Oracle: two native DuckDB ASOF joins + the same CASE."""
+    events = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    rates = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("hourly_rate"))
+        .select(
+            "event_type",
+            ts_micros(F.col("w.start")).alias("htus"),
+            "hourly_rate",
+        )
+    )
+    e = events.select("event_id", "event_type", tus.alias("tus"))
+    back = asof_join(
+        e,
+        rates.select(
+            "event_type",
+            "htus",
+            F.col("hourly_rate").alias("b_rate"),
+            F.col("htus").alias("b_ts"),
+        ),
+        key="event_type",
+        left_ts="tus",
+        right_ts="htus",
+        value_cols=["b_rate", "b_ts"],
+    )
+    both = asof_join_forward(
+        back,
+        rates.select(
+            "event_type",
+            "htus",
+            F.col("hourly_rate").alias("f_rate"),
+            F.col("htus").alias("f_ts"),
+        ),
+        key="event_type",
+        left_ts="tus",
+        right_ts="htus",
+        value_cols=["f_rate", "f_ts"],
+    )
+    db = F.col("tus") - F.col("b_ts")
+    df_ = F.col("f_ts") - F.col("tus")
+    take_back = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (db <= df_)
+    )
+    delta = F.when(take_back, db).otherwise(df_)
+    return both.select(
+        "event_id",
+        "event_type",
+        F.when(take_back, F.col("b_rate")).otherwise(F.col("f_rate")).alias(
+            "nearest_rate"
+        ),
+        F.expr(
+            "CASE WHEN (f_ts IS NULL) OR (b_ts IS NOT NULL AND tus - b_ts <= f_ts - tus) "
+            "THEN (tus - b_ts) div 1000000 ELSE (f_ts - tus) div 1000000 END"
+        ).cast("bigint").alias("delta_sec"),
+    )
+
+
+# -------------------------------------------------- time_decay_attribution
+
+DECAY_TAU_US = 20 * 60 * 1_000_000  # exponential half-scale: 20 minutes
+
+
+@query(
+    "time_decay_attribution",
+    f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ptus
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS ctus,
+             CAST(max(event_id) AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2),
+    j AS (
+      SELECT p.purchase_id, p.user_id, c.click_id,
+             p.ptus - c.ctus AS lag_us,
+             exp(-CAST(p.ptus - c.ctus AS DOUBLE) / {DECAY_TAU_US}) AS w
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ctus <= p.ptus
+       AND p.ptus - c.ctus <= {ATTRIB_WINDOW_US})
+    SELECT purchase_id, user_id, click_id,
+           CAST(lag_us // 1000000 AS BIGINT) AS lag_sec,
+           round(w / sum(w) OVER (PARTITION BY purchase_id), 6) AS credit
+    FROM j
+    """,
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution: every click in the hour before a purchase
+    shares the credit, weighted exp(-lag/tau) and normalized per
+    purchase — the third attribution model (recency-weighted) next to
+    `last_touch_attribution` (winner-take-all) and
+    `multi_touch_attribution` (equal split). tau = 20 min: a click 20
+    minutes out is worth 1/e of an immediate one.
+
+    Shape: the same bounded interval join as `join_interval_funnel` —
+    user_id drives the shuffle, the one-hour residual bounds fan-out
+    (and would bound streaming state in the stream twin). Clicks
+    pre-dedupe per (user, ts) to max event_id, the weight is exp of an
+    exact-int64 lag over a literal (identical per row on both
+    engines), and the per-purchase normalizer is a window sum whose
+    few-term add-order noise dies in round(6). `div` truncation ==
+    `//` floor on the non-negative lag domain."""
+    e = load_table(spark, "events", sf_dir)
+    tus = ts_micros("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", tus.alias("ptus")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), tus.alias("ctus"), "event_id")
+        .groupBy("c_user_id", "ctus")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("ctus") <= F.col("ptus"))
+        & (F.col("ptus") - F.col("ctus") <= ATTRIB_WINDOW_US),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.col("ptus") - F.col("ctus")).alias("lag_us"),
+        F.exp(-(F.col("ptus") - F.col("ctus")).cast("double") / DECAY_TAU_US).alias(
+            "w"
+        ),
+    )
+    wsum = F.sum("w").over(Window.partitionBy("purchase_id"))
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.expr("lag_us div 1000000").cast("bigint").alias("lag_sec"),
+        F.round(F.col("w") / wsum, 6).alias("credit"),
+    )
+
+
+# -------------------------------------------------------------- sax_encode
+
+SAX_SEGMENTS = 8
+# N(0,1) quartile breakpoints for a 4-letter alphabet (Lin et al., DMKD'07)
+SAX_BP = 0.6745
+
+
+@query(
+    "sax_encode",
+    f"""
+    WITH st AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s, sum(value * value) AS s2
+      FROM events GROUP BY 1
+      HAVING count(*) >= {SAX_SEGMENTS}),
+    rn AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS r
+      FROM events),
+    z AS (
+      SELECT rn.user_id, st.n,
+             ((rn.r - 1) * {SAX_SEGMENTS}) // st.n AS seg,
+             CASE WHEN greatest(st.s2 / st.n - (st.s / st.n) * (st.s / st.n),
+                                0.0) > 0
+                  THEN (rn.value - st.s / st.n)
+                       / sqrt(st.s2 / st.n - (st.s / st.n) * (st.s / st.n))
+                  ELSE 0.0 END AS z
+      FROM rn JOIN st ON rn.user_id = st.user_id),
+    paa AS (
+      SELECT user_id, n, seg, avg(z) AS pm
+      FROM z GROUP BY 1, 2, 3)
+    SELECT user_id, n AS n_events,
+           string_agg(CASE WHEN pm < -{SAX_BP} THEN 'a'
+                           WHEN pm < 0 THEN 'b'
+                           WHEN pm < {SAX_BP} THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS sax_word
+    FROM paa GROUP BY 1, 2
+    """,
+)
+def sax_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al., DMKD'07) of each user's event-value
+    series: z-normalize, Piecewise Aggregate Approximation into
+    {SAX_SEGMENTS} equal-count segments, then map segment means onto a
+    4-letter alphabet at the N(0,1) quartile breakpoints — the
+    dimensionality reduction that turns raw series into join-able /
+    group-able words (motif mining, series dedup, index keys).
+
+    Shape: two shuffles on user_id — one moment aggregation (n, sum,
+    sum^2; the z-stats come from the SAME explicit raw-moment algebra
+    on both engines, variance floored at 0 per the catastrophic-
+    cancellation advisory) and one row_number window; segment ids are
+    pure integer math (`div` == `//` on the non-negative domain), the
+    PAA means collapse map-side, and the word assembles from a sorted
+    bounded array ({SAX_SEGMENTS} letters), never a global sort. Users
+    with fewer than {SAX_SEGMENTS} events are gated out (their PAA is
+    the identity). Breakpoint comparisons see ~1e-12 add-order noise
+    only within a hair of a boundary — measured zero flips on this
+    data; pinned degenerate case (constant series: std = 0 -> z = 0 ->
+    all-'c' word) in tests."""
+    e = load_table(spark, "events", sf_dir)
+    st = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+        .filter(F.col("n") >= SAX_SEGMENTS)
+    )
+    w = Window.partitionBy("user_id").orderBy(ts_micros("ts"), F.col("event_id"))
+    rn = e.select("user_id", "value", F.row_number().over(w).alias("r"))
+    m = F.col("s") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - m * m, F.lit(0.0))
+    z = rn.join(st, "user_id").select(
+        "user_id",
+        "n",
+        F.expr(f"((r - 1) * {SAX_SEGMENTS}) div n").alias("seg"),
+        F.when(var > 0, (F.col("value") - m) / F.sqrt(var)).otherwise(0.0).alias("z"),
+    )
+    paa = z.groupBy("user_id", "n", "seg").agg(F.avg("z").alias("pm"))
+    letter = (
+        F.when(F.col("pm") < -SAX_BP, "a")
+        .when(F.col("pm") < 0, "b")
+        .when(F.col("pm") < SAX_BP, "c")
+        .otherwise("d")
+    )
+    return (
+        paa.select("user_id", "n", "seg", letter.alias("letter"))
+        .groupBy("user_id", F.col("n").alias("n_events"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "letter"))),
+                    lambda s: s.letter,
+                ),
+                "",
+            ).alias("sax_word")
+        )
+    )

@@ -1724,3 +1724,221 @@ def test_span_corruption_reconstructs_original(spark, sf_dir):
         rebuilt = r["input_text"].replace(SENTINEL, span, 1)
         assert rebuilt == orig[r["doc_id"]], r["doc_id"]
         assert SENTINEL in r["input_text"]
+
+
+def test_kruskal_wallis_bounds_and_all_tied_nation_excluded(spark, sf_dir):
+    """H >= 0 and epsilon^2 <= 1 on real data; a nation whose balances
+    are ALL identical (tie correction denominator hits zero) is gated
+    out instead of emitting NaN/inf; perfect segment separation on a
+    synthetic twin yields a large positive H."""
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.mleval import kruskal_wallis
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    for r in QUERIES["kruskal_wallis"](spark, sf_dir).collect():
+        assert r["h_stat"] >= 0.0
+        assert r["epsilon_sq"] <= 1.0
+
+    d = tempfile.mkdtemp()
+    rows = (
+        # nation 1: all balances tied -> excluded
+        [(1, "AUTO", 5.0)] * 4
+        + [(1, "BLDG", 5.0)] * 4
+        # nation 2: disjoint value ranges per segment -> strong H
+        + [(2, "AUTO", float(v)) for v in range(1, 6)]
+        + [(2, "BLDG", float(v)) for v in range(10, 15)]
+    )
+    spark.createDataFrame(
+        rows, "c_nationkey int, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    out = {r["nationkey"]: r for r in kruskal_wallis(spark, d).collect()}
+    assert 1 not in out
+    assert out[2]["h_stat"] > 5.0
+
+
+def test_levene_zero_for_identical_groups(spark, sf_dir):
+    """W == 0 when every group has the same spread around its median;
+    real-data W >= 0 with correct dfs."""
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.mleval import (
+        levene_brown_forsythe,
+    )
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    r = QUERIES["levene_brown_forsythe"](spark, sf_dir).collect()[0]
+    assert r["w_stat"] >= 0.0
+    assert r["df1"] == r["n_groups"] - 1
+    assert r["df2"] == r["n_rows"] - r["n_groups"]
+
+    d = tempfile.mkdtemp()
+    rows = [(t, v) for t in ("a", "b", "c") for v in (1.0, 2.0, 3.0)]
+    spark.createDataFrame(rows, "event_type string, value double").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    r0 = levene_brown_forsythe(spark, d).collect()[0]
+    assert abs(r0["w_stat"]) < 1e-9
+
+
+def test_collocation_g2_nonnegative_and_supported(spark, sf_dir):
+    """G^2 is a likelihood ratio: >= 0 for every emitted pair, and every
+    pair clears the support floor."""
+    from structured_streaming_cassandra_sink_spark.operators.text import G2_MIN_COUNT
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["collocation_g2"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["g2"] >= 0.0
+        assert r["c_xy"] >= G2_MIN_COUNT
+
+
+def test_subquery_double_exists_semantics_on_known_case(spark):
+    """Hand-built orders: supplier 1 is sole-at-fault in order 10
+    (multi-supplier, only s1 returned), NOT counted for order 20
+    (co-supplier also returned), order 30 (single-supplier), or
+    order 40 (non-finalized)."""
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.relational import (
+        subquery_double_exists,
+    )
+
+    d = tempfile.mkdtemp()
+    li = [
+        (10, 1, "R"), (10, 2, "N"),
+        (20, 1, "R"), (20, 2, "R"),
+        (30, 1, "R"),
+        (40, 1, "R"), (40, 2, "N"),
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_suppkey bigint, l_returnflag string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "F"), (20, "F"), (30, "F"), (40, "O")],
+        "o_orderkey bigint, o_orderstatus string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "s1"), (2, "s2")], "s_suppkey bigint, s_name string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "supplier.parquet"))
+    out = {r["suppkey"]: r["sole_fault_orders"] for r in subquery_double_exists(spark, d).collect()}
+    assert out == {1: 1}
+
+
+def test_join_asof_nearest_tie_prefers_backward(spark):
+    """An event exactly midway between two hour starts takes the EARLIER
+    hour's rate; an event on an hour boundary has delta 0."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        join_asof_nearest,
+    )
+
+    d = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # hour 10 bucket: one event ON the boundary (value 2.0)
+        (1, t0, 100, "view", 2.0, None),
+        # midway event: 10:30:00 exactly -> 1800 s to both hour starts
+        (2, t0 + dt.timedelta(minutes=30), 100, "view", 4.0, None),
+        # hour 11 bucket exists so the midway event HAS a forward rate
+        (3, t0 + dt.timedelta(hours=1), 100, "view", 8.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_id"]: r for r in join_asof_nearest(spark, d).collect()}
+    # hour-10 avg = (2+4)/2 = 3.0, hour-11 avg = 8.0
+    assert out[1]["nearest_rate"] == 3.0 and out[1]["delta_sec"] == 0
+    assert out[2]["nearest_rate"] == 3.0 and out[2]["delta_sec"] == 1800
+    assert out[3]["nearest_rate"] == 8.0 and out[3]["delta_sec"] == 0
+
+
+def test_time_decay_attribution_credits_normalize_and_decay(spark, sf_dir):
+    """Per-purchase credits sum to 1 (where any click is in window) and
+    decrease with lag within a purchase."""
+    from collections import defaultdict
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["time_decay_attribution"](spark, sf_dir).collect()
+    assert rows
+    by_p = defaultdict(list)
+    for r in rows:
+        by_p[r["purchase_id"]].append((r["lag_sec"], r["credit"]))
+    for p, cs in by_p.items():
+        assert abs(sum(c for _, c in cs) - 1.0) < 1e-4, p
+        cs.sort()
+        credits = [c for _, c in cs]
+        assert credits == sorted(credits, reverse=True), p
+
+
+def test_sax_encode_constant_series_and_word_length(spark, sf_dir):
+    """Constant series (std = 0) -> all-'c' word; real-data words are
+    exactly SAX_SEGMENTS letters from the 4-letter alphabet."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        SAX_SEGMENTS,
+        sax_encode,
+    )
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    for r in QUERIES["sax_encode"](spark, sf_dir).limit(50).collect():
+        assert len(r["sax_word"]) == SAX_SEGMENTS
+        assert set(r["sax_word"]) <= set("abcd")
+
+    d = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 7, "view", 5.0, None) for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = sax_encode(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["sax_word"] == "c" * SAX_SEGMENTS
+
+
+def test_knn_classify_eval_bounds_and_perfect_clusters(spark, sf_dir):
+    """Accuracy in [0,1] with consistent counts on real data; on a
+    synthetic corpus with axis-aligned label clusters the classifier is
+    perfect."""
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        knn_classify_eval,
+    )
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    for r in QUERIES["knn_classify_eval"](spark, sf_dir).collect():
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_test"]
+
+    d = tempfile.mkdtemp()
+    # 3 labels on 3 orthogonal axes — any k-NN vote is unanimous
+    rows = []
+    for i in range(60):
+        lab = i % 3
+        vec = [0.0, 0.0, 0.0]
+        vec[lab] = 1.0 + (i % 7) * 0.01
+        rows.append((i, vec, lab))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = knn_classify_eval(spark, d).collect()
+    assert out and all(r["accuracy"] == 1.0 for r in out)

@@ -70,6 +70,8 @@ BNLJ_ALLOWED = {
     "isotonic_calibration",
     "late_data_audit",       # 1-row total-count ride-along onto the band lattice
     "qini_uplift_curve",     # 9-scalar decile-cut row ride-along
+    "collocation_g2",        # 1-row bigram-total ride-along
+    "knn_classify_eval",     # bounded eval-set x train-corpus product (the design)
 }
 
 # Window with an empty PARTITION BY (single-partition sort): every entry
