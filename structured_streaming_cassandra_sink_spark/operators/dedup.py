@@ -1715,3 +1715,109 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("score") >= FS_MATCH_T, "match").otherwise("possible"),
         )
     )
+
+
+# ------------------------------------------------- graph_clustering_coeff
+
+CC_TOPK = 10
+
+
+@query(
+    "graph_clustering_coeff",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM toks WHERE len(toks) >= {NGRAM_N}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY 1),
+    tri AS (
+      SELECT unnest([e1.u, e1.v, e2.v]) AS node
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+    tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM tri GROUP BY 1)
+    SELECT deg.node, degree,
+           COALESCE(n_tri, 0)       AS n_triangles,
+           round(2.0 * COALESCE(n_tri, 0) / (degree * (degree - 1)), 6)
+                                    AS local_cc
+    FROM deg LEFT JOIN tn ON deg.node = tn.node
+    WHERE degree >= 2
+    ORDER BY degree DESC, deg.node
+    LIMIT {CC_TOPK}
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the near-dup graph's top-{CC_TOPK}
+    highest-degree nodes: cc(v) = 2*T(v) / (deg(v) * (deg(v)-1)) — the
+    per-node refinement of `dup_graph_triangles`'s global count that
+    tells template FAMILIES (cc -> 1: my duplicates duplicate each
+    other) from boilerplate HUBS (cc -> 0: a shared footer stitching
+    unrelated docs) — precisely the nodes a dedup run should treat
+    differently (collapse families, ignore hub edges).
+
+    Shape: the same node-iterator wedge join as dup_graph_triangles
+    (each leg a plain equi-shuffle on one endpoint), but each closed
+    triangle explodes to its THREE member nodes and collapses into a
+    per-node count — no per-node neighborhood materialization. Degrees
+    are one explode+count; the top-k is TakeOrderedAndProject with node
+    tie-break. Same 100 TB caveat as the triangle count: switch edge
+    orientation from id-order to degree-order so hub wedges are bounded
+    by their low-degree endpoints."""
+    pairs = dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("w1"), F.col("e2.v").alias("w2")
+    )
+    closed = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("w1")) & (F.col("e3.v") == F.col("w2")),
+        "inner",
+    )
+    tn = (
+        closed.select(
+            F.explode(F.array(F.col("a"), F.col("w1"), F.col("w2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(CC_TOPK)
+    )

@@ -2855,3 +2855,106 @@ def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 4
         ).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------- brier_decomposition
+
+
+@query(
+    "brier_decomposition",
+    f"""
+    WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                FROM orders),
+    b AS (
+      SELECT {_bin_sql('o_totalprice')} AS bin,
+             (o_totalprice - lo) / (hi - lo) AS p,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders CROSS JOIN mm),
+    g AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             sum(p) AS sp, sum(p * p) AS sp2, sum(y) AS sy, sum(p * y) AS spy
+      FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sy) AS tsy FROM g)
+    SELECT nn AS n_rows,
+           round(sum(sp2 - 2 * spy + sy) / nn, 6)                  AS brier,
+           round(sum(n * (sp / n - sy / n) * (sp / n - sy / n)) / nn, 6)
+                                                                   AS reliability,
+           round(sum(n * (sy / n - tsy / nn) * (sy / n - tsy / nn)) / nn, 6)
+                                                                   AS resolution,
+           round((any_value(tsy) / nn) * (1 - any_value(tsy) / nn), 6)
+                                                                   AS uncertainty,
+           round(sum(sp2 - sp * sp / n) / nn, 6)                   AS wb_var,
+           round(sum(spy - sp * sy / n) / nn, 6)                   AS wb_cov
+    FROM g CROSS JOIN t
+    GROUP BY nn
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over the shared
+    {N_BINS}-bin score binning: brier = reliability - resolution +
+    uncertainty + within-bin variance - 2 * within-bin covariance —
+    the diagnosis `calibration_bins` draws and `log_loss_brier` totals:
+    HOW MUCH of the score is miscalibration (reliability, fixable by
+    recalibration) vs lack of discrimination (resolution) vs intrinsic
+    base-rate noise (uncertainty). The two within-bin terms make the
+    identity EXACT for binned forecasts (they vanish only when the
+    forecast is constant within each bin); the identity is pinned in
+    tests.
+
+    Shape: every term is algebra over per-bin (n, sum p, sum p^2,
+    sum y, sum p*y) partials — ONE conditional hash aggregation of
+    {N_BINS} groups over one scan (min/max scalars broadcast, same rig
+    as calibration_bins), then a 1-row reduction. No window, no second
+    scan, map-side combinable: the ideal 100 TB shape.
+
+    Reference provenance: generalizes the aggregate surface of
+    cassandra_sink.scala:113-120 to forecast-quality diagnostics."""
+    o = load_table(spark, "orders", sf_dir)
+    mm = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    lo, hi = F.col("lo"), F.col("hi")
+    x = F.col("o_totalprice")
+    b = o.crossJoin(F.broadcast(mm)).select(
+        _bin_col(x, lo, hi).alias("bin"),
+        ((x - lo) / (hi - lo)).alias("p"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("sp2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("p") * F.col("y")).alias("spy"),
+    )
+    t = g.agg(F.sum("n").alias("nn"), F.sum("sy").alias("tsy"))
+    n, sp, sp2, sy, spy = (F.col(c) for c in ("n", "sp", "sp2", "sy", "spy"))
+    nn, tsy = F.col("nn"), F.col("tsy")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("nn")
+        .agg(
+            F.round(F.sum(sp2 - 2 * spy + sy) / F.first("nn"), 6).alias("brier"),
+            F.round(
+                F.sum(n * (sp / n - sy / n) * (sp / n - sy / n)) / F.first("nn"), 6
+            ).alias("reliability"),
+            F.round(
+                F.sum(n * (sy / n - tsy / nn) * (sy / n - tsy / nn)) / F.first("nn"),
+                6,
+            ).alias("resolution"),
+            F.round(
+                (F.first("tsy") / F.first("nn"))
+                * (1 - F.first("tsy") / F.first("nn")),
+                6,
+            ).alias("uncertainty"),
+            F.round(F.sum(sp2 - sp * sp / n) / F.first("nn"), 6).alias("wb_var"),
+            F.round(F.sum(spy - sp * sy / n) / F.first("nn"), 6).alias("wb_cov"),
+        )
+        .select(
+            F.col("nn").alias("n_rows"),
+            "brier",
+            "reliability",
+            "resolution",
+            "uncertainty",
+            "wb_var",
+            "wb_cov",
+        )
+    )

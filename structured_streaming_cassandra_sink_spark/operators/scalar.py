@@ -1002,3 +1002,77 @@ def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_freq, 6).alias("exp_freq"),
         F.round(F.pow(obs_freq - exp_freq, 2) / exp_freq, 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------- equi_depth_histogram
+
+EQD_BUCKETS = 8
+
+
+@query(
+    "equi_depth_histogram",
+    f"""
+    WITH lv AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    pos AS (
+      SELECT priority, v, c,
+             sum(c) OVER (PARTITION BY priority ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum0,
+             sum(c) OVER (PARTITION BY priority) AS n
+      FROM lv)
+    SELECT priority,
+           CAST((cum0 * {EQD_BUCKETS}) // n AS INT) AS bucket,
+           min(v)                       AS lo,
+           max(v)                       AS hi,
+           CAST(sum(c) AS BIGINT)       AS n_rows,
+           CAST(count(*) AS BIGINT)     AS n_distinct
+    FROM pos GROUP BY 1, 2
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order price per priority —
+    the statistics object a cost-based optimizer collects per column
+    (ANALYZE ... COMPUTE STATISTICS FOR COLUMNS builds exactly this):
+    {EQD_BUCKETS} buckets of ~equal ROW count, each reporting bounds,
+    rows, and NDV, robust to skew where `length_histogram`'s equal-WIDTH
+    bins collapse.
+
+    Shape: rows are never ranked — the table collapses to the
+    (priority, value) lattice first, then ONE window pass per priority
+    over the lattice assigns each distinct value its bucket by pure
+    integer position math (`(cum_before * B) div N`, `div` == `//` on
+    the non-negative domain: engine-exact, no percentile interpolation
+    to disagree on). A distinct value never splits across buckets (the
+    statistically right choice for NDV accounting — heavy values make
+    one bucket deeper instead of lying about boundaries). Windows
+    partition by priority, so the sort is lattice-bounded AND parallel;
+    a single-column global histogram at 100 TB would swap the lattice
+    window for the two-pass prefix sum `running_total` uses."""
+    o = load_table(spark, "orders", sf_dir)
+    lv = o.groupBy(
+        F.col("o_orderpriority").alias("priority"), F.col("o_totalprice").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("priority")
+    pos = lv.select(
+        "priority",
+        "v",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum0"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return pos.groupBy(
+        "priority",
+        F.expr(f"CAST((cum0 * {EQD_BUCKETS}) div n AS INT)").alias("bucket"),
+    ).agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )

@@ -1535,3 +1535,104 @@ def collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("g2").desc(), "x", "y")
         .limit(G2_TOPK)
     )
+
+
+# ---------------------------------------------------------- heaps_law_fit
+
+HEAPS_BUCKET = 100  # docs per vocabulary-growth checkpoint
+
+
+@query(
+    "heaps_law_fit",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id // {HEAPS_BUCKET} AS bucket,
+             string_split(text, ' ') AS tk
+      FROM documents),
+    nt AS (
+      SELECT source, bucket, CAST(sum(len(tk)) AS BIGINT) AS n_tok
+      FROM toks GROUP BY 1, 2),
+    firsts AS (
+      SELECT source, w, min(bucket) AS first_bucket
+      FROM (SELECT source, bucket, unnest(tk) AS w FROM toks)
+      GROUP BY 1, 2),
+    nv AS (
+      SELECT source, first_bucket AS bucket,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1, 2),
+    cum AS (
+      SELECT nt.source, nt.bucket,
+             sum(nt.n_tok) OVER (PARTITION BY nt.source ORDER BY nt.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS big_n,
+             sum(COALESCE(nv.n_new, 0)) OVER (PARTITION BY nt.source
+               ORDER BY nt.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM nt LEFT JOIN nv ON nt.source = nv.source AND nt.bucket = nv.bucket)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(CAST(v AS DOUBLE)),
+                            ln(CAST(big_n AS DOUBLE))), 6)     AS beta,
+           round(regr_intercept(ln(CAST(v AS DOUBLE)),
+                                ln(CAST(big_n AS DOUBLE))), 4) AS ln_k,
+           round(regr_r2(ln(CAST(v AS DOUBLE)),
+                         ln(CAST(big_n AS DOUBLE))), 6)        AS r2
+    FROM cum WHERE v > 0 AND big_n > 0
+    GROUP BY source
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit per source: vocabulary growth V(N) ~ K * N^beta,
+    estimated by OLS on (ln N, ln V) over corpus-position checkpoints —
+    the curve that predicts how much NEW vocabulary another 10x of crawl
+    will add (tokenizer sizing, dedup-rate forecasting). beta well below
+    1 is the signature of natural language; ~1 flags synthetic/ID-heavy
+    sources.
+
+    Shape: a word's first occurrence is min(bucket) per (source, word)
+    — one vocabulary-bounded aggregation, NEVER a running distinct over
+    rows; new-word and token counts collapse to the (source, bucket)
+    checkpoint lattice ({HEAPS_BUCKET} docs per bucket, so the lattice
+    is corpus_size/{HEAPS_BUCKET} points); the cumulative windows and
+    the SQL:2003 regression aggregates (same regr_* kernels as
+    `regression_agg`, already parity-proven) run per source over that
+    bounded lattice. At 100 TB the bucket width scales with the corpus
+    so the lattice stays ~10^3 points; the plan is unchanged.
+
+    Reference provenance: generalizes the reference's text split
+    surface (cassandra_sink.scala:107-111) to corpus-growth law
+    estimation."""
+    d = spread(load_table(spark, "documents", sf_dir))
+    toks = d.select(
+        "source",
+        F.expr(f"doc_id div {HEAPS_BUCKET}").alias("bucket"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    nt = toks.groupBy("source", "bucket").agg(F.sum(F.size("tk")).alias("n_tok"))
+    firsts = (
+        toks.select("source", "bucket", F.explode("tk").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    nv = firsts.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        nt.join(nv, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.sum("n_tok").over(w).alias("big_n"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("v"),
+        )
+        .filter((F.col("v") > 0) & (F.col("big_n") > 0))
+    )
+    lnv = F.log(F.col("v").cast("double"))
+    lnn = F.log(F.col("big_n").cast("double"))
+    return cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(lnv, lnn), 6).alias("beta"),
+        F.round(F.regr_intercept(lnv, lnn), 4).alias("ln_k"),
+        F.round(F.regr_r2(lnv, lnn), 6).alias("r2"),
+    )

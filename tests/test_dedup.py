@@ -212,3 +212,39 @@ def test_record_linkage_scores_on_weight_lattice(spark, sf_dir):
         assert r.score >= 0.0
         expect = "match" if r.score >= FS_MATCH_T else "possible"
         assert r.match_class == expect
+
+
+def test_graph_clustering_coeff_bounds_and_triangle_cap(spark, sf_dir):
+    """cc in [0,1] and per-node triangles never exceed C(degree, 2)."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["graph_clustering_coeff"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["local_cc"] <= 1.0
+        assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) // 2
+
+
+def test_graph_clustering_coeff_complete_family(spark):
+    """Three identical docs form K3: every node has degree 2, one
+    triangle, cc == 1."""
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        graph_clustering_coeff,
+    )
+
+    d = tempfile.mkdtemp()
+    text = " ".join(f"w{i}" for i in range(20))
+    rows = [(i, text, "en", "s", len(text)) for i in range(3)] + [
+        (10 + i, " ".join(f"z{i}_{j}" for j in range(20)), "en", "s", 50)
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = graph_clustering_coeff(spark, d).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["degree"] == 2 and r["n_triangles"] == 1 and r["local_cc"] == 1.0

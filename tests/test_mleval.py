@@ -553,3 +553,21 @@ def test_qini_conservation_and_final_point(spark, sf_dir):
     for r in rows:
         if r["uplift_cum"] is not None:
             assert -1.0 <= r["uplift_cum"] <= 1.0
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """The 5-term Murphy identity is exact: brier = reliability -
+    resolution + uncertainty + wb_var - 2*wb_cov (to rounding), with
+    every variance-like term non-negative and uncertainty <= 0.25."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    r = QUERIES["brier_decomposition"](spark, sf_dir).collect()[0]
+    lhs = r["brier"]
+    rhs = (
+        r["reliability"] - r["resolution"] + r["uncertainty"]
+        + r["wb_var"] - 2 * r["wb_cov"]
+    )
+    assert abs(lhs - rhs) < 1e-5, (lhs, rhs)
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert r["wb_var"] >= 0
+    assert 0 <= r["uncertainty"] <= 0.25

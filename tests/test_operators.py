@@ -1942,3 +1942,64 @@ def test_knn_classify_eval_bounds_and_perfect_clusters(spark, sf_dir):
     ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
     out = knn_classify_eval(spark, d).collect()
     assert out and all(r["accuracy"] == 1.0 for r in out)
+
+
+def test_heaps_law_fit_bounds_and_degenerate_growth(spark, sf_dir):
+    """Real corpora grow sub-linearly (0 < beta <= ~1); an all-unique
+    vocabulary grows exactly linearly (beta == 1, perfect fit) and a
+    closed vocabulary stops growing (beta ~ 0)."""
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.text import heaps_law_fit
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    # the synthetic word-soup corpus has a tiny CLOSED vocabulary, so
+    # real-data beta legitimately sits at ~0 (saturated growth)
+    for r in QUERIES["heaps_law_fit"](spark, sf_dir).collect():
+        assert 0.0 <= r["beta"] <= 1.05, r
+        assert r["n_points"] >= 2
+
+    d = tempfile.mkdtemp()
+    rows = []
+    # source "uniq": every token globally new -> V(N) = N
+    for i in range(600):
+        rows.append((i, " ".join(f"u{i}_{j}" for j in range(5)), "en", "uniq", 1))
+    # source "closed": same 5 tokens forever -> V flat after bucket 0
+    for i in range(600):
+        rows.append((1000 + i, "a b c d e", "en", "closed", 1))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r["source"]: r for r in heaps_law_fit(spark, d).collect()}
+    assert abs(out["uniq"]["beta"] - 1.0) < 1e-6
+    assert abs(out["uniq"]["r2"] - 1.0) < 1e-6
+    assert out["closed"]["beta"] < 0.05
+
+
+def test_equi_depth_histogram_partition_invariants(spark, sf_dir):
+    """Buckets are contiguous, ordered, non-overlapping, and conserve
+    both row count and NDV within each priority."""
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.operators.scalar import EQD_BUCKETS
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["equi_depth_histogram"](spark, sf_dir).collect()
+    truth = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT o_orderpriority, count(*), count(DISTINCT o_totalprice)"
+            f" FROM '{sf_dir}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["priority"], []).append(r)
+    for p, bs in by_p.items():
+        bs.sort(key=lambda r: r["bucket"])
+        assert [b["bucket"] for b in bs] == list(range(EQD_BUCKETS))
+        for a, b in zip(bs, bs[1:]):
+            assert a["hi"] < b["lo"]  # non-overlapping, ordered
+        assert sum(b["n_rows"] for b in bs) == truth[p][0]
+        assert sum(b["n_distinct"] for b in bs) == truth[p][1]

@@ -71,6 +71,7 @@ BNLJ_ALLOWED = {
     "late_data_audit",       # 1-row total-count ride-along onto the band lattice
     "qini_uplift_curve",     # 9-scalar decile-cut row ride-along
     "collocation_g2",        # 1-row bigram-total ride-along
+    "brier_decomposition",   # min/max row + 1-row totals onto the bin lattice
     "knn_classify_eval",     # bounded eval-set x train-corpus product (the design)
 }
 
