@@ -2473,3 +2473,64 @@ def subquery_double_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sole_fault_orders").desc(), "supp_name")
         .limit(DBLX_TOPK)
     )
+
+
+# ------------------------------------------------- subquery_anti_scalar
+
+
+@query(
+    "subquery_anti_scalar",
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+    horizon AS (
+      SELECT max(o_orderdate) - INTERVAL 14 DAY AS cutoff FROM orders)
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT)     AS numcust,
+           round(sum(c_acctbal), 2)     AS totacctbal
+    FROM customer CROSS JOIN avg_bal CROSS JOIN horizon
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = customer.c_custkey
+                        AND o.o_orderdate >= cutoff)
+    GROUP BY 1
+    """,
+)
+def subquery_anti_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): per nation, the
+    wealthy-but-dormant customers — balance above the positive-balance
+    average (uncorrelated scalar subquery) with no order in the last 14
+    days of the horizon (anti-join; Q22 proper uses "no order ever",
+    which this data never satisfies — the recency cutoff keeps the
+    exact plan shape AND a non-trivial result). Completes the
+    classic-subquery set next to `subquery_exists` (Q4),
+    `subquery_correlated_scalar` (Q17) and `subquery_double_exists`
+    (Q21).
+
+    Shape: the scalar average is a 1-row aggregate broadcast-crossed
+    into the customer scan (never a per-row re-scan); the NOT EXISTS
+    decorrelates to a LEFT ANTI shuffle join on custkey against an
+    orders side PROJECTED to its join key before the exchange; the
+    final rollup collapses to |nations| rows map-side. The balance
+    filter runs BEFORE the anti join, so the join's probe side is
+    already the small wealthy subset — filter-then-join, the order
+    Catalyst picks and the one that matters at 100 TB."""
+    c = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 14 DAY")).alias("cutoff")
+    )
+    recent = orders.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("o_orderdate") >= F.col("cutoff")
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    wealthy = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    dormant = wealthy.join(recent, wealthy.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

@@ -1076,3 +1076,62 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
+
+
+# ------------------------------------------------------ arrow_map_surface
+
+
+@query(
+    "arrow_map_surface",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)                 AS n_chars,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+    FROM documents
+    """,
+)
+def arrow_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: the zero-copy sibling of mapInPandas
+    (`udf_surface`) — the UDF receives raw pyarrow RecordBatches and
+    answers with RecordBatches, skipping the Arrow->pandas->Arrow
+    conversion entirely. The right API tier when the Python work is
+    itself Arrow-native (pyarrow.compute kernels, Arrow-backed parsers,
+    DataFusion/Polars handoffs): all three outputs here are computed by
+    vectorized pa.compute kernels, no pandas materialization, no
+    per-row Python.
+
+    The computation is deliberately deterministic string math (token /
+    char / non-space counts) so this API class gets a FULL value-hash
+    oracle — unlike most UDF demos. Plumbing notes that matter at
+    100 TB: output batches preserve input batch boundaries (no
+    re-batching memory spike), the UDF projects doc_id+text only
+    (column pruning still reaches the scan), and the partition count is
+    untouched.
+
+    Reference provenance: the reference's per-row ForeachWriter
+    (cassandra_sink.scala:30-56) is the row-at-a-time anti-pattern this
+    surface replaces with batch-vectorized Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def counts(batches):
+        for batch in batches:
+            text = batch.column("text")
+            n_tokens = pc.list_value_length(
+                pc.split_pattern(text, pattern=" ")
+            ).cast(pa.int64())
+            n_chars = pc.utf8_length(text).cast(pa.int64())
+            n_nonspace = pc.utf8_length(
+                pc.replace_substring(text, pattern=" ", replacement="")
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n_tokens, n_chars, n_nonspace],
+                ["doc_id", "n_tokens", "n_chars", "n_nonspace"],
+            )
+
+    return d.mapInArrow(
+        counts, "doc_id long, n_tokens long, n_chars long, n_nonspace long"
+    )

@@ -3255,3 +3255,178 @@ def sax_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sax_word")
         )
     )
+
+
+# ---------------------------------------------- mann_kendall_trend_test
+
+
+@query(
+    "mann_kendall_trend_test",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 4) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+      GROUP BY 1),
+    v AS (
+      SELECT s.event_type, s_stat, n,
+             (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+               AS var_s
+      FROM s JOIN nn USING (event_type) JOIN ties USING (event_type))
+    SELECT event_type, n AS n_days, s_stat,
+           round(var_s, 4) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 4) AS z_stat
+    FROM v
+    """,
+)
+def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST per event type: S = sum of pairwise
+    sign(x_j - x_i) over the daily-revenue series, tie-corrected
+    variance, and the continuity-corrected z — the SIGNIFICANCE
+    companion to `theil_sen_trend` (which estimates the slope this test
+    decides is real): the canonical pairing in environmental/ops trend
+    monitoring, both distribution-free.
+
+    Shape: identical bounded-lattice discipline to theil_sen_trend —
+    one hash agg collapses events to the |types| x |days| lattice
+    (daily sums ROUNDED to 4dp before any comparison, so the pairwise
+    sign cannot flip on cross-engine 1e-12 sum noise), the pairwise
+    sign sum is a lattice self-join (~days²/2 cells per type, constant
+    in corpus size), S and the tie term are exact int64, and floats
+    appear only in the final variance/z algebra.
+
+    Reference provenance: generalizes the aggregate surface of
+    cassandra_sink.scala:113-120 to trend significance."""
+    ev = spread(load_table(spark, "events", sf_dir))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias(
+                "tie_term"
+            )
+        )
+    )
+    n = F.col("n")
+    var_s = (n.cast("double") * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    ss = F.col("s_stat")
+    z = (
+        F.when(ss > 0, (ss - 1) / F.sqrt(F.col("var_s")))
+        .when(ss < 0, (ss + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(0.0)
+    )
+    return (
+        s.join(nn, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_s", var_s)
+        .select(
+            "event_type",
+            n.alias("n_days"),
+            "s_stat",
+            F.round(F.col("var_s"), 4).alias("var_s"),
+            F.round(z, 4).alias("z_stat"),
+        )
+    )
+
+
+# -------------------------------------------------------- pinball_loss_eval
+
+PINBALL_QS = (0.1, 0.5, 0.9)
+SNAIVE_LAG_DAYS = 7
+
+
+@query(
+    "pinball_loss_eval",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1, 2),
+    fc AS (
+      SELECT event_type, day, y,
+             lag(y, {SNAIVE_LAG_DAYS}) OVER (PARTITION BY event_type
+                                             ORDER BY day) AS yhat
+      FROM daily),
+    q AS (SELECT CAST(unnest([{", ".join(str(q) for q in PINBALL_QS)}]) AS DOUBLE) AS q)
+    SELECT event_type, q,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(CASE WHEN y >= yhat THEN q * (y - yhat)
+                          ELSE (q - 1) * (y - yhat) END), 4) AS pinball
+    FROM fc CROSS JOIN q
+    WHERE yhat IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecaster at
+    q = {PINBALL_QS} — the metric that scores a forecast AS a quantile:
+    q = 0.5 halves into MAE, the 0.1/0.9 pair exposes asymmetric
+    under/over-forecasting that `forecast_snaive_backtest`'s MAPE
+    averages away. The standard read-out for probabilistic forecast
+    evaluation (M5 competition metric).
+
+    Shape: the forecast is a {SNAIVE_LAG_DAYS}-day lag window over the
+    per-type day lattice (daily sums rounded to 4dp before the loss so
+    both engines compare identical values); the three quantile levels
+    ride a 3-row broadcast Expand, and the loss collapses map-side to
+    |types| x |q| rows. Everything after the one events->lattice
+    aggregation is constant-size in corpus scale."""
+    ev = spread(load_table(spark, "events", sf_dir))
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", SNAIVE_LAG_DAYS).over(w).alias("yhat"),
+    ).filter(F.col("yhat").isNotNull())
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in PINBALL_QS])).alias("q")
+    )
+    err = F.col("y") - F.col("yhat")
+    loss = F.when(err >= 0, F.col("q") * err).otherwise((F.col("q") - 1) * err)
+    return (
+        fc.crossJoin(F.broadcast(qs))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(loss), 4).alias("pinball"),
+        )
+    )

@@ -2003,3 +2003,116 @@ def test_equi_depth_histogram_partition_invariants(spark, sf_dir):
             assert a["hi"] < b["lo"]  # non-overlapping, ordered
         assert sum(b["n_rows"] for b in bs) == truth[p][0]
         assert sum(b["n_distinct"] for b in bs) == truth[p][1]
+
+
+def test_subquery_anti_scalar_semantics(spark, sf_dir):
+    """Every reported nation's customers are above the positive-balance
+    average and none has a recent order — cross-checked independently
+    against DuckDB set logic."""
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["subquery_anti_scalar"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["numcust"] for r in rows)
+    truth = duckdb.sql(
+        f"""
+        WITH ab AS (SELECT avg(c_acctbal) a FROM '{sf_dir}/customer.parquet'
+                    WHERE c_acctbal > 0.0),
+        hz AS (SELECT max(o_orderdate) - INTERVAL 14 DAY cut
+               FROM '{sf_dir}/orders.parquet')
+        SELECT count(*) FROM '{sf_dir}/customer.parquet' c, ab, hz
+        WHERE c_acctbal > a AND c_custkey NOT IN (
+          SELECT o_custkey FROM '{sf_dir}/orders.parquet'
+          WHERE o_orderdate >= cut)
+        """
+    ).fetchall()[0][0]
+    assert total == truth
+
+
+def test_mann_kendall_monotone_series(spark):
+    """A strictly increasing daily series gives S = n(n-1)/2 (every pair
+    concordant) and a large positive z; strictly decreasing mirrors to
+    -S."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        mann_kendall_trend_test,
+    )
+
+    d = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(10):
+        rows.append((i, t0 + dt.timedelta(days=i), 1, "up", float(i + 1), None))
+        rows.append((100 + i, t0 + dt.timedelta(days=i), 1, "down", float(10 - i), None))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in mann_kendall_trend_test(spark, d).collect()}
+    assert out["up"]["s_stat"] == 45 and out["down"]["s_stat"] == -45
+    assert out["up"]["z_stat"] > 3 and out["down"]["z_stat"] < -3
+    assert out["up"]["z_stat"] == -out["down"]["z_stat"]
+
+
+def test_pinball_loss_median_is_half_mae(spark, sf_dir):
+    """At q = 0.5 the pinball loss is exactly MAE/2 — cross-checked
+    against a direct computation; all losses are non-negative."""
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        SNAIVE_LAG_DAYS,
+    )
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = QUERIES["pinball_loss_eval"](spark, sf_dir).collect()
+    assert rows and all(r["pinball"] >= 0 for r in rows)
+    mae = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     round(sum(value),4) AS y
+              FROM '{sf_dir}/events.parquet' GROUP BY 1,2),
+            fc AS (SELECT event_type, y, lag(y, {SNAIVE_LAG_DAYS}) OVER
+                     (PARTITION BY event_type ORDER BY day) AS yhat FROM daily)
+            SELECT event_type, avg(abs(y - yhat)) FROM fc
+            WHERE yhat IS NOT NULL GROUP BY 1
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        if r["q"] == 0.5:
+            assert abs(r["pinball"] - mae[r["event_type"]] / 2) < 1e-3
+
+
+def test_arrow_map_surface_matches_jvm_expressions(spark, sf_dir):
+    """The Arrow-side counts agree exactly with the Catalyst expression
+    equivalents on the same rows."""
+    import pyspark.sql.functions as F
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["n_nonspace"])
+        for r in QUERIES["arrow_map_surface"](spark, sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (r["t"], r["c"], r["n"])
+        for r in load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("t"),
+            F.length("text").cast("long").alias("c"),
+            F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want

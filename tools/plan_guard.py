@@ -72,6 +72,8 @@ BNLJ_ALLOWED = {
     "qini_uplift_curve",     # 9-scalar decile-cut row ride-along
     "collocation_g2",        # 1-row bigram-total ride-along
     "brier_decomposition",   # min/max row + 1-row totals onto the bin lattice
+    "pinball_loss_eval",     # 3-row quantile-level broadcast onto the day lattice
+    "subquery_anti_scalar",  # two 1-row scalar ride-alongs (avg balance, recency cutoff)
     "knn_classify_eval",     # bounded eval-set x train-corpus product (the design)
 }
 
@@ -111,6 +113,7 @@ PYTHON_ALLOWED = {
     "multimodal_decode",        # binary decoder (mapInPandas)
     "multimodal_resize",        # binary resize (mapInPandas)
     "multimodal_frame_sample",  # 1->N frame sampler (mapInPandas)
+    "arrow_map_surface",        # the mapInArrow demo surface, by name
     "embedding_pca_project",    # eigh projection UDF over the dim lattice
     "heavy_hitters",            # Misra-Gries per-partition partial
                                 # (mapInPandas mg_partial) — the
@@ -179,7 +182,7 @@ def main() -> int:
         python_nodes = len(
             re.findall(
                 r"\(\d+\) (BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|"
-                r"MapInPandas|FlatMapGroupsInPandasWithState)",
+                r"MapInPandas|MapInArrow|FlatMapGroupsInPandasWithState)",
                 plan,
             )
         )
