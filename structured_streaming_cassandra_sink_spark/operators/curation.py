@@ -1574,3 +1574,87 @@ def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("input_text"),
         F.concat(F.lit(SENTINEL + " "), F.array_join(span, " ")).alias("target_text"),
     )
+
+
+# ------------------------------------------------------ ips_offpolicy_eval
+
+IPS_SALT = "policy7:"   # logging-policy namespace (independent of AB_SALT)
+IPS_ACT_MIN = 10        # target policy: treat iff activity >= this
+
+
+@query(
+    "ips_offpolicy_eval",
+    f"""
+    WITH logs AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substr(md5('{IPS_SALT}' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 50
+                  THEN 1 ELSE 0 END AS logged_arm,
+             CAST(count(*) AS BIGINT) AS activity,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+      FROM events GROUP BY 1),
+    scored AS (
+      SELECT *,
+             CASE WHEN activity >= {IPS_ACT_MIN} THEN 1 ELSE 0 END AS target_arm
+      FROM logs)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN target_arm = logged_arm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           round(avg(CAST(r AS DOUBLE)), 6) AS v_logged,
+           round(sum(CASE WHEN target_arm = logged_arm
+                          THEN r / 0.5 ELSE 0.0 END) / count(*), 6) AS v_ips,
+           round(sum(CASE WHEN target_arm = logged_arm THEN CAST(r AS DOUBLE)
+                          ELSE 0.0 END)
+                 / sum(CASE WHEN target_arm = logged_arm THEN 1 ELSE 0 END),
+                 6) AS v_snips
+    FROM scored
+    """,
+)
+def ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate how
+    a NEW targeting rule (treat iff first-month activity >=
+    {IPS_ACT_MIN}) would have performed from logs collected under a
+    uniform 50/50 hash policy — without running the new experiment.
+    v_ips is the unbiased Horvitz-Thompson estimate sum[1{{pi(x)=a}} r /
+    p(a)]/n; v_snips is the self-normalized variant (biased, lower
+    variance — with uniform logging it reduces to the matched-subset
+    conversion rate); v_logged is the behavior policy's realized value.
+    The counterfactual read-out that precedes every `ab_test_readout`.
+
+    Shape: ONE pass collapses events to per-user (arm, activity,
+    converted) — map-side combinable on user_id — then a single scalar
+    aggregation; no joins at all. The logging propensity is an exact
+    literal (0.5) because assignment is the deterministic salted-md5
+    hash (`hash_bucket`), so the estimate is reproducible and the
+    weights exact on both engines. At 100 TB nothing here is more than
+    one shuffle of user states.
+
+    Reference provenance: generalizes the aggregate surface of
+    cassandra_sink.scala:113-120 to counterfactual policy evaluation."""
+    e = load_table(spark, "events", sf_dir)
+    arm = F.when(
+        hash_bucket(F.concat(F.lit(IPS_SALT), F.col("user_id").cast("string"))) < 50,
+        1,
+    ).otherwise(0)
+    logs = e.groupBy("user_id", arm.alias("logged_arm")).agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("r"),
+    )
+    scored = logs.select(
+        "*",
+        F.when(F.col("activity") >= IPS_ACT_MIN, 1).otherwise(0).alias("target_arm"),
+    )
+    match = F.col("target_arm") == F.col("logged_arm")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(match, 1).otherwise(0)).alias("n_matched"),
+        F.round(F.avg(F.col("r").cast("double")), 6).alias("v_logged"),
+        F.round(
+            F.sum(F.when(match, F.col("r") / 0.5).otherwise(0.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("v_ips"),
+        F.round(
+            F.sum(F.when(match, F.col("r").cast("double")).otherwise(0.0))
+            / F.sum(F.when(match, 1).otherwise(0)),
+            6,
+        ).alias("v_snips"),
+    )

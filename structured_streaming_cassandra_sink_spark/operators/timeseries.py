@@ -3430,3 +3430,118 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(loss), 4).alias("pinball"),
         )
     )
+
+
+# -------------------------------------------------------- survival_c_index
+
+CIDX_EARLY_H = 1  # risk score: activity within the first hour
+
+
+@query(
+    "survival_c_index",
+    f"""
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+    p AS (SELECT user_id, min(ts) AS p_ts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+    act AS (
+      SELECT e.user_id, CAST(count(*) AS BIGINT) AS score
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.ts < f.first_ts + INTERVAL {CIDX_EARLY_H} HOUR
+      GROUP BY 1),
+    life AS (
+      SELECT f.user_id,
+             CASE WHEN coalesce(date_diff('hour', f.first_ts, p.p_ts),
+                               {KM_CUTOFF_H + 1}) <= {KM_CUTOFF_H}
+                  THEN date_diff('hour', f.first_ts, p.p_ts)
+                  ELSE {KM_CUTOFF_H} END AS t,
+             CASE WHEN coalesce(date_diff('hour', f.first_ts, p.p_ts),
+                               {KM_CUTOFF_H + 1}) <= {KM_CUTOFF_H}
+                  THEN 1 ELSE 0 END AS observed
+      FROM f LEFT JOIN p USING (user_id)),
+    cells AS (
+      SELECT t, score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(observed) AS BIGINT) AS d
+      FROM life JOIN act USING (user_id) GROUP BY 1, 2),
+    pairs AS (
+      SELECT CAST(sum(a.d * b.n) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN a.score > b.score THEN a.d * b.n
+                           ELSE 0 END) AS BIGINT) AS n_concordant,
+             CAST(sum(CASE WHEN a.score = b.score THEN a.d * b.n
+                           ELSE 0 END) AS BIGINT) AS n_tied
+      FROM cells a JOIN cells b ON a.t < b.t
+      WHERE a.d > 0)
+    SELECT n_pairs, n_concordant, n_tied,
+           round((n_concordant + 0.5 * n_tied) / n_pairs, 6) AS c_index
+    FROM pairs
+    """,
+)
+def survival_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index for the time-to-conversion setting
+    `survival_kaplan_meier` estimates: does first-hour activity (the
+    risk score) correctly ORDER users by how fast they convert? C
+    counts, over every comparable pair (earlier member's event
+    observed), how often the earlier converter had the higher score —
+    the censoring-aware generalization of `roc_auc` (C = AUC when all
+    events are observed), the standard discrimination metric for
+    churn/conversion models.
+
+    Shape: users collapse to the (t, score) lattice FIRST (t bounded by
+    the {KM_CUTOFF_H}h censoring horizon, score a small activity
+    integer), and the pairwise comparison is a lattice self-join on
+    t_a < t_b whose cell-count products are exact int64 — user-pair
+    counts never materialize. One extra events scan builds the score;
+    everything else is KM's life-table machinery. Ties in score
+    credit 0.5 (Harrell's convention); ties in t are incomparable and
+    excluded, both exact on both engines."""
+    e = load_table(spark, "events", sf_dir)
+    f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    act = (
+        e.join(f, "user_id")
+        .filter(F.col("ts") < F.col("first_ts") + F.expr(f"INTERVAL {CIDX_EARLY_H} HOUR"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    # hour-boundary-crossing count == DuckDB date_diff('hour') (see KM)
+    dur = (
+        F.unix_timestamp(F.date_trunc("hour", F.col("p_ts")))
+        - F.unix_timestamp(F.date_trunc("hour", F.col("first_ts")))
+    ) / 3600
+    t = F.when(
+        F.coalesce(dur, F.lit(KM_CUTOFF_H + 1)) <= KM_CUTOFF_H, dur
+    ).otherwise(KM_CUTOFF_H)
+    observed = F.when(
+        F.coalesce(dur, F.lit(KM_CUTOFF_H + 1)) <= KM_CUTOFF_H, 1
+    ).otherwise(0)
+    life = f.join(p, "user_id", "left").select(
+        "user_id", t.cast("long").alias("t"), observed.alias("observed")
+    )
+    cells = (
+        life.join(act, "user_id")
+        .groupBy("t", "score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("observed").alias("d"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    j = a.filter(F.col("d") > 0).join(b, F.col("a.t") < F.col("b.t"))
+    ad, bn = F.col("a.d"), F.col("b.n")
+    pairs = j.agg(
+        F.sum(ad * bn).alias("n_pairs"),
+        F.sum(F.when(F.col("a.score") > F.col("b.score"), ad * bn).otherwise(0)).alias(
+            "n_concordant"
+        ),
+        F.sum(F.when(F.col("a.score") == F.col("b.score"), ad * bn).otherwise(0)).alias(
+            "n_tied"
+        ),
+    )
+    return pairs.select(
+        "n_pairs",
+        "n_concordant",
+        "n_tied",
+        F.round(
+            (F.col("n_concordant") + 0.5 * F.col("n_tied")) / F.col("n_pairs"), 6
+        ).alias("c_index"),
+    )

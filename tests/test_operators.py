@@ -2116,3 +2116,56 @@ def test_arrow_map_surface_matches_jvm_expressions(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_survival_c_index_bounds_and_perfect_ordering(spark, sf_dir):
+    """C in [0,1] with pair-count consistency on real data; on a
+    synthetic cohort where first-hour activity perfectly predicts
+    conversion speed, C == 1."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        survival_c_index,
+    )
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    r = QUERIES["survival_c_index"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["c_index"] <= 1.0
+    assert r["n_concordant"] + r["n_tied"] <= r["n_pairs"]
+
+    d = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # user u converts after (5 - k) hours and has k+1 first-hour events:
+    # more active users convert strictly faster
+    for u, k in enumerate(range(4)):
+        for j in range(k + 1):
+            rows.append((eid, t0 + dt.timedelta(minutes=j), u, "view", 1.0, None))
+            eid += 1
+        rows.append(
+            (eid, t0 + dt.timedelta(hours=5 - k), u, "purchase", 1.0, None)
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = survival_c_index(spark, d).collect()[0]
+    assert out["c_index"] == 1.0 and out["n_tied"] == 0
+
+
+def test_ips_offpolicy_identities(spark, sf_dir):
+    """With uniform 50/50 logging: v_snips equals the matched-subset
+    conversion rate, and v_ips == 2 * match_conversion_mass / n."""
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    r = QUERIES["ips_offpolicy_eval"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_matched"] < r["n_users"]
+    assert 0.0 <= r["v_logged"] <= 1.0
+    # v_ips = (1/n) * sum_matched r/0.5 = 2 * (snips * n_matched) / n
+    implied = 2 * r["v_snips"] * r["n_matched"] / r["n_users"]
+    assert abs(r["v_ips"] - implied) < 1e-4

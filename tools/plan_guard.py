@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     "graph_hits_bipartite",
     # bin-lattice x interval-lattice products (<=10^3 tuples by design):
     "isotonic_calibration",
+    "survival_c_index",      # (t,score)-lattice x lattice inequality product (<=10^4 cells)
     "late_data_audit",       # 1-row total-count ride-along onto the band lattice
     "qini_uplift_curve",     # 9-scalar decile-cut row ride-along
     "collocation_g2",        # 1-row bigram-total ride-along
