@@ -2534,3 +2534,132 @@ def subquery_anti_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# -------------------------------------------------------- layout_rle_report
+
+RLE_GROUP_CUSTS = 100  # custkeys per simulated row group in layout B
+
+
+@query(
+    "layout_rle_report",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(o_orderdate AS DATE) AS d, month(o_orderdate) AS mon
+      FROM orders),
+    a AS (
+      SELECT pri, st, d,
+             lag(pri) OVER w AS l_pri, lag(st) OVER w AS l_st,
+             lag(d) OVER w AS l_d
+      FROM base
+      WINDOW w AS (PARTITION BY pri, mon ORDER BY d, o_orderkey)),
+    b AS (
+      SELECT pri, st, d,
+             lag(pri) OVER w AS l_pri, lag(st) OVER w AS l_st,
+             lag(d) OVER w AS l_d
+      FROM base
+      WINDOW w AS (PARTITION BY o_custkey // {RLE_GROUP_CUSTS}
+                   ORDER BY o_custkey, o_orderkey)),
+    runs AS (
+      SELECT 'pri_date' AS layout, 'o_orderpriority' AS col,
+             CAST(sum(CASE WHEN l_pri IS NULL OR pri <> l_pri THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+             CAST(count(*) AS BIGINT) AS n_rows FROM a
+      UNION ALL
+      SELECT 'pri_date', 'o_orderstatus',
+             CAST(sum(CASE WHEN l_st IS NULL OR st <> l_st THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM a
+      UNION ALL
+      SELECT 'pri_date', 'o_orderdate',
+             CAST(sum(CASE WHEN l_d IS NULL OR d <> l_d THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM a
+      UNION ALL
+      SELECT 'custkey', 'o_orderpriority',
+             CAST(sum(CASE WHEN l_pri IS NULL OR pri <> l_pri THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM b
+      UNION ALL
+      SELECT 'custkey', 'o_orderstatus',
+             CAST(sum(CASE WHEN l_st IS NULL OR st <> l_st THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM b
+      UNION ALL
+      SELECT 'custkey', 'o_orderdate',
+             CAST(sum(CASE WHEN l_d IS NULL OR d <> l_d THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM b)
+    SELECT layout, col, n_runs,
+           round(CAST(n_rows AS DOUBLE) / n_runs, 2) AS avg_run_len
+    FROM runs
+    """,
+)
+def layout_rle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor: RLE run counts per column under two
+    candidate sort orders — (priority, date) clustering vs custkey
+    clustering — the measurement behind choosing a table's sort key
+    (the analytical companion to `zorder_cluster` and
+    `compaction_plan`: parquet's RLE/dictionary pages compress as
+    1/avg_run_len, so the layout with fewer runs IS the smaller,
+    faster-scanning table for those predicates).
+
+    Shape: runs are counted WITHIN simulated row groups ((priority,
+    month) for layout A, {RLE_GROUP_CUSTS}-custkey blocks for B) —
+    physically faithful, since real RLE never spans row groups — so
+    every lag window is partition-parallel and bounded; a run starts
+    where the value differs from its predecessor (or at a group head).
+    One shuffle per layout; the 6-row report collapses map-side. All
+    comparisons are on exact values (strings, dates) — no FP anywhere.
+
+    Reference provenance: extends the reference's sink-side table
+    concern (cassandra_sink.scala:30-56, a row store) with the
+    columnar-layout economics Spark tables live by."""
+    o = load_table(spark, "orders", sf_dir)
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.month("o_orderdate").alias("mon"),
+    )
+    wa = Window.partitionBy("pri", "mon").orderBy("d", "o_orderkey")
+    wb = Window.partitionBy(
+        F.expr(f"o_custkey div {RLE_GROUP_CUSTS}")
+    ).orderBy("o_custkey", "o_orderkey")
+
+    def runs(df, w, layout):
+        lagged = df.select(
+            "pri",
+            "st",
+            "d",
+            F.lag("pri").over(w).alias("l_pri"),
+            F.lag("st").over(w).alias("l_st"),
+            F.lag("d").over(w).alias("l_d"),
+        )
+        outs = []
+        for col, cur, prev in (
+            ("o_orderpriority", "pri", "l_pri"),
+            ("o_orderstatus", "st", "l_st"),
+            ("o_orderdate", "d", "l_d"),
+        ):
+            outs.append(
+                lagged.agg(
+                    F.sum(
+                        F.when(
+                            F.col(prev).isNull() | (F.col(cur) != F.col(prev)), 1
+                        ).otherwise(0)
+                    ).alias("n_runs"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                ).select(
+                    F.lit(layout).alias("layout"),
+                    F.lit(col).alias("col"),
+                    "n_runs",
+                    F.round(F.col("n_rows").cast("double") / F.col("n_runs"), 2).alias(
+                        "avg_run_len"
+                    ),
+                )
+            )
+        return outs
+
+    parts = runs(base, wa, "pri_date") + runs(base, wb, "custkey")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -110,7 +110,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   sax_encode, knn_classify_eval, heaps_law_fit, brier_decomposition,
 #   equi_depth_histogram, graph_clustering_coeff, subquery_anti_scalar,
 #   mann_kendall_trend_test, pinball_loss_eval, arrow_map_surface,
-#   survival_c_index, ips_offpolicy_eval (+ any later round-3 additions
+#   survival_c_index, ips_offpolicy_eval, layout_rle_report (+ any later round-3 additions
 #   — diff OPERATORS.md against CORRECTNESS_r0*).
 # That list now EXCEEDS the 50-row cap on its own (~40 never-driver-seen
 # rows after this session's additions): round 4 should spend its whole

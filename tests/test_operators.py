@@ -2169,3 +2169,27 @@ def test_ips_offpolicy_identities(spark, sf_dir):
     # v_ips = (1/n) * sum_matched r/0.5 = 2 * (snips * n_matched) / n
     implied = 2 * r["v_snips"] * r["n_matched"] / r["n_users"]
     assert abs(r["v_ips"] - implied) < 1e-4
+
+
+def test_layout_rle_report_layout_tradeoff(spark, sf_dir):
+    """Clustering by (priority, date) must give priority its best
+    possible compression (runs == number of row groups) and strictly
+    beat the custkey layout on that column; run counts are consistent
+    (1 <= n_runs <= n_rows/avg implied)."""
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    rows = {(r["layout"], r["col"]): r for r in QUERIES["layout_rle_report"](spark, sf_dir).collect()}
+    n_groups_a = duckdb.sql(
+        f"SELECT count(DISTINCT (o_orderpriority, month(o_orderdate)))"
+        f" FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()[0][0]
+    # sorting BY priority makes each (pri, month) group one run
+    assert rows[("pri_date", "o_orderpriority")]["n_runs"] == n_groups_a
+    assert (
+        rows[("pri_date", "o_orderpriority")]["n_runs"]
+        < rows[("custkey", "o_orderpriority")]["n_runs"]
+    )
+    for r in rows.values():
+        assert r["n_runs"] >= 1 and r["avg_run_len"] >= 1.0
