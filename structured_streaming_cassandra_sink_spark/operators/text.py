@@ -1573,8 +1573,10 @@ HEAPS_BUCKET = 100  # docs per vocabulary-growth checkpoint
                             ln(CAST(big_n AS DOUBLE))), 6)     AS beta,
            round(regr_intercept(ln(CAST(v AS DOUBLE)),
                                 ln(CAST(big_n AS DOUBLE))), 4) AS ln_k,
-           round(regr_r2(ln(CAST(v AS DOUBLE)),
-                         ln(CAST(big_n AS DOUBLE))), 6)        AS r2
+           CASE WHEN max(v) * 100 < min(v) * 101 THEN NULL
+                ELSE round(regr_r2(ln(CAST(v AS DOUBLE)),
+                                   ln(CAST(big_n AS DOUBLE))), 6)
+           END                                                 AS r2
     FROM cum WHERE v > 0 AND big_n > 0
     GROUP BY source
     """,
@@ -1634,5 +1636,13 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.regr_slope(lnv, lnn), 6).alias("beta"),
         F.round(F.regr_intercept(lnv, lnn), 4).alias("ln_k"),
-        F.round(F.regr_r2(lnv, lnn), 6).alias("r2"),
+        # r2 in ln-space is ill-conditioned when vocabulary barely grows
+        # (SST ~ float noise: Spark clamps to 1.0, DuckDB's sums formula
+        # returns garbage) — integer-exact guard: NULL when total growth
+        # over the run is < 1%, same predicate in the oracle.
+        F.when(
+            F.max("v") * 100 < F.min("v") * 101, F.lit(None).cast("double")
+        )
+        .otherwise(F.round(F.regr_r2(lnv, lnn), 6))
+        .alias("r2"),
     )
