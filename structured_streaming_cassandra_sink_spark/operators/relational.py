@@ -2663,3 +2663,123 @@ def layout_rle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ----------------------------------------------------- zonemap_prune_report
+
+ZM_NAT_BLOCK = 500       # orderkeys per simulated row group (natural layout)
+ZM_Z_BLOCK = 131072      # zval width per simulated row group (zorder layout)
+
+_ZM_PREDS = (
+    ("ship_1995q1", "min_ship <= DATE '1995-03-31' AND max_ship >= DATE '1995-01-01'"),
+    ("orderkey_band", "min_ok <= 3999 AND max_ok >= 3000"),
+    ("partkey_band", "min_pk <= 599 AND max_pk >= 500"),
+)
+
+
+@query(
+    "zonemap_prune_report",
+    f"""
+    WITH base AS (
+      SELECT l_orderkey, l_partkey, CAST(l_shipdate AS DATE) AS sd,
+             l_orderkey // {ZM_NAT_BLOCK} AS blk_nat,
+             year(l_shipdate) * 12 + month(l_shipdate) AS blk_date,
+             ({_Z_EXPR}) // {ZM_Z_BLOCK} AS blk_z
+      FROM lineitem),
+    zm AS (
+      SELECT 'natural' AS layout, blk_nat AS blk,
+             min(sd) AS min_ship, max(sd) AS max_ship,
+             min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+      FROM base GROUP BY blk_nat
+      UNION ALL
+      SELECT 'date_month', blk_date, min(sd), max(sd),
+             min(l_orderkey), max(l_orderkey), min(l_partkey), max(l_partkey)
+      FROM base GROUP BY blk_date
+      UNION ALL
+      SELECT 'zorder', blk_z, min(sd), max(sd),
+             min(l_orderkey), max(l_orderkey), min(l_partkey), max(l_partkey)
+      FROM base GROUP BY blk_z)
+    SELECT layout, predicate,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN hits THEN 1 ELSE 0 END) AS BIGINT) AS n_scan,
+           round(100.0 * sum(CASE WHEN hits THEN 1 ELSE 0 END)
+                 / count(*), 2) AS scan_pct
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT layout, blk, '{name}' AS predicate, ({cond}) AS hits FROM zm"
+          for name, cond in _ZM_PREDS
+      )})
+    GROUP BY layout, predicate
+    """,
+)
+def zonemap_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping advisor: what fraction of simulated row groups
+    survives min/max zone-map pruning for three representative
+    predicates (shipdate quarter, orderkey band, partkey band) under
+    three physical layouts — natural insert order ({ZM_NAT_BLOCK}
+    orderkeys/block), month partitioning, and z-order blocks (the
+    `zorder_cluster` kernel, {ZM_Z_BLOCK} zvals/block). This is the
+    measurement behind every "should we sort/partition/OPTIMIZE
+    ZORDER this table" decision: parquet/Iceberg/Delta skip a block
+    iff its [min,max] interval misses the predicate range, so
+    scan_pct IS the surviving I/O fraction for that (layout,
+    predicate) pair — natural order prunes orderkey bands, month
+    partitioning prunes dates, z-order prunes partkey bands too.
+
+    Shape: one scan computes all three block keys; three bounded
+    hash-aggregations collapse rows to zone-map entries (rows /
+    block_width of them — at 100 TB still millions, but the per-block
+    stats combine map-side and every later stage works on blocks,
+    never rows); predicate evaluation is a 3x fan-out over blocks and
+    a final tiny agg. Block widths are domain constants sized with
+    the key domain (like ZORDER_BITS above); all comparisons exact
+    ints/dates — no FP until the final percentage.
+
+    Reference provenance: the scan-side economics the reference
+    delegates to Cassandra's clustering keys (cassandra_sink.scala:
+    30-56), re-expressed for columnar lake tables."""
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("sd"),
+        F.expr(f"l_orderkey div {ZM_NAT_BLOCK}").alias("blk_nat"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("blk_date"),
+        F.expr(f"({_Z_EXPR}) div {ZM_Z_BLOCK}").alias("blk_z"),
+    )
+
+    def zonemap(blk_col: str, layout: str) -> DataFrame:
+        return base.groupBy(F.col(blk_col).alias("blk")).agg(
+            F.min("sd").alias("min_ship"),
+            F.max("sd").alias("max_ship"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    zm = (
+        zonemap("blk_nat", "natural")
+        .unionByName(zonemap("blk_date", "date_month"))
+        .unionByName(zonemap("blk_z", "zorder"))
+    )
+    fanned = None
+    for name, cond in _ZM_PREDS:
+        part = zm.select(
+            "layout",
+            "blk",
+            F.lit(name).alias("predicate"),
+            F.expr(cond).alias("hits"),
+        )
+        fanned = part if fanned is None else fanned.unionByName(part)
+    return fanned.groupBy("layout", "predicate").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("hits"), 1).otherwise(0)).alias("n_scan"),
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("hits"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            2,
+        ).alias("scan_pct"),
+    )
