@@ -107,9 +107,16 @@ def main() -> int:
     #  2. interleave passes (run the whole list, then run it again)
     #     instead of back-to-back repeats, so a one-off background event
     #     can't poison both samples of one query — min-over-passes then
-    #     reads through any single drift window.
-    for _ in range(runs):
-        for name in names:
+    #     reads through any single drift window;
+    #  3. REVERSE the order on alternate passes (round-3 postmortem:
+    #     shingle_containment recorded 6.0 s in the full run but 2.5 s
+    #     under the same protocol in isolation — with a DETERMINISTIC
+    #     pass order the same heavy predecessor leaves the same deferred
+    #     cleanup in front of the same query every pass, so min-of-2
+    #     cannot read through it; alternating direction gives each query
+    #     two different predecessors).
+    for p in range(runs):
+        for name in (names if p % 2 == 0 else list(reversed(names))):
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -1639,10 +1639,10 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.flag,
              CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
                              OR (a.x > b.x AND a.y > b.y)
-                      THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS conc,
+                      THEN a.n * b.n ELSE 0 END) // 2 AS BIGINT) AS conc,
              CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
                              OR (a.x > b.x AND a.y < b.y)
-                      THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS disc
+                      THEN a.n * b.n ELSE 0 END) // 2 AS BIGINT) AS disc
       FROM cells a JOIN cells b ON a.flag = b.flag
       GROUP BY a.flag),
     tx AS (
@@ -1674,8 +1674,11 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤550 cells per flag (≤300k cell pairs TOTAL, independent of row
     count) with n_a·n_b weights, halved to undo the double count. Tie
     corrections come from the two marginal lattices. Every intermediate
-    is an exact int64 (products of counts), so cross-engine parity is
-    trivial; only tau itself is a rounded float."""
+    is an exact int64 (products of counts): the double-counted pair-weight
+    sums are even, halved with shiftright (Spark) / ``//`` (DuckDB) so no
+    value ever routes through a double. Past ~2^63 total pair weight
+    (n ~ 4B rows per flag) swap the sums to DECIMAL(38,0), as
+    graph_assortativity documents; only tau itself is a rounded float."""
     li = load_table(spark, "lineitem", sf_dir)
     cells = li.groupBy(
         F.col("l_returnflag").alias("flag"),
@@ -1696,8 +1699,8 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n") * F.col("b.n"),
     ).otherwise(F.lit(0))
     cd = pair.groupBy(F.col("a.flag").alias("flag")).agg(
-        (F.sum(conc_w) / 2).cast("bigint").alias("conc"),
-        (F.sum(disc_w) / 2).cast("bigint").alias("disc"),
+        F.shiftright(F.sum(conc_w), 1).alias("conc"),
+        F.shiftright(F.sum(disc_w), 1).alias("disc"),
     )
     tx = (
         cells.groupBy("flag", "x")
@@ -1812,10 +1815,10 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT o_orderpriority AS priority,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN o_totalprice > {CONF_THRESHOLD}
+             CAST(sum(CASE WHEN o_totalprice >= {CONF_THRESHOLD}
                             AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
                   AS BIGINT) AS both_pos,
-             CAST(sum(CASE WHEN o_totalprice > {CONF_THRESHOLD}
+             CAST(sum(CASE WHEN o_totalprice >= {CONF_THRESHOLD}
                       THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
              CAST(sum(CASE WHEN o_orderstatus = 'F'
                       THEN 1 ELSE 0 END) AS BIGINT) AS b_pos
@@ -1836,7 +1839,7 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa per order priority: chance-corrected agreement
-    between the price-threshold classifier (price > {CONF_THRESHOLD},
+    between the price-threshold classifier (price >= {CONF_THRESHOLD},
     the same decision rule as `confusion_report`) and the realized
     label (finalized). The 2×2 agreement table per group reduces to
     four conditional counts in ONE aggregation pass — p_observed,
@@ -1846,7 +1849,7 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_exp = 1) cannot occur on this data: both raters have both classes
     in every priority, pinned in tests."""
     o = load_table(spark, "orders", sf_dir)
-    a = F.when(F.col("o_totalprice") > CONF_THRESHOLD, 1).otherwise(0)
+    a = F.when(F.col("o_totalprice") >= CONF_THRESHOLD, 1).otherwise(0)
     b = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
     c = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n"),

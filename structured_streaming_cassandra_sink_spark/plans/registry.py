@@ -44,143 +44,115 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver records correctness rows for only the FIRST 50 registered
-# queries per round. Round-3 rotation: EXACTLY the 53 queries with no green
-# r01/r02 driver row — the 2 r2 FAILs (array shapes, fixed this round) and
-# the 2 shape-audited latent fails first, then the 49 never-driver-seen
-# queries. 53 > the 50-row cap, so the 3 at the tail (trivial variants of
-# already-proven ops: set_ops pass r1, broadcast/salted joins pass r1)
-# spill to round 4. Everything green in r01/r02 is dropped from the list.
+# queries per round. Round-4 rotation (per VERDICT r3 "Next round" #1):
+# the ENTIRE budget goes to never-driver-seen, hash-checkable queries —
+# no rows-only entries in the front-50. Order:
+#   1. the 4 queries whose ORACLE CONTRACT changed after their last
+#      driver row (approx_distinct/approx_quantiles rows-only -> banded
+#      oracle, udf_surface rows-only -> full oracle, dedup_simhash ->
+#      portable md5-nibble sketch with full oracle);
+#   2. the 3 quality-contract reports grading the probabilistic machinery
+#      (ann_recall_report, pca_variance_report, minhash_recall_report)
+#      plus zonemap_prune_report (shipped r3-final with zero evidence,
+#      ADVICE r3 #2);
+#   3. the 4 rows spilled past the r3 cap (session_chain_recursive,
+#      set_intersect_all, set_except_all, join_shuffle_hash_hint — the
+#      last SURVEY s2.3 keys without driver evidence);
+#   4. never-driver-seen oracle queries in registry order, up to 50.
 #
-# ROUND-4 ROTATION DEBT (build the next _PRIORITY_THIS_ROUND from this):
-# - the 4 spilled below: session_chain_recursive, set_intersect_all,
-#   set_except_all, join_shuffle_hash_hint;
-# - the geo family (operators/geo.py), never driver-seen:
-#   geo_grid_hotspots, geo_radius_join, geo_knn_within_radius;
-# - record_linkage_fs (operators/dedup.py), never driver-seen;
-# - max_concurrency_sweep, proration_largest_remainder,
-#   t_closeness_check, multi_touch_attribution, interval_union_time,
-#   dau_wau_stickiness, never driver-seen;
-# - the round-3 driver-session additions, never driver-seen:
-#   kmeans_lloyd, pq_encode, countmin_sketch_report, rolling_median,
-#   survival_kaplan_meier, ngram_novelty_score, k_anonymity_check,
-#   ivm_delta_apply, theil_sen_trend, forecast_snaive_backtest,
-#   lateral_topn;
-# - queries whose contract CHANGED after their last driver row and which
-#   sit past this round's cap: approx_distinct, approx_quantiles (rows-only
-#   -> tolerance-banded oracle), udf_surface (rows-only -> full oracle),
-#   dedup_simhash (rows-only -> portable md5-nibble sketch, full oracle);
-# - the continuation-session additions, never driver-seen:
-#   bootstrap_ci_poisson, mrr_map_at_k, sim_search_pq_adc,
-#   stream_enrich_static, tfidf_cosine_pairs, rrf_fusion, skyline_pareto,
-#   dbscan_grid_clusters, link_prediction_adamic_adar, cdc_chunk_dedup,
-#   sprt_sequential_test, emd_drift;
-# - the round-3 additions, never driver-seen: scd2_build,
-#   split_leakage_safe, ann_recall_report, weighted_sample_topk,
-#   union_schema_evolution, pca_variance_report, minhash_recall_report,
-#   join_bloom_prefilter, join_dpp_prune, rollup_agg, cdc_apply,
-#   ewma_smooth, compaction_plan, decimal_money_agg, dup_graph_pagerank,
-#   markov_transitions, interpolate_linear, bpe_merge_step,
-#   impute_group_median, hard_negative_topk, vocab_coverage,
-#   bigram_lm_probs, dp_noisy_counts, aqp_sampled_agg,
-#   cusum_changepoint, period_over_period, stream_tumbling_distinct,
-#   weighted_percentile, max_drawdown, table_diff,
-#   last_touch_attribution, cluster_quality_report, market_basket_pairs,
-#   top_event_paths, dedup_survivorship_merge, right_to_erasure_apply,
-#   pseudonymize_keys, ab_test_readout, dq_rule_check, join_asof_forward,
-#   scd2_point_in_time_join, benford_check, dup_graph_bfs_depth,
-#   temporal_split_embargo, histogram2d_heatmap, cep_pattern_match,
-#   window_rolling_corr, fk_orphan_check, surrogate_key_assign,
-#   roc_auc, gini_lorenz, ks_statistic, calibration_bins, psi_drift,
-#   target_encode_smoothed, chi2_independence, feature_hash,
-#   jackknife_ci, confusion_report, lift_band_report, acf_lags,
-#   seasonal_decompose, ttest_welch, mutual_information, cramers_v,
-#   hhi_concentration, ndcg_at_k, quantile_normalize,
-#   winsorize_clip, zipf_fit;
-# - the round-3 second-session additions, never driver-seen:
-#   spearman_corr, kendall_tau, anova_oneway, cohens_kappa, pr_auc,
-#   log_loss_brier, graph_hits_bipartite, graph_sssp_weighted,
-#   epoch_shuffle_assign, js_divergence_sources, naive_bayes_train,
+# ROUND-5 ROTATION DEBT — the 108 never-driver-seen oracle queries that
+# did not fit this round's cap, in registry order (operator additions are
+# FROZEN per VERDICT r3 #2 until this list fits one round's budget):
+#   graph_clustering_coeff, hard_negative_topk, cluster_quality_report,
+#   ndcg_at_k, mrr_map_at_k, bpe_merge_step,
+#   vocab_coverage, bigram_lm_probs, zipf_fit,
+#   ngram_novelty_score, js_divergence_sources, collocation_g2,
+#   heaps_law_fit, rrf_fusion, embedding_matryoshka_eval,
+#   knn_classify_eval, split_leakage_safe, weighted_sample_topk,
+#   compaction_plan, dp_noisy_counts, right_to_erasure_apply,
+#   pseudonymize_keys, ab_test_readout, temporal_split_embargo,
+#   k_anonymity_check, ivm_delta_apply, t_closeness_check,
+#   epoch_shuffle_assign, span_corruption_mask, ips_offpolicy_eval,
+#   scd2_build, ewma_smooth, markov_transitions,
+#   interpolate_linear, cusum_changepoint, period_over_period,
+#   last_touch_attribution, top_event_paths, join_asof_forward,
+#   scd2_point_in_time_join, cep_pattern_match, acf_lags,
+#   seasonal_decompose, rolling_median, survival_kaplan_meier,
+#   theil_sen_trend, forecast_snaive_backtest, max_concurrency_sweep,
+#   multi_touch_attribution, interval_union_time, dau_wau_stickiness,
+#   holt_linear_smooth, running_balance_floor, conformal_forecast_interval,
+#   var_cvar_report, late_data_audit, cohort_ltv_curve,
+#   join_asof_nearest, time_decay_attribution, sax_encode,
+#   mann_kendall_trend_test, pinball_loss_eval, survival_c_index,
+#   roc_auc, gini_lorenz, ks_statistic,
+#   calibration_bins, psi_drift, target_encode_smoothed,
+#   chi2_independence, feature_hash, jackknife_ci,
+#   confusion_report, lift_band_report, ttest_welch,
+#   mutual_information, cramers_v, hhi_concentration,
+#   quantile_normalize, winsorize_clip, bootstrap_ci_poisson,
+#   sprt_sequential_test, emd_drift, spearman_corr,
+#   kendall_tau, anova_oneway, cohens_kappa,
+#   pr_auc, log_loss_brier, naive_bayes_train,
 #   naive_bayes_score, isotonic_calibration, cuped_adjustment,
-#   delta_method_ratio_ci, holt_linear_smooth, feature_info_gain,
-#   rfm_segmentation, running_balance_floor, graph_assortativity,
-#   graph_kcore;
-# - the round-3 third-session additions, never driver-seen:
-#   kruskal_wallis, levene_brown_forsythe, collocation_g2,
-#   subquery_double_exists, join_asof_nearest, time_decay_attribution,
-#   sax_encode, knn_classify_eval, heaps_law_fit, brier_decomposition,
-#   equi_depth_histogram, graph_clustering_coeff, subquery_anti_scalar,
-#   mann_kendall_trend_test, pinball_loss_eval, arrow_map_surface,
-#   survival_c_index, ips_offpolicy_eval, layout_rle_report (+ any later round-3 additions
-#   — diff OPERATORS.md against CORRECTNESS_r0*).
-# That list now EXCEEDS the 50-row cap on its own (~40 never-driver-seen
-# rows after this session's additions): round 4 should spend its whole
-# budget on them plus the 3 spilled + 3 contract-changed rows, and any
-# re-confirmation of stale green rows waits for round 5.
+#   delta_method_ratio_ci, feature_info_gain, qini_uplift_curve,
+#   kruskal_wallis, levene_brown_forsythe, brier_decomposition,
+#   kmeans_lloyd, pq_encode, dbscan_grid_clusters,
+#   countmin_sketch_report, geo_grid_hotspots, geo_radius_join,
+#   geo_knn_within_radius, stream_tumbling_distinct, stream_enrich_static,
+# plus the lone rows-only unseen query sim_search_pq_adc (excluded from
+# any front-50 by the "hash-checkable only" rule; its oracle-checked
+# companion ann_recall_report carries its evidence this round).
 _PRIORITY_THIS_ROUND = [
-    # contract upgraded this round: rows-only -> full brute-force oracle
-    # (recall measured 1.0 at all SFs) — give the flagship near-dup op
-    # its first hash-checked row
-    "dedup_near_minhash",
-    # r2 driver FAILs — array outputs made driver-hashable this round
-    "embedding_centroid",
-    "embedding_quantize",
-    # shape-audited latent fails — same fix, need first green rows
-    "array_ops",
-    "tokenize_to_ids",
-    # never driver-seen (registered past the r2 cap), r2 registry order
-    "cube_agg",
-    "join_shipping_priority",
-    "column_corr",
-    "source_entropy",
-    "winnow_dup_pairs",
-    "gap_fill",
-    "running_distinct",
-    "string_agg_ordered",
-    "anomaly_rolling_z",
-    "udtf_sentence_split",
-    "regression_agg",
-    "ohlc_bars",
-    "time_weighted_avg",
-    "embedding_pca_project",
-    "subquery_exists",
-    "subquery_correlated_scalar",
-    "window_ntile",
-    "median_by_group",
-    "argminmax_agg",
-    "shingle_containment",
-    "edit_distance_pairs",
-    "skew_profile",
-    "histogram_width_bucket",
-    "boolean_agg",
-    "topk_per_group_agg",
-    "zorder_cluster",
-    "mode_by_group",
-    "gaps_islands",
-    "retention_cohort",
-    "share_of_group",
-    "dup_graph_degree",
-    "dedup_rate_by_source",
-    "dedup_pipeline_keep_canonical",
-    "mixture_interleave",
-    "order_count_distribution",
-    "moments_agg",
-    "try_functions",
-    "data_freshness_report",
-    "funnel_conversion_rate",
-    "dup_graph_triangles",
-    "hll_partial_merge",
-    "first_last_nonnull",
-    "edit_distance_clusters",
-    "incremental_stats_merge",
-    "variant_ops",
-    # --- 50-row cap lands here; the 4 below spill to round 4 ---
-    # (session_chain_recursive spilled to make room for the
-    # dedup_near_minhash contract upgrade: its window-sessionizer twin
-    # sessionize_assign is already hash-proven, so it loses the least)
+    "approx_distinct",
+    "approx_quantiles",
+    "udf_surface",
+    "dedup_simhash",
+    "ann_recall_report",
+    "pca_variance_report",
+    "minhash_recall_report",
+    "zonemap_prune_report",
     "session_chain_recursive",
     "set_intersect_all",
     "set_except_all",
     "join_shuffle_hash_hint",
+    "union_schema_evolution",
+    "join_bloom_prefilter",
+    "join_dpp_prune",
+    "rollup_agg",
+    "cdc_apply",
+    "aqp_sampled_agg",
+    "table_diff",
+    "market_basket_pairs",
+    "dq_rule_check",
+    "fk_orphan_check",
+    "surrogate_key_assign",
+    "lateral_topn",
+    "link_prediction_adamic_adar",
+    "proration_largest_remainder",
+    "graph_hits_bipartite",
+    "graph_sssp_weighted",
+    "rfm_segmentation",
+    "graph_assortativity",
+    "graph_kcore",
+    "subquery_double_exists",
+    "subquery_anti_scalar",
+    "layout_rle_report",
+    "weighted_percentile",
+    "max_drawdown",
+    "histogram2d_heatmap",
+    "window_rolling_corr",
+    "skyline_pareto",
+    "decimal_money_agg",
+    "impute_group_median",
+    "benford_check",
+    "equi_depth_histogram",
+    "arrow_map_surface",
+    "dup_graph_pagerank",
+    "dedup_survivorship_merge",
+    "dup_graph_bfs_depth",
+    "tfidf_cosine_pairs",
+    "cdc_chunk_dedup",
+    "record_linkage_fs",
 ]
 
 

@@ -1489,7 +1489,9 @@ def test_epoch_shuffle_properties(spark, sf_dir):
         orders[ep] = [
             r["doc_id"] for r in sorted(rs, key=lambda r: (r["shard"], r["position"]))
         ]
-    assert orders[0] != orders[1] != orders[2]
+    # pairwise-distinct across ALL epochs (a chained != only checks
+    # adjacent pairs and would pass with orders[0] == orders[2])
+    assert len({tuple(orders[ep]) for ep in orders}) == len(orders)
 
 
 def test_jsd_bounds_symmetry_and_self_zero(spark, sf_dir, tmp_path):

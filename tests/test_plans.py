@@ -683,3 +683,39 @@ def test_plan_guard_artifact_current_and_clean(spark, sf_dir):
         env={**os.environ, "SF_DIR": sf_dir},
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+
+def test_operators_doc_covers_registry():
+    """Every registered query must have an OPERATORS.md row (backticked
+    name). Round-3 shipped `zonemap_prune_report` with no doc row and a
+    stale PLAN_GUARD — this is the registry-vs-artifacts diff the r3
+    verdict asked for, as a test so it can't recur."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    doc = open(os.path.join(root, "OPERATORS.md")).read()
+    documented = set(re.findall(r"`([a-z0-9_]+)`", doc))
+    missing = set(registry.QUERIES) - documented
+    assert not missing, f"OPERATORS.md missing rows for {sorted(missing)}"
+
+
+def test_approx_distinct_hll_outside_expand(spark, sf_dir):
+    """approx_distinct's round-4 plan contract: the HLL aggregate and
+    the exact count_distinct band-pinning run as SEPARATE aggregations
+    joined broadcast. Mixed into one agg, Catalyst's distinct-Expand
+    rewrite carries a 52-word HLL sketch per (flag, key, gid) group
+    through the first shuffle — a sketch per DISTINCT KEY instead of
+    per flag. Pin: exactly one Expand (the exact side's rewrite), a
+    broadcast join, and the HLL function in a subtree with no Expand."""
+    plan = _plan(spark, sf_dir, "approx_distinct")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    # the HLL partial agg must list approx_count_distinct without gid
+    # (gid only exists below the Expand rewrite)
+    hll_nodes = [
+        blk
+        for blk in plan.split("\n\n")
+        if "approx_count_distinct" in blk and "partial" in blk
+    ]
+    assert hll_nodes, "HLL partial aggregate not found"
+    assert all("gid" not in blk for blk in hll_nodes)
