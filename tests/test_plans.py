@@ -719,3 +719,30 @@ def test_approx_distinct_hll_outside_expand(spark, sf_dir):
     ]
     assert hll_nodes, "HLL partial aggregate not found"
     assert all("gid" not in blk for blk in hll_nodes)
+
+
+def test_check_full_artifact_covers_registry():
+    """The newest committed CHECK_FULL_r*.json (the builder's full
+    oracle sweep) must cover every registered query, every oracle-backed
+    entry hash-green and every rows-only entry non-empty. With the
+    PLAN_GUARD and OPERATORS.md twins above, this completes the
+    registry-vs-artifacts diff the r3 verdict asked for: a query can no
+    longer ship without a sweep row (r3 shipped zonemap_prune_report
+    absent from CHECK_FULL_r03)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "CHECK_FULL_r*.json")))
+    assert paths, "run tools/check.py --json CHECK_FULL_rNN.json"
+    data = json.load(open(paths[-1]))
+    missing = set(registry.QUERIES) - set(data)
+    assert not missing, f"{os.path.basename(paths[-1])} missing {sorted(missing)[:5]}"
+    bad = {
+        n: e
+        for n, e in data.items()
+        if (e["err"] == "no_oracle" and not e["spark_rows"])
+        or (e["err"] != "no_oracle" and not (e["rows_match"] and e["schema_match"] and e["hash_match"]))
+    }
+    assert not bad, f"non-green sweep rows: {list(bad)[:5]}"
