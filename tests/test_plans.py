@@ -746,3 +746,17 @@ def test_check_full_artifact_covers_registry():
         or (e["err"] != "no_oracle" and not (e["rows_match"] and e["schema_match"] and e["hash_match"]))
     }
     assert not bad, f"non-green sweep rows: {list(bad)[:5]}"
+
+
+def test_bench_full_artifact_covers_registry():
+    """BENCH_FULL.json (bench.py's committed per-query map) must cover
+    every registered query — names only, timings are environment-bound.
+    Regeneration is the last step of a session, same as CHECK_FULL and
+    PLAN_GUARD."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = json.load(open(os.path.join(root, "BENCH_FULL.json")))
+    missing = set(registry.QUERIES) - set(data["queries"])
+    assert not missing, f"BENCH_FULL.json missing {sorted(missing)[:5]}"
