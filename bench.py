@@ -77,6 +77,14 @@ def main() -> int:
         t0 = time.perf_counter()
         lsh_build(spark, SF_DIR)
         extras["lsh_build_sec"] = round(time.perf_counter() - t0, 3)
+    if "sim_search_pq_adc" in names:
+        # Corpus encoding is the amortized cost of PQ ADC — benched once,
+        # separately; the per-query timing below is the probe path.
+        from structured_streaming_cassandra_sink_spark.operators.similarity import pq_build
+
+        t0 = time.perf_counter()
+        pq_build(spark, SF_DIR)
+        extras["pq_build_sec"] = round(time.perf_counter() - t0, 3)
     _graph_probes = {
         "dedup_cluster_assign", "dup_graph_degree", "dup_graph_triangles",
         "dup_graph_pagerank", "dedup_pipeline_keep_canonical",

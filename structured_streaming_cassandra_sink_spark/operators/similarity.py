@@ -1436,7 +1436,60 @@ PQ_ADC_RERANK = 100      # exact-rerank pool floor per query
 PQ_ADC_RERANK_FRAC = 20  # ...or corpus/20, whichever is larger
 
 
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_index_dir(sf_dir: str) -> str:
+    """Per-dataset PQ index location (same scheme as _ivf_index_dir)."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(repo_root, "spark-warehouse", "pq_index", base)
+
+
+def pq_build(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> str:
+    """PQ index build — the amortized once-per-snapshot cost, exactly
+    like `ivf_build`/`lsh_build` (before round 4 the encoding ran
+    inline on every probe, charging the index build to query latency):
+    one corpus scan derives the deterministic codebook and encodes
+    every vector to its nearest code per subspace (M x K distance
+    folds per vector — linear in the corpus), persisting
+      (a) the M x {PQ_ADC_K} codebook (subvector centroids),
+      (b) the melted code rows with each vector's EXACT norm riding
+          next to them (standard PQ index layout: ADC approximates
+          only the cosine NUMERATOR, the denominator is exact),
+    published by the same gapless pointer swap as the other indexes.
+    Doubles round-trip parquet bit-exactly, so probe results are
+    identical to the former inline form."""
+    import os
+    import shutil
+
+    from ..operators.clustering import _codebook, pq_code_rows
+
+    index_dir = index_dir or _pq_index_dir(sf_dir)
+    corpus, _ = _corpus_and_queries(spark, sf_dir)
+    cv = corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    book = _codebook(cv, PQ_ADC_K, PQ_ADC_M).localCheckpoint(eager=True)
+    codes = pq_code_rows(cv, book, PQ_ADC_M).select("vec_id", "m", "code")
+    norms = cv.select("vec_id", norm(F.col("v")).alias("cn"))
+    tmp = f"{index_dir}.build-{os.getpid()}"
+    try:
+        book.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+        codes.join(norms, "vec_id").write.mode("overwrite").parquet(
+            os.path.join(tmp, "codes")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # no half-built leak
+        raise
+    _atomic_publish(tmp, index_dir)
+    return index_dir
+
+
+def pq_adc_topk(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
     """Top-{TOP_K} per query via product-quantization ADC (Jégou et al.,
     TPAMI 2011 — public literature): the corpus is stored as {PQ_ADC_K}
     codes per subspace (4 bits x M vs 64 floats — the ~100x memory
@@ -1445,27 +1498,29 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table lookups per vector (never a float fold), and only the ADC
     top-{PQ_ADC_RERANK} pool is exact-cosine re-ranked.
 
-    Relational spelling: code rows join the broadcast distance tables on
+    Relational spelling: PERSISTED code rows (`pq_build`, lazily built
+    once per dataset and reused — bench.py reports build and probe
+    separately, like IVF/LSH) join the broadcast distance tables on
     (m, code) — the shuffle-free lookup — then one (query, vec) partial
     sum, a per-query window cut, and the tiny rerank join back to raw
     vectors. Third ANN family next to hyperplane LSH (no training,
     insert-friendly) and IVF (data-adaptive scan fraction): PQ trades a
     deterministic-codebook build for the smallest probe footprint."""
-    from .similarity import _corpus_and_queries  # self-import safe alias
-    from ..operators.clustering import _codebook, _subvectors, pq_code_rows, _sqdist
+    import os
 
+    from ..operators.clustering import _subvectors
+
+    index_dir = index_dir or _pq_index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(index_dir, "codes")):
+        pq_build(spark, sf_dir, index_dir)
     corpus, queries_df = _corpus_and_queries(spark, sf_dir)
+    # raw vectors are touched only by the rerank pool join below
     cv = corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
     qv = queries_df.select(
         F.col("query_id").alias("vec_id"), as_double(F.col("qvec")).alias("v")
     )
-    book = _codebook(cv, PQ_ADC_K, PQ_ADC_M).localCheckpoint(eager=True)
-    codes = pq_code_rows(cv, book, PQ_ADC_M).select("vec_id", "m", "code")
-    # exact per-vector norm rides next to the codes (8 bytes — standard
-    # PQ index layout): the ADC score approximates only the NUMERATOR
-    # of the cosine, the denominator is exact
-    norms = cv.select("vec_id", norm(F.col("v")).alias("cn"))
-    codes = codes.join(norms, "vec_id")
+    book = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     # inner-product tables: one row per (query, m, code) — M x K x |queries|
     dt = (
         _subvectors(qv, PQ_ADC_M)

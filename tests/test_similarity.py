@@ -315,3 +315,28 @@ def test_matryoshka_fidelity_bounds_and_self_truncation_identity(spark, sf_dir):
         assert 0.0 <= r["mean_abs_dev"] <= 2.0
         assert -1.0 <= r["fidelity_corr"] <= 1.0
         assert r["n_pairs"] > 0
+
+
+def test_pq_index_roundtrip_bit_parity(spark, sf_dir, tmp_path):
+    """pq_build's persisted index reproduces the probe results EXACTLY:
+    a probe against a freshly-built index in a temp dir returns the
+    same (query, vec, cos_sim, rnk) set as the default lazily-built
+    index — doubles round-trip parquet bit-exactly, so splitting the
+    encoding out of the query path (round 4) changed nothing but where
+    the encoding cost is charged."""
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_build,
+    )
+
+    fresh = str(tmp_path / "pq_index")
+    pq_build(spark, sf_dir, index_dir=fresh)
+    a = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk)
+        for r in pq_adc_topk(spark, sf_dir, index_dir=fresh).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk)
+        for r in pq_adc_topk(spark, sf_dir).collect()
+    }
+    assert a == b
