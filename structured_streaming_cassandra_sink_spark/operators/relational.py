@@ -1992,12 +1992,29 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = cp.select("c").distinct().withColumn("h", F.lit(1.0))
     auth = None
     for _ in range(HITS_ITERS):
-        a_raw = cp.join(hub, "c").groupBy("p").agg(F.sum("h").alias("s"))
+        # localCheckpoint per HALF-iteration (the iterative-CC idiom):
+        # each raw score table is referenced TWICE — by its max-normalizer
+        # agg and by the normalize/join — and without truncation the plan
+        # subtree DOUBLES per half-iteration (2 iterations measured 134
+        # shuffle Exchanges in the formatted plan via the plan-guard
+        # exchange ledger; checkpointed: 3). The materialized state is one
+        # row per live node, the O(1)-lineage bound iterative ops need.
+        a_raw = (
+            cp.join(hub, "c")
+            .groupBy("p")
+            .agg(F.sum("h").alias("s"))
+            .localCheckpoint(eager=True)
+        )
         an = a_raw.agg(F.max("s").alias("m"))
         auth = a_raw.crossJoin(F.broadcast(an)).select(
             "p", F.round(F.col("s") / F.col("m"), 9).alias("a")
         )
-        h_raw = cp.join(auth, "p").groupBy("c").agg(F.sum("a").alias("s"))
+        h_raw = (
+            cp.join(auth, "p")
+            .groupBy("c")
+            .agg(F.sum("a").alias("s"))
+            .localCheckpoint(eager=True)
+        )
         hn = h_raw.agg(F.max("s").alias("m"))
         hub = h_raw.crossJoin(F.broadcast(hn)).select(
             "c", F.round(F.col("s") / F.col("m"), 9).alias("h")

@@ -16,6 +16,11 @@ registered query's formatted plan for the patterns that break at 100 TB:
                                 (grouped-map recurrences, multimodal
                                 decoders, explicit pandas surfaces)
 
+It also RECORDS (without gating) each plan's shuffle-Exchange count, so
+the committed artifact doubles as a shuffle-budget ledger: a diff of
+PLAN_GUARD.json across rounds shows exactly which operators gained or
+lost a shuffle.
+
 Usage:  python tools/plan_guard.py [--json PLAN_GUARD.json] [query ...]
 Exit 1 on any violation outside the allowlists.
 
@@ -187,11 +192,18 @@ def main() -> int:
                 plan,
             )
         )
+        # Shuffle ledger (recorded, not gated): "(n) Exchange" counts only
+        # shuffle exchanges — BroadcastExchange is a different node label.
+        # Diffing this column round-over-round surfaces any operator that
+        # silently gained a shuffle, the quietest way to lose 100 TB
+        # headroom.
+        exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
         row = {
             "cartesian": cartesian,
             "bnlj": bnlj,
             "unpartitioned_windows": unpart,
             "python_nodes": python_nodes,
+            "exchanges": exchanges,
         }
         report[name] = row
         if cartesian:
