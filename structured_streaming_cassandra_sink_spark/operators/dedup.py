@@ -683,6 +683,9 @@ def dupgraph_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None)
         ngram_jaccard_pairs(docs).write.mode("overwrite").parquet(
             os.path.join(tmp, "pairs")
         )
+        from structured_streaming_cassandra_sink_spark.operators.similarity import write_source_marker
+
+        write_source_marker(tmp, sf_dir, ("documents",))
     except BaseException:
         import shutil
 
@@ -694,13 +697,18 @@ def dupgraph_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None)
 
 def dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) from the materialized dup graph,
-    building it lazily on first use (like the ANN indexes)."""
+    building it lazily on first use (like the ANN indexes) and
+    REBUILDING when the source corpus fingerprint changed (the driver
+    regenerates testdata between rounds — a stale edge list would feed
+    every downstream graph probe)."""
     import os
 
-    path = os.path.join(_dupgraph_dir(sf_dir), "pairs")
-    if not os.path.isdir(path):
+    from structured_streaming_cassandra_sink_spark.operators.similarity import index_current
+
+    gdir = _dupgraph_dir(sf_dir)
+    if not index_current(gdir, "pairs", sf_dir, ("documents",)):
         dupgraph_build(spark, sf_dir)
-    return spark.read.parquet(path)
+    return spark.read.parquet(os.path.join(gdir, "pairs"))
 
 
 OVERLAP_N = 4  # tokens per cross-source overlap shingle

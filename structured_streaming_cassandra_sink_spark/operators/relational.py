@@ -1158,6 +1158,9 @@ def dpp_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> s
         )
     )
     cal.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "calendar"))
+    from structured_streaming_cassandra_sink_spark.operators.similarity import write_source_marker
+
+    write_source_marker(out_dir, sf_dir, ("lineitem",))
     return out_dir
 
 
@@ -1186,8 +1189,10 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly against the unpartitioned table."""
     import os
 
+    from structured_streaming_cassandra_sink_spark.operators.similarity import index_current
+
     out_dir = _dpp_dir(sf_dir)
-    if not os.path.isdir(os.path.join(out_dir, "calendar")):
+    if not index_current(out_dir, "calendar", sf_dir, ("lineitem",)):
         dpp_build(spark, sf_dir, out_dir)
     fact = spark.read.parquet(os.path.join(out_dir, "lineitem_by_month"))
     dim = spark.read.parquet(os.path.join(out_dir, "calendar")).filter(

@@ -206,6 +206,58 @@ def _atomic_publish(tmp_dir: str, final_dir: str) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> dict:
+    """(size, mtime_ns) fingerprint of the source parquet(s) a warehouse
+    artifact was built from. The driver REGENERATES testdata between
+    rounds; a persisted index that outlives its corpus must rebuild, not
+    silently serve vectors that no longer exist in the source."""
+    import os
+
+    fp = {}
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        size, mtime = 0, 0
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+        elif os.path.exists(p):
+            st = os.stat(p)
+            size, mtime = st.st_size, st.st_mtime_ns
+        fp[t] = [size, mtime]
+    return fp
+
+
+def write_source_marker(out_dir: str, sf_dir: str, tables: tuple[str, ...]) -> None:
+    """Record the source fingerprint inside a (pre-publish) index dir."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "SOURCE.json"), "w") as fh:
+        json.dump(_source_fingerprint(sf_dir, tables), fh)
+
+
+def index_current(
+    index_dir: str, subdir: str, sf_dir: str, tables: tuple[str, ...]
+) -> bool:
+    """True iff the published artifact exists AND its recorded source
+    fingerprint matches the current data. A pre-marker index (or a
+    corrupt marker) reads as stale and rebuilds once."""
+    import json
+    import os
+
+    if not os.path.isdir(os.path.join(index_dir, subdir)):
+        return False
+    try:
+        with open(os.path.join(index_dir, "SOURCE.json")) as fh:
+            rec = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return rec == _source_fingerprint(sf_dir, tables)
+
+
 def signature_rows(batch: DataFrame) -> DataFrame:
     """(vec_id, v, t, sig, nv) signature rows for a vector batch — the
     SINGLE owner of the index row layout, shared by the snapshot build
@@ -244,6 +296,7 @@ def lsh_build(spark: SparkSession, sf_dir: str, index_dir: str | None = None) ->
         csig.repartition(LSH_TABLES * (1 << LSH_PLANES), "t", "sig").write.mode(
             "overwrite"
         ).partitionBy("t", "sig").parquet(os.path.join(tmp, "corpus"))
+        write_source_marker(tmp, sf_dir, ("embeddings",))
     except BaseException:
         import shutil
 
@@ -321,7 +374,7 @@ def sim_search_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     index_dir = _lsh_index_dir(sf_dir)
-    if not os.path.isdir(os.path.join(index_dir, "corpus")):
+    if not index_current(index_dir, "corpus", sf_dir, ("embeddings",)):
         lsh_build(spark, sf_dir, index_dir)
     return lsh_probe(spark, sf_dir, index_dir)
 
@@ -552,6 +605,7 @@ def ivf_build(
         spark.createDataFrame(centroids, "cell int, centroid array<double>").coalesce(
             1
         ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        write_source_marker(tmp, sf_dir, ("embeddings",))
     except BaseException:
         import shutil
 
@@ -643,7 +697,7 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     index_dir = _ivf_index_dir(sf_dir)
-    if not os.path.isdir(os.path.join(index_dir, "centroids")):
+    if not index_current(index_dir, "centroids", sf_dir, ("embeddings",)):
         ivf_build(spark, sf_dir, index_dir)
     return ivf_probe(spark, sf_dir, index_dir)
 
@@ -1480,6 +1534,7 @@ def pq_build(
         codes.join(norms, "vec_id").write.mode("overwrite").parquet(
             os.path.join(tmp, "codes")
         )
+        write_source_marker(tmp, sf_dir, ("embeddings",))
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # no half-built leak
         raise
@@ -1511,7 +1566,7 @@ def pq_adc_topk(
     from ..operators.clustering import _subvectors
 
     index_dir = index_dir or _pq_index_dir(sf_dir)
-    if not os.path.isdir(os.path.join(index_dir, "codes")):
+    if not index_current(index_dir, "codes", sf_dir, ("embeddings",)):
         pq_build(spark, sf_dir, index_dir)
     corpus, queries_df = _corpus_and_queries(spark, sf_dir)
     # raw vectors are touched only by the rerank pool join below

@@ -340,3 +340,37 @@ def test_pq_index_roundtrip_bit_parity(spark, sf_dir, tmp_path):
         for r in pq_adc_topk(spark, sf_dir).collect()
     }
     assert a == b
+
+
+def test_index_source_fingerprint_staleness(spark, sf_dir, tmp_path):
+    """Persisted warehouse artifacts carry a SOURCE.json fingerprint of
+    the parquet they were built from, and every lazy-build site gates on
+    index_current(): a marker that mismatches the live data (or a
+    pre-marker index) reads as stale and rebuilds instead of silently
+    serving a corpus that no longer exists (the driver regenerates
+    testdata between rounds)."""
+    import json
+    import os
+
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        index_current,
+        pq_build,
+    )
+
+    idx = str(tmp_path / "pq_index")
+    pq_build(spark, sf_dir, index_dir=idx)
+    assert index_current(idx, "codes", sf_dir, ("embeddings",))
+
+    # a fingerprint from different data -> stale
+    marker = os.path.join(idx, "SOURCE.json")
+    real = os.path.realpath(idx)  # write through the published symlink
+    with open(os.path.join(real, "SOURCE.json"), "w") as fh:
+        json.dump({"embeddings": [1, 1]}, fh)
+    assert not index_current(idx, "codes", sf_dir, ("embeddings",))
+
+    # a pre-marker index (no SOURCE.json) -> stale, rebuilds once
+    os.remove(os.path.join(real, "SOURCE.json"))
+    assert not index_current(idx, "codes", sf_dir, ("embeddings",))
+    assert os.path.exists(marker) is False
+    pq_build(spark, sf_dir, index_dir=idx)
+    assert index_current(idx, "codes", sf_dir, ("embeddings",))
