@@ -1137,16 +1137,27 @@ def dpp_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> s
     fact re-written PARTITIONED BY ship month (the ingest-time layout a
     date-partitioned warehouse always has) plus the derived calendar
     dimension (month -> quarter). One file per partition (repartition
-    before the partitioned write — same small-files rule as lsh_build)."""
+    before the partitioned write — same small-files rule as lsh_build).
+    Staged in a ``.build-*`` dir and published by gapless pointer swap
+    (`_atomic_publish`, ADVICE r4): a reader concurrent with a
+    staleness-triggered rebuild resolves either the old layout or the
+    new one, never a half-written lineitem_by_month."""
     import os
+    import uuid
+
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        _atomic_publish,
+        write_source_marker,
+    )
 
     out_dir = out_dir or _dpp_dir(sf_dir)
+    tmp_dir = f"{out_dir}.build-{uuid.uuid4().hex[:8]}"
     li = load_table(spark, "lineitem", sf_dir).withColumn(
         "ship_month", F.month("l_shipdate")
     )
     li.repartition(12, "ship_month").write.mode("overwrite").partitionBy(
         "ship_month"
-    ).parquet(os.path.join(out_dir, "lineitem_by_month"))
+    ).parquet(os.path.join(tmp_dir, "lineitem_by_month"))
     cal = (
         li.select("ship_month")
         .distinct()
@@ -1157,10 +1168,9 @@ def dpp_build(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> s
             "quarter", (F.floor((F.col("ship_month") - 1) / 3) + 1).cast("int")
         )
     )
-    cal.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "calendar"))
-    from structured_streaming_cassandra_sink_spark.operators.similarity import write_source_marker
-
-    write_source_marker(out_dir, sf_dir, ("lineitem",))
+    cal.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp_dir, "calendar"))
+    write_source_marker(tmp_dir, sf_dir, ("lineitem",))
+    _atomic_publish(tmp_dir, out_dir)
     return out_dir
 
 

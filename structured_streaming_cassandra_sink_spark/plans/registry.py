@@ -44,115 +44,93 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver records correctness rows for only the FIRST 50 registered
-# queries per round. Round-4 rotation (per VERDICT r3 "Next round" #1):
-# the ENTIRE budget goes to never-driver-seen, hash-checkable queries —
-# no rows-only entries in the front-50. Order:
-#   1. the 4 queries whose ORACLE CONTRACT changed after their last
-#      driver row (approx_distinct/approx_quantiles rows-only -> banded
-#      oracle, udf_surface rows-only -> full oracle, dedup_simhash ->
-#      portable md5-nibble sketch with full oracle);
-#   2. the 3 quality-contract reports grading the probabilistic machinery
-#      (ann_recall_report, pca_variance_report, minhash_recall_report)
-#      plus zonemap_prune_report (shipped r3-final with zero evidence,
-#      ADVICE r3 #2);
-#   3. the 4 rows spilled past the r3 cap (session_chain_recursive,
-#      set_intersect_all, set_except_all, join_shuffle_hash_hint — the
-#      last SURVEY s2.3 keys without driver evidence);
-#   4. never-driver-seen oracle queries in registry order, up to 50.
+# queries per round. Round-5 rotation (per VERDICT r4 "Next round" #1):
+# the ENTIRE budget goes to the committed 108-query rotation debt, in the
+# exact registry order enumerated in the r4 comment — the first 50 below.
+# One contract note: `knn_classify_eval` (debt position 16) had its
+# broadcast side re-bounded this round (corpus-fraction eval set -> a
+# constant-bounded id-range filter, VERDICT r4 "What's wrong" #2); its
+# oracle was changed in lockstep, so its fresh driver row also re-proves
+# the new contract.
 #
-# ROUND-5 ROTATION DEBT — the 108 never-driver-seen oracle queries that
-# did not fit this round's cap, in registry order (operator additions are
-# FROZEN per VERDICT r3 #2 until this list fits one round's budget):
-#   graph_clustering_coeff, hard_negative_topk, cluster_quality_report,
-#   ndcg_at_k, mrr_map_at_k, bpe_merge_step,
-#   vocab_coverage, bigram_lm_probs, zipf_fit,
-#   ngram_novelty_score, js_divergence_sources, collocation_g2,
-#   heaps_law_fit, rrf_fusion, embedding_matryoshka_eval,
-#   knn_classify_eval, split_leakage_safe, weighted_sample_topk,
-#   compaction_plan, dp_noisy_counts, right_to_erasure_apply,
-#   pseudonymize_keys, ab_test_readout, temporal_split_embargo,
-#   k_anonymity_check, ivm_delta_apply, t_closeness_check,
-#   epoch_shuffle_assign, span_corruption_mask, ips_offpolicy_eval,
-#   scd2_build, ewma_smooth, markov_transitions,
-#   interpolate_linear, cusum_changepoint, period_over_period,
-#   last_touch_attribution, top_event_paths, join_asof_forward,
-#   scd2_point_in_time_join, cep_pattern_match, acf_lags,
-#   seasonal_decompose, rolling_median, survival_kaplan_meier,
-#   theil_sen_trend, forecast_snaive_backtest, max_concurrency_sweep,
-#   multi_touch_attribution, interval_union_time, dau_wau_stickiness,
-#   holt_linear_smooth, running_balance_floor, conformal_forecast_interval,
-#   var_cvar_report, late_data_audit, cohort_ltv_curve,
-#   join_asof_nearest, time_decay_attribution, sax_encode,
-#   mann_kendall_trend_test, pinball_loss_eval, survival_c_index,
-#   roc_auc, gini_lorenz, ks_statistic,
-#   calibration_bins, psi_drift, target_encode_smoothed,
-#   chi2_independence, feature_hash, jackknife_ci,
-#   confusion_report, lift_band_report, ttest_welch,
-#   mutual_information, cramers_v, hhi_concentration,
-#   quantile_normalize, winsorize_clip, bootstrap_ci_poisson,
-#   sprt_sequential_test, emd_drift, spearman_corr,
-#   kendall_tau, anova_oneway, cohens_kappa,
-#   pr_auc, log_loss_brier, naive_bayes_train,
-#   naive_bayes_score, isotonic_calibration, cuped_adjustment,
-#   delta_method_ratio_ci, feature_info_gain, qini_uplift_curve,
-#   kruskal_wallis, levene_brown_forsythe, brier_decomposition,
-#   kmeans_lloyd, pq_encode, dbscan_grid_clusters,
-#   countmin_sketch_report, geo_grid_hotspots, geo_radius_join,
-#   geo_knn_within_radius, stream_tumbling_distinct, stream_enrich_static,
+# ROUND-6 ROTATION DEBT — the 58 never-driver-seen oracle queries
+# remaining after this round's front-50, in registry order (operator
+# additions stay FROZEN until the debt clears; after r5 it fits one
+# round's budget, making round 6 the final rotation round):
+#   dau_wau_stickiness, holt_linear_smooth, running_balance_floor,
+#   conformal_forecast_interval, var_cvar_report, late_data_audit,
+#   cohort_ltv_curve, join_asof_nearest, time_decay_attribution,
+#   sax_encode, mann_kendall_trend_test, pinball_loss_eval,
+#   survival_c_index, roc_auc, gini_lorenz,
+#   ks_statistic, calibration_bins, psi_drift,
+#   target_encode_smoothed, chi2_independence, feature_hash,
+#   jackknife_ci, confusion_report, lift_band_report,
+#   ttest_welch, mutual_information, cramers_v,
+#   hhi_concentration, quantile_normalize, winsorize_clip,
+#   bootstrap_ci_poisson, sprt_sequential_test, emd_drift,
+#   spearman_corr, kendall_tau, anova_oneway,
+#   cohens_kappa, pr_auc, log_loss_brier,
+#   naive_bayes_train, naive_bayes_score, isotonic_calibration,
+#   cuped_adjustment, delta_method_ratio_ci, feature_info_gain,
+#   qini_uplift_curve, kruskal_wallis, levene_brown_forsythe,
+#   brier_decomposition, kmeans_lloyd, pq_encode,
+#   dbscan_grid_clusters, countmin_sketch_report, geo_grid_hotspots,
+#   geo_radius_join, geo_knn_within_radius, stream_tumbling_distinct,
+#   stream_enrich_static,
 # plus the lone rows-only unseen query sim_search_pq_adc (excluded from
 # any front-50 by the "hash-checkable only" rule; its oracle-checked
-# companion ann_recall_report carries its evidence this round).
+# companion ann_recall_report went driver-green in r4).
 _PRIORITY_THIS_ROUND = [
-    "approx_distinct",
-    "approx_quantiles",
-    "udf_surface",
-    "dedup_simhash",
-    "ann_recall_report",
-    "pca_variance_report",
-    "minhash_recall_report",
-    "zonemap_prune_report",
-    "session_chain_recursive",
-    "set_intersect_all",
-    "set_except_all",
-    "join_shuffle_hash_hint",
-    "union_schema_evolution",
-    "join_bloom_prefilter",
-    "join_dpp_prune",
-    "rollup_agg",
-    "cdc_apply",
-    "aqp_sampled_agg",
-    "table_diff",
-    "market_basket_pairs",
-    "dq_rule_check",
-    "fk_orphan_check",
-    "surrogate_key_assign",
-    "lateral_topn",
-    "link_prediction_adamic_adar",
-    "proration_largest_remainder",
-    "graph_hits_bipartite",
-    "graph_sssp_weighted",
-    "rfm_segmentation",
-    "graph_assortativity",
-    "graph_kcore",
-    "subquery_double_exists",
-    "subquery_anti_scalar",
-    "layout_rle_report",
-    "weighted_percentile",
-    "max_drawdown",
-    "histogram2d_heatmap",
-    "window_rolling_corr",
-    "skyline_pareto",
-    "decimal_money_agg",
-    "impute_group_median",
-    "benford_check",
-    "equi_depth_histogram",
-    "arrow_map_surface",
-    "dup_graph_pagerank",
-    "dedup_survivorship_merge",
-    "dup_graph_bfs_depth",
-    "tfidf_cosine_pairs",
-    "cdc_chunk_dedup",
-    "record_linkage_fs",
+    "graph_clustering_coeff",
+    "hard_negative_topk",
+    "cluster_quality_report",
+    "ndcg_at_k",
+    "mrr_map_at_k",
+    "bpe_merge_step",
+    "vocab_coverage",
+    "bigram_lm_probs",
+    "zipf_fit",
+    "ngram_novelty_score",
+    "js_divergence_sources",
+    "collocation_g2",
+    "heaps_law_fit",
+    "rrf_fusion",
+    "embedding_matryoshka_eval",
+    "knn_classify_eval",
+    "split_leakage_safe",
+    "weighted_sample_topk",
+    "compaction_plan",
+    "dp_noisy_counts",
+    "right_to_erasure_apply",
+    "pseudonymize_keys",
+    "ab_test_readout",
+    "temporal_split_embargo",
+    "k_anonymity_check",
+    "ivm_delta_apply",
+    "t_closeness_check",
+    "epoch_shuffle_assign",
+    "span_corruption_mask",
+    "ips_offpolicy_eval",
+    "scd2_build",
+    "ewma_smooth",
+    "markov_transitions",
+    "interpolate_linear",
+    "cusum_changepoint",
+    "period_over_period",
+    "last_touch_attribution",
+    "top_event_paths",
+    "join_asof_forward",
+    "scd2_point_in_time_join",
+    "cep_pattern_match",
+    "acf_lags",
+    "seasonal_decompose",
+    "rolling_median",
+    "survival_kaplan_meier",
+    "theil_sen_trend",
+    "forecast_snaive_backtest",
+    "max_concurrency_sweep",
+    "multi_touch_attribution",
+    "interval_union_time",
 ]
 
 
@@ -179,7 +157,14 @@ def load_all() -> None:
     )
     from ..streaming import batch_equiv  # noqa: F401
 
-    front = {n: QUERIES[n] for n in _PRIORITY_THIS_ROUND if n in QUERIES}
+    missing = set(_PRIORITY_THIS_ROUND) - set(QUERIES)
+    if missing:
+        # A typo here silently burns one of the 50 driver-evidence slots
+        # the round's budget depends on (ADVICE r4) — fail loudly instead.
+        raise AssertionError(
+            f"_PRIORITY_THIS_ROUND names unknown queries: {sorted(missing)}"
+        )
+    front = {n: QUERIES[n] for n in _PRIORITY_THIS_ROUND}
     rest = {n: f for n, f in QUERIES.items() if n not in front}
     QUERIES.clear()
     QUERIES.update(front)
