@@ -1997,6 +1997,7 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 5
 KNN_TEST_MOD = 10  # vec_id % 10 == 0 -> held-out eval candidate
 KNN_EVAL_CAP = 100  # FIXED eval-set bound: broadcast side is a constant
+KNN_RANK_SALTS = 32  # stage-1 rank fan-out; size to the cluster at scale
 
 
 @query(
@@ -2052,12 +2053,15 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     all: both predicates push to the parquet scan (the range half is
     zone-map/partition prunable). The train corpus streams through ONE
     scan, exactly the `sim_search_topk` plan; norms are precomputed per
-    row, never per pair. Vote -> winner -> accuracy are all
-    lattice-sized aggregations (|test| x |labels|). Ranking uses the
-    ROUNDED cosine (6dp) with vec_id tie-break, majority ties break to
-    the smallest label — both deterministic and engine-portable. For an
-    eval set too large to broadcast, route candidates through the
-    LSH-bucketed join of `dedup_embedding_lsh`; semantics unchanged."""
+    row, never per pair. Neighbour selection is a two-stage SALTED
+    top-K (see inline comment): no window in the plan ever sorts more
+    than a 1/KNN_RANK_SALTS corpus slice, and stage 2 plus vote ->
+    winner -> accuracy are all lattice-sized (|test| x SALTS x K, then
+    |test| x |labels|). Ranking uses the ROUNDED cosine (6dp) with
+    vec_id tie-break, majority ties break to the smallest label — both
+    deterministic and engine-portable. For an eval set too large to
+    broadcast, route candidates through the LSH-bucketed join of
+    `dedup_embedding_lsh`; semantics unchanged."""
     emb = load_table(spark, "embeddings", sf_dir)
     te = (
         emb.filter(
@@ -2076,10 +2080,33 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cn", norm(F.col("cv")))
     cs = F.round(dot(F.col("tv"), F.col("cv")) / (F.col("tn") * F.col("cn")), 6)
     sims = tr.crossJoin(F.broadcast(te)).select(
-        "tid", "tlabel", "vec_id", "label", cs.alias("cs")
+        "tid",
+        "tlabel",
+        "vec_id",
+        "label",
+        cs.alias("cs"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(KNN_RANK_SALTS)).alias("salt"),
     )
-    wk = Window.partitionBy("tid").orderBy(F.col("cs").desc(), F.col("vec_id"))
-    nn = sims.withColumn("rnk", F.row_number().over(wk)).filter(
+    # Two-stage salted top-K ("never rank raw rows"): a single window
+    # PARTITION BY tid has <= |test| = {KNN_EVAL_CAP} partitions, so each
+    # reducer would sort the ENTIRE train corpus at scale. Stage 1 ranks
+    # within (tid, salt) — |test| x KNN_RANK_SALTS-way parallelism, each
+    # group a 1/KNN_RANK_SALTS corpus slice (spillable sort; size SALTS
+    # to the cluster at 100x) — and keeps K per group. Because both
+    # stages use the SAME total order (cs DESC, vec_id ASC), the union
+    # of per-salt top-Ks contains the global top-K exactly, so stage 2
+    # ranks only |test| x SALTS x K lattice-bounded survivors. The salt
+    # is a deterministic hash of vec_id, not spark_partition_id(), so
+    # the result is invariant to physical partitioning.
+    order = (F.col("cs").desc(), F.col("vec_id"))
+    w1 = Window.partitionBy("tid", "salt").orderBy(*order)
+    cand = (
+        sims.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= KNN_K)
+        .drop("r1", "salt")
+    )
+    wk = Window.partitionBy("tid").orderBy(*order)
+    nn = cand.withColumn("rnk", F.row_number().over(wk)).filter(
         F.col("rnk") <= KNN_K
     )
     votes = nn.groupBy("tid", "tlabel", F.col("label").alias("plabel")).agg(

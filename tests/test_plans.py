@@ -749,6 +749,35 @@ def test_knn_eval_broadcast_side_constant_bounded(spark, sf_dir):
     assert "Exchange" not in sketch[bx + len("BroadcastExchange"):]
 
 
+def test_knn_eval_rank_is_salted_two_stage(spark, sf_dir):
+    """knn_classify_eval must never rank raw corpus rows over the
+    <=|test|-key window directly (each reducer would sort the entire
+    train corpus at 100x): stage 1 ranks within (tid, salt) and keeps K
+    per group, so the tid-only window sees only lattice-bounded
+    survivors. Pin: exactly two row_number windows, the first
+    partitioned by (tid, salt), and a shuffle Exchange keyed on salt
+    exists between them."""
+    plan = _plan(spark, sf_dir, "knn_classify_eval")
+    blocks = plan.split("\n\n")
+    windows = [
+        blk
+        for blk in blocks
+        if re.match(r"\(\d+\) Window\b", blk.lstrip()) and "row_number" in blk
+    ]
+    # neighbour stage 1 (tid, salt), stage 2 (tid), vote winner (tid over
+    # the |test| x |labels| lattice) — and nothing ranking raw rows
+    assert len(windows) == 3, f"expected 3 row_number windows, got {len(windows)}"
+    salted = [blk for blk in windows if re.search(r"\bsalt#\d+", blk)]
+    assert len(salted) == 1, "exactly one window must partition by salt"
+    assert re.search(r"hashpartitioning\([^)]*salt", plan), "no salt-keyed Exchange"
+    # rank-limit pushdown must stay active on both neighbour stages: a
+    # partial WindowGroupLimit below each rank Exchange bounds what the
+    # shuffle carries to K rows per key per map partition
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) >= 4, (
+        "WindowGroupLimit pushdown missing — rank shuffles would carry raw rows"
+    )
+
+
 def test_check_full_artifact_covers_registry():
     """The newest committed CHECK_FULL_r*.json (the builder's full
     oracle sweep) must cover every registered query, every oracle-backed
