@@ -25,6 +25,39 @@ from ..plans.registry import query
 from ..sources import load_table, spread
 
 
+def avg4_exact(col: str):
+    """Order-independent ``round(avg(col), 4)``: quantize each value to
+    1e-6 and sum as exact int64, so the result cannot depend on Spark's
+    partial-aggregation order. The sf0.1 sweep caught plain
+    ``round(avg(value), 4)`` drifting 1 ulp from DuckDB on dense hourly
+    buckets (72/100k rows of join_asof flipped at the .00005 boundary —
+    float sums are not associative; sf0.01's sparser buckets never hit
+    the boundary). Integer sums ARE associative, and the single final
+    division runs on identical doubles in both engines. The quantizer is
+    ``floor(x*1e6 + 0.5)`` — NOT ``round``: Spark's round(double) goes
+    through BigDecimal.valueOf (HALF_UP on the SHORTEST DECIMAL STRING of
+    the double) while DuckDB rounds the binary double, and the two
+    disagree exactly at representation boundaries (second sf0.1 FAIL mode
+    on the same three queries); floor and +/* are pure IEEE ops, bit-equal
+    everywhere. The FINAL 4dp rounding uses the same floor form — a
+    quantized average is a rational with denominator count*1e6, so it
+    lands EXACTLY on .00005 boundaries far more often than generic
+    floats, which is where round(double, 4) diverges too (third sf0.1
+    FAIL mode). NULL-safe (count(col), not count(*)). Overflow headroom:
+    |value|*1e6 per row must keep the group sum under 2^63 — at warehouse
+    scale swap to DECIMAL(38,6), same order-independence. SQL twin:
+    AVG4_EXACT_SQL."""
+    q = F.floor(F.col(col) * 1_000_000 + F.lit(0.5)).cast("long")
+    a = F.sum(q) / (F.count(col) * F.lit(1_000_000.0))
+    return F.floor(a * 10_000 + F.lit(0.5)) / F.lit(10_000.0)
+
+
+AVG4_EXACT_SQL = (
+    "floor(sum(CAST(floor({c} * 1000000 + 0.5) AS BIGINT))"
+    " / (count({c}) * 1000000.0) * 10000 + 0.5) / 10000.0"
+)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -88,11 +121,11 @@ def asof_join(
 
 @query(
     "join_asof",
-    """
+    f"""
     WITH rates AS (
       SELECT event_type,
              time_bucket(INTERVAL '1 hour', ts) AS hour_ts,
-             round(avg(value), 4)               AS hourly_rate
+             {AVG4_EXACT_SQL.format(c="value")} AS hourly_rate
       FROM events GROUP BY 1, 2)
     SELECT e.event_id, e.event_type, r.hourly_rate
     FROM events e ASOF LEFT JOIN rates r
@@ -108,7 +141,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     rates = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("hourly_rate"))
+        .agg(avg4_exact("value").alias("hourly_rate"))
         .select("event_type", F.col("w.start").alias("hour_ts"), "hourly_rate")
     )
     joined = asof_join(
@@ -277,10 +310,10 @@ def sessionize_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gap_fill",
-    """
+    f"""
     WITH base AS (
       SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
-             round(avg(value), 4) AS rate
+             {AVG4_EXACT_SQL.format(c="value")} AS rate
       FROM events GROUP BY 1, 2),
     bounds AS (
       SELECT event_type, min(hour_ts) AS lo, max(hour_ts) AS hi
@@ -317,7 +350,7 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     base = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
-    ).agg(F.round(F.avg("value"), 4).alias("rate"))
+    ).agg(avg4_exact("value").alias("rate"))
     bounds = base.groupBy("event_type").agg(
         F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
     )
@@ -1443,11 +1476,11 @@ def asof_join_forward(
 
 @query(
     "join_asof_forward",
-    """
+    f"""
     WITH rates AS (
       SELECT event_type,
              time_bucket(INTERVAL '1 hour', ts) AS hour_ts,
-             round(avg(value), 4)               AS hourly_rate
+             {AVG4_EXACT_SQL.format(c="value")} AS hourly_rate
       FROM events GROUP BY 1, 2)
     SELECT e.event_id, e.event_type, r.hourly_rate AS next_rate
     FROM events e ASOF LEFT JOIN rates r
@@ -1465,7 +1498,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     rates = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("hourly_rate"))
+        .agg(avg4_exact("value").alias("hourly_rate"))
         .select("event_type", F.col("w.start").alias("hour_ts"), "hourly_rate")
     )
     joined = asof_join_forward(

@@ -128,6 +128,43 @@ def test_asof_join_semantics(spark):
     assert got == {1: 200, 2: 100, 3: None, 4: None}
 
 
+def test_avg4_exact_cross_engine_on_boundaries(spark):
+    """avg4_exact and its SQL twin must agree BIT-FOR-BIT on inputs
+    engineered to sit on every divergence boundary the sf0.1 sweep
+    found in round 5: (a) dense groups where float-sum order tips
+    round(avg) by 1 ulp, (b) values whose shortest decimal string is
+    x.5 but whose binary value is below it (Spark round() goes through
+    BigDecimal.valueOf -> HALF_UP on the STRING; DuckDB rounds the
+    binary double), and (c) quantized averages landing exactly on
+    .00005 — rationals with denominator count*1e6 hit that constantly.
+    The floor(x*s + 0.5)/s form is pure IEEE arithmetic, identical in
+    both engines by construction."""
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        AVG4_EXACT_SQL,
+        avg4_exact,
+    )
+
+    rows = []
+    # (b): doubles printing as x.5 at the 1e-6 grid but binary-below
+    rows += [("b", 0.1 + 0.2), ("b", 2.675), ("b", 47.2537499999999994)]
+    # (c): group of 4 averaging exactly to a .00005 boundary
+    rows += [("c", 47.2537), ("c", 47.2538), ("c", 47.2537), ("c", 47.2538)]
+    # (a): a dense group of awkward floats
+    rows += [("a", 0.1 * i + 1 / 3) for i in range(1, 400)]
+    sdf = spark.createDataFrame(rows, ["k", "value"])
+    got_s = {
+        r.k: r.avg4
+        for r in sdf.groupBy("k").agg(avg4_exact("value").alias("avg4")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["k", "value"]))
+    expr = AVG4_EXACT_SQL.format(c="value")
+    got_d = dict(con.sql(f"SELECT k, {expr} AS avg4 FROM t GROUP BY k").fetchall())
+    assert got_s == got_d, f"spark={got_s} duckdb={got_d}"
+
+
 def test_custom_operators_handle_empty_inputs(spark):
     """Empty frames flow through every custom operator without error."""
     import pyspark.sql.functions as F
