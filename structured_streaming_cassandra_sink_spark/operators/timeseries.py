@@ -3007,11 +3007,11 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof_nearest",
-    """
+    f"""
     WITH rates AS (
       SELECT event_type,
              epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS htus,
-             round(avg(value), 4)                         AS hourly_rate
+             {AVG4_EXACT_SQL.format(c="value")} AS hourly_rate
       FROM events GROUP BY 1, 2),
     e AS (SELECT event_id, event_type, epoch_us(ts) AS tus FROM events),
     be AS (
@@ -3055,7 +3055,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tus = ts_micros("ts")
     rates = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("hourly_rate"))
+        .agg(avg4_exact("value").alias("hourly_rate"))
         .select(
             "event_type",
             ts_micros(F.col("w.start")).alias("htus"),
