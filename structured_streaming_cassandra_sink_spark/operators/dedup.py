@@ -39,6 +39,49 @@ SIMHASH_CHUNKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: d<=3 -> >=1 equal chunk
 
 
 # ---------------------------------------------------------------------------
+# Shared DuckDB oracle CTEs: exact word-trigram Jaccard pairs via an
+# INVERTED-INDEX join, replacing the r1-r4 brute-force
+# `sh a JOIN sh b ON a.doc_id < b.doc_id` cross product. Provably the same
+# pair set: both sides deduplicate shingles first (list_distinct), `com`
+# counts DISTINCT shared shingles per (doc_a < doc_b) pair — exactly
+# len(list_intersect(a.shingles, b.shingles)) — and any pair the shingle
+# equi-join cannot reach shares ZERO shingles, so its Jaccard is 0 < every
+# positive threshold and the all-pairs form rejects it too (the two forms
+# were diffed set-equal at sf0.001 and sf0.01 before the swap; r5 session).
+# Why: the all-pairs form is O(n²) list intersections — past the 600 s
+# oracle watchdog at sf0.1's 5k docs, which is what kept 7 dup-graph
+# oracles out of the r5 sf0.1 sweep — while this form is Σ df² index work
+# (~3 s at sf0.1), the same bound the Spark side's inverted-index join
+# obeys. The oracle stays a genuinely independent computation: a different
+# engine, string shingles instead of the Spark side's xxhash64'd index,
+# no prefix filter, no LSH.
+_SH_IDX_CTES = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+      FROM toks WHERE len(toks) >= {NGRAM_N}),
+    sz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+# ... plus the threshold filter: the near-dup `pairs` edge list every
+# dup-graph oracle (degree/triangles/CC/PageRank/BFS/components) builds on.
+_JACCARD_PAIRS_CTE = _SH_IDX_CTES + f""",
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 4) AS jaccard
+      FROM com JOIN sz sa ON sa.doc_id = com.doc_a
+               JOIN sz sb ON sb.doc_id = com.doc_b
+      WHERE n_common::DOUBLE / (sa.sz + sb.sz - n_common)
+            >= {JACCARD_THRESHOLD})"""
+
+
+# ---------------------------------------------------------------------------
 # 1. Exact dedup
 # ---------------------------------------------------------------------------
 @query(
@@ -289,27 +332,16 @@ def ngram_jaccard_pairs_prefix(
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      WHERE len(toks) >= {NGRAM_N}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5). The
-    oracle brute-forces all pairs; the Spark plan uses the inverted-index
-    join — same answer, scalable shape."""
+    oracle is the exact-equivalent inverted-index join over STRING
+    shingles (`_SH_IDX_CTES` — equivalence argument there); the Spark
+    plan uses a hashed inverted index with prefix filtering — same
+    answer, independently computed, scalable shape on both engines."""
     return ngram_jaccard_pairs(spread(load_table(spark, "documents", sf_dir)))
 
 
@@ -376,26 +408,13 @@ def minhash_lsh_pairs(
 @query(
     "dedup_near_minhash",
     f"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      WHERE len(toks) >= {NGRAM_N}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, oracle-checked against brute-force
-    exact Jaccard. The oracle is valid because the emitted set IS the
+    """MinHash-LSH near-dup pairs, oracle-checked against exact Jaccard
+    (inverted-index form, `_SH_IDX_CTES`). The oracle is valid because the emitted set IS the
     exact set on this data: LSH candidates are exact-verified (never a
     false positive), and banding recall is measured 1.0 at sf0.001 /
     sf0.01 / sf0.1 with the deterministic xxhash64 seed family
@@ -603,20 +622,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 _CLUSTER_ORACLE = f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM toks WHERE len(toks) >= {NGRAM_N}
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
-    ),
+    WITH {_JACCARD_PAIRS_CTE},
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach AS (
@@ -805,19 +811,12 @@ CONTAIN_THRESHOLD = 0.6
 @query(
     "shingle_containment",
     f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM toks WHERE len(toks) >= {NGRAM_N}
-    ),
+    WITH {_SH_IDX_CTES},
     pairs AS (
-      SELECT a.doc_id AS da, b.doc_id AS db,
-             len(list_intersect(a.shingles, b.shingles)) AS n_common,
-             len(a.shingles) AS sz_a, len(b.shingles) AS sz_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+      SELECT doc_a AS da, doc_b AS db, n_common,
+             sa.sz AS sz_a, sb.sz AS sz_b
+      FROM com JOIN sz sa ON sa.doc_id = com.doc_a
+               JOIN sz sb ON sb.doc_id = com.doc_b
     )
     SELECT da AS doc_inner, db AS doc_outer,
            round(n_common / sz_a, 4) AS containment
@@ -937,20 +936,7 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dup_graph_degree",
     f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM toks WHERE len(toks) >= {NGRAM_N}
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
-    ),
+    WITH {_JACCARD_PAIRS_CTE},
     deg AS (
       SELECT node, count(*) AS degree FROM (
         SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
@@ -1013,23 +999,11 @@ def dedup_pipeline_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "dup_graph_triangles",
     f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM toks WHERE len(toks) >= {NGRAM_N}
-    ),
-    pairs AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
-    )
-    SELECT count(*) AS n_triangles FROM pairs e1
-    JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
-    JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+    WITH {_JACCARD_PAIRS_CTE},
+    uv AS (SELECT doc_a AS u, doc_b AS v FROM pairs)
+    SELECT count(*) AS n_triangles FROM uv e1
+    JOIN uv e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN uv e3 ON e3.u = e1.v AND e3.v = e2.v
     """,
 )
 def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,22 +1081,7 @@ def edit_distance_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_recall_report",
     f"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      WHERE len(toks) >= {NGRAM_N}
-    ),
-    pairs AS (
-      SELECT round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                   / (len(a.shingles) + len(b.shingles)
-                      - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
-    )
+    WITH {_JACCARD_PAIRS_CTE}
     SELECT count(*) AS n_true_pairs,
            round(avg(jaccard), 4) AS mean_true_jaccard,
            TRUE AS recall_ok, TRUE AS no_false_positives
@@ -1134,7 +1093,7 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern of ann_recall_report / pca_variance_report): the TRUE
     near-dup pair count and mean Jaccard come from the exact
     inverted-index pairs and are recomputed independently by the
-    oracle's brute-force CTE (genuine cross-engine content); the Spark
+    oracle's string-shingle index CTE (genuine cross-engine content); the Spark
     side additionally joins the MinHash-LSH pairs against that truth and
     asserts (a) recall >= 0.9 — banding theory gives P(candidate) =
     1-(1-j^2)^16 >= 0.996 at j = {JACCARD_THRESHOLD} so a miss means
@@ -1296,19 +1255,7 @@ BFS_SEED_MOD = 97
 @query(
     "dup_graph_bfs_depth",
     f"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM toks WHERE len(toks) >= {NGRAM_N}),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}),
+    WITH RECURSIVE {_JACCARD_PAIRS_CTE},
     edges AS (
       SELECT doc_a AS s, doc_b AS d FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1733,29 +1680,17 @@ CC_TOPK = 10
 @query(
     "graph_clustering_coeff",
     f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
-                 i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
-      FROM toks WHERE len(toks) >= {NGRAM_N}
-    ),
-    pairs AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
-    ),
+    WITH {_JACCARD_PAIRS_CTE},
+    uv AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
     deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS degree
-      FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      FROM (SELECT u AS node FROM uv UNION ALL SELECT v FROM uv)
       GROUP BY 1),
     tri AS (
       SELECT unnest([e1.u, e1.v, e2.v]) AS node
-      FROM pairs e1
-      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
-      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+      FROM uv e1
+      JOIN uv e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN uv e3 ON e3.u = e1.v AND e3.v = e2.v),
     tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM tri GROUP BY 1)
     SELECT deg.node, degree,
            COALESCE(n_tri, 0)       AS n_triangles,
