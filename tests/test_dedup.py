@@ -248,3 +248,57 @@ def test_graph_clustering_coeff_complete_family(spark):
     assert len(out) == 3
     for r in out:
         assert r["degree"] == 2 and r["n_triangles"] == 1 and r["local_cc"] == 1.0
+
+
+def test_oracle_inverted_index_cte_equals_brute_force(sf_dir):
+    """The shared DuckDB oracle CTE (_JACCARD_PAIRS_CTE) replaced the
+    r1-r4 brute-force all-pairs form for sf0.1 tractability; this pins
+    the equivalence proof ON DATA: both forms must produce the identical
+    (doc_a, doc_b, jaccard) set. DuckDB-only — no Spark involved — so a
+    regression here isolates to the oracle SQL itself."""
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.operators.dedup import (
+        _JACCARD_PAIRS_CTE,
+        JACCARD_THRESHOLD,
+        NGRAM_N,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    new = set(
+        map(
+            tuple,
+            con.execute(
+                f"WITH {_JACCARD_PAIRS_CTE} SELECT doc_a, doc_b, jaccard FROM pairs"
+            ).fetchall(),
+        )
+    )
+    brute = set(
+        map(
+            tuple,
+            con.execute(
+                f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(toks) - {NGRAM_N - 1}),
+                     i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= {NGRAM_N}
+        )
+        SELECT a.doc_id, b.doc_id,
+               round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))), 4)
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+        """
+            ).fetchall(),
+        )
+    )
+    assert new == brute and len(new) > 0
