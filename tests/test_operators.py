@@ -2232,3 +2232,68 @@ def test_layout_rle_report_layout_tradeoff(spark, sf_dir):
     )
     for r in rows.values():
         assert r["n_runs"] >= 1 and r["avg_run_len"] >= 1.0
+
+
+def test_avg4_exact_cross_engine_seeded_fuzz(spark):
+    """Three-way bit-equality fuzz for avg4_exact: Spark, DuckDB, and a
+    pure-Python replay of the same IEEE ops (floor(v*1e6+0.5) per value,
+    one float division, floor-form 4dp round) must agree on every group.
+    The hand-picked boundary test pins the three known divergence modes;
+    this drives ~300 random groups drawn to land on quantization
+    boundaries often (values on the 1e-4 grid, plus raw uniform doubles,
+    plus near-.5 quantization points), so a regression in ANY engine's
+    arithmetic path shows up as a bit flip, not a hash mystery in a
+    driver sweep three rounds later."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.operators.timeseries import (
+        AVG4_EXACT_SQL,
+        avg4_exact,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for g in range(300):
+        n = int(rng.integers(1, 60))
+        kind = g % 3
+        if kind == 0:  # 1e-4-grid money-like values: boundary-dense
+            vals = rng.integers(-5_000_000, 5_000_000, n) / 10_000.0
+        elif kind == 1:  # raw uniform doubles
+            vals = rng.uniform(-500.0, 500.0, n)
+        else:  # values engineered near the .5 quantization midpoint
+            vals = (rng.integers(-5_000_000, 5_000_000, n) + 0.5) / 1_000_000.0
+        rows += [(g, float(v)) for v in vals]
+
+    pdf = pd.DataFrame(rows, columns=["k", "value"])
+
+    # pure-Python IEEE replay — the ground truth both engines must hit
+    def ref(vals: list[float]) -> float:
+        q = sum(math.floor(v * 1_000_000 + 0.5) for v in vals)
+        a = q / (len(vals) * 1_000_000.0)
+        return math.floor(a * 10_000 + 0.5) / 10_000.0
+
+    expect = pdf.groupby("k")["value"].apply(lambda s: ref(list(s))).to_dict()
+
+    sdf = spark.createDataFrame(pdf)
+    got_s = {
+        r.k: r.avg4
+        for r in sdf.groupBy("k").agg(avg4_exact("value").alias("avg4")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    expr = AVG4_EXACT_SQL.format(c="value")
+    got_d = dict(con.sql(f"SELECT k, {expr} AS avg4 FROM t GROUP BY k").fetchall())
+
+    bad = [
+        k
+        for k in expect
+        if not (got_s[k] == got_d[k] == expect[k])
+    ]
+    assert not bad, f"{len(bad)} groups diverge, e.g. " + ", ".join(
+        f"k={k}: spark={got_s[k]!r} duck={got_d[k]!r} ref={expect[k]!r}"
+        for k in bad[:5]
+    )
