@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Generate an sf1-equivalent dataset: 10 key-shifted copies of sf0.1.
+
+Purpose: extend SCALING_CURVES.md one decade past the driver-provided
+testdata (sf0.001/0.01/0.1 = 100x) to 1000x overall, at a size where data
+finally swamps the fixed per-job overhead that dominates the small SFs.
+The testdata dirs are read-only, so the 10x set is DERIVED, deterministic,
+and written to /tmp (not committed):
+
+- dims (region nation customer supplier part): copied as-is — at any real
+  scale factor the dims grow far slower than facts, and keeping them fixed
+  preserves broadcast-join shapes.
+- orders/lineitem: o_orderkey/l_orderkey offset by copy*max so the
+  orders<->lineitem FK keeps working and keys stay unique.
+- events: event_id AND user_id offset — scaling key cardinality (more
+  users), not per-key series length, which is how event data actually
+  grows.
+- documents: doc_id offset; every WORD gets a per-copy prefix (c<i>_) so
+  the near-dup pair structure replicates WITHIN each copy without welding
+  the 10 copies into one giant cross-copy duplicate cluster (10 identical
+  corpora would square the pair count and change the workload's CHARACTER,
+  not just its scale). Note n_chars is left at its source value (words
+  grew by 3 chars); the scaling harness only measures wall time.
+- embeddings: vec_id offset, vectors unchanged — 10x corpus for scans;
+  the resulting exact-duplicate vectors are harmless for the measured
+  queries (ties break on vec_id deterministically).
+
+Usage: python tools/gen_sf1eq.py [OUT_DIR]         (default /tmp/sf1eq)
+Then:  python tools/scaling_curves.py --sf1eq OUT_DIR
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from structured_streaming_cassandra_sink_spark.session import get_spark
+
+    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1eq"
+    os.makedirs(dst, exist_ok=True)
+    spark = get_spark(app_name="gen-sf1eq")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for t in "region nation customer supplier part".split():
+        s, d = f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet"
+        if os.path.isfile(s):
+            shutil.copy(s, d)
+        else:
+            shutil.copytree(s, d, dirs_exist_ok=True)
+
+    def write(df, name: str, n: int = 32) -> None:
+        df.repartition(n).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+    cp = F.explode(F.array(*[F.lit(i) for i in range(COPIES)])).alias("cp")
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    omax = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    write(
+        orders.select("*", cp)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("cp") * omax)
+        .drop("cp"),
+        "orders",
+    )
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    write(
+        li.select("*", cp)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("cp") * omax)
+        .drop("cp"),
+        "lineitem",
+    )
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    emax = ev.agg(F.max("event_id")).first()[0] + 1
+    umax = ev.agg(F.max("user_id")).first()[0] + 1
+    write(
+        ev.select("*", cp)
+        .withColumn("event_id", F.col("event_id") + F.col("cp") * emax)
+        .withColumn("user_id", F.col("user_id") + F.col("cp") * umax)
+        .drop("cp"),
+        "events",
+    )
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    dmax = docs.agg(F.max("doc_id")).first()[0] + 1
+    write(
+        docs.select("*", cp)
+        .withColumn("doc_id", F.col("doc_id") + F.col("cp") * dmax)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(
+                        F.lit("c"), F.col("cp").cast("string"), F.lit("_"), w
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .drop("cp"),
+        "documents",
+        16,
+    )
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    vmax = emb.agg(F.max("vec_id")).first()[0] + 1
+    write(
+        emb.select("*", cp)
+        .withColumn("vec_id", F.col("vec_id") + F.col("cp") * vmax)
+        .drop("cp"),
+        "embeddings",
+        16,
+    )
+
+    for t in "orders lineitem events documents embeddings".split():
+        print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -8,7 +8,12 @@ scans grow linearly; nothing quadratic). A pairwise/all-pairs pathology
 shows up immediately as a super-linear column — the table makes that
 regression reviewable round over round.
 
-Usage: python tools/scaling_curves.py   (writes SCALING_CURVES.md)
+Usage: python tools/scaling_curves.py [--sf1eq DIR]   (writes SCALING_CURVES.md)
+
+--sf1eq DIR adds a FOURTH decade: a derived sf1-equivalent dataset (10x
+sf0.1 facts, built by tools/gen_sf1eq.py) measured in a second table, so
+the curve covers 1000x overall — the last decade is the first where data
+genuinely swamps the fixed per-job overhead on this box.
 """
 
 from __future__ import annotations
@@ -80,9 +85,25 @@ QUERIES = [
 RUNS = 2  # min-of-N like bench.py
 
 
+def _time_query(fn, spark, sf_dir: str) -> float:
+    best = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main() -> int:
     from structured_streaming_cassandra_sink_spark.plans import registry
     from structured_streaming_cassandra_sink_spark.session import get_spark
+
+    args = sys.argv[1:]
+    sf1eq_dir = None
+    if "--sf1eq" in args:
+        i = args.index("--sf1eq")
+        sf1eq_dir = args[i + 1]
 
     registry.load_all()
     spark = get_spark(app_name="scaling-curves")
@@ -95,15 +116,17 @@ def main() -> int:
         fn = registry.QUERIES[name]
         results[name] = {}
         for sf in SFS:
-            best = None
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                fn(spark, f"/root/testdata/sf{sf}").write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            results[name][sf] = best
+            results[name][sf] = _time_query(fn, spark, f"/root/testdata/sf{sf}")
+        if sf1eq_dir:
+            try:
+                results[name]["1eq"] = _time_query(fn, spark, sf1eq_dir)
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                print(f"FAIL {name} at sf1eq: {type(e).__name__}: {str(e)[:200]}")
+                results[name]["1eq"] = float("nan")
+        print(
+            f"done {name}: "
+            + " ".join(f"{k}={v:.2f}" for k, v in results[name].items())
+        )
 
     lines = [
         "# SCALING_CURVES — measured wall time vs data size (local[32])",
@@ -127,6 +150,34 @@ def main() -> int:
             f"| {row['0.1']:.3f} | {g:.1f}x |"
         )
     lines.append("")
+    if sf1eq_dir:
+        lines += [
+            "## Fourth decade: sf1-equivalent (10x sf0.1 facts, 1000x overall)",
+            "",
+            "Derived dataset from `python tools/gen_sf1eq.py` (10 key-shifted",
+            "copies of sf0.1; 6M lineitem / 1M events / 50k documents / 20k",
+            "vectors; per-copy word prefixes keep near-dup structure per copy).",
+            "This is the first decade where data outweighs fixed per-job",
+            "overhead, so the 10x column is the honest per-decade slope: ~10x",
+            "means linear in data on fixed cores — the shape that survives a",
+            "cluster scale-out, where cores grow WITH the data; well above",
+            "~10x would flag super-linear (pairwise) work.",
+            "",
+            "Measured with `PYSPARK_SUBMIT_ARGS='--driver-memory 24g",
+            "pyspark-shell'`: Spark's 1 GB local-mode default heap (ample",
+            "through sf0.1) OOMs three queries at this size — the memory is",
+            "data-proportional state a real cluster sizes per executor, not a",
+            "leak (a 1000-executor deployment holds ~1/1000th of it per node).",
+            "",
+            "| query | sf0.1 s | sf1eq s | 10x growth |",
+            "|---|---|---|---|",
+        ]
+        for name, row in results.items():
+            g10 = row["1eq"] / row["0.1"] if row["0.1"] > 0 else float("nan")
+            lines.append(
+                f"| `{name}` | {row['0.1']:.3f} | {row['1eq']:.3f} | {g10:.1f}x |"
+            )
+        lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING_CURVES.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
