@@ -49,6 +49,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
+        # In local mode the driver JVM IS every executor, so Spark's 1 GB
+        # driver default (sized for a coordinate-only driver) is the wrong
+        # bound: it OOMs broadcast/localCheckpoint state one decade past
+        # sf0.1 (SCALING_CURVES.md fourth-decade note) and costs ~3-4% in
+        # GC on the heavy sf0.1 queries. Applies only when THIS builder
+        # launches the JVM; attaching to an existing session ignores it.
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
