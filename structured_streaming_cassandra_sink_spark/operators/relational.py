@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import ts_millis
+from ..functions.exactagg import (
+    avg_exact,
+    avg_exact_sql,
+    sum_exact,
+    sum_exact_sql,
+)
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -186,13 +192,14 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "groupby_agg",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                               AS sum_qty,
-           round(sum(l_extendedprice), 4)                          AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)       AS sum_disc_price,
-           round(avg(l_quantity), 4)                               AS avg_qty,
-           round(avg(l_discount), 4)                               AS avg_disc,
+           {sum_exact_sql("l_quantity", 10_000)}                   AS sum_qty,
+           {sum_exact_sql("l_extendedprice", 100)}                 AS sum_base_price,
+           {sum_exact_sql("l_extendedprice * (1 - l_discount)", 10_000)}
+                                                                   AS sum_disc_price,
+           {avg_exact_sql("l_quantity", 1_000_000)}                AS avg_qty,
+           {avg_exact_sql("l_discount", 1_000_000)}                AS avg_disc,
            count(*)                                                AS count_order,
            count(DISTINCT l_partkey)                               AS n_parts
     FROM lineitem
@@ -204,19 +211,24 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: map-side partial aggregation then a tiny shuffle of
     partials (group cardinality ~6) — the pattern that survives 100 TB.
     count(DISTINCT) triggers Spark's expand+two-phase plan; still bounded
-    because the group count is tiny."""
+    because the group count is tiny.
+
+    Money/quantity aggregates use the exact quantized-int form
+    (functions/exactagg.py) — plain round(sum(double),4) flipped its 4th
+    decimal against DuckDB at the 10x-sf0.1 sweep (1e11-magnitude sums
+    need every significant digit; partial-agg order differs). Overflow
+    budget: price*1e4 ≈ 1e9/row → exact past 1e9 rows/group in int64."""
     li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            sum_exact("l_quantity", 10_000).alias("sum_qty"),
+            sum_exact("l_extendedprice", 100).alias("sum_base_price"),
+            sum_exact(disc_price, 10_000).alias("sum_disc_price"),
+            avg_exact("l_quantity", 1_000_000).alias("avg_qty"),
+            avg_exact("l_discount", 1_000_000).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
             F.countDistinct("l_partkey").alias("n_parts"),
         )
@@ -228,21 +240,24 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "grouping_sets",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           count(*)                          AS n,
-           round(sum(l_extendedprice), 4)    AS revenue
+           count(*)                                 AS n,
+           {sum_exact_sql("l_extendedprice", 100)}  AS revenue
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP: Spark plans this as a single Expand + hash aggregate —
-    one pass over the fact table produces all grouping levels."""
+    one pass over the fact table produces all grouping levels. Revenue
+    uses the exact quantized-int sum (functions/exactagg.py): the grand-
+    total row sums the WHOLE fact table, the first place the 10x sweep
+    caught round(sum(double),4) flipping against DuckDB."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        sum_exact("l_extendedprice", 100).alias("revenue"),
     )
 
 
@@ -410,13 +425,14 @@ def salted_join(
 
 @query(
     "join_skew_salted",
-    """
+    f"""
     WITH dim AS (SELECT DISTINCT l_returnflag,
                         'flag_' || l_returnflag AS flag_name
                  FROM lineitem)
     SELECT d.flag_name,
            count(*) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {sum_exact_sql("l.l_extendedprice * (1 - l.l_discount)", 10_000, 2)}
+               AS revenue
     FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
     GROUP BY d.flag_name
     """,
@@ -433,11 +449,13 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("flag_name", F.concat(F.lit("flag_"), F.col("l_returnflag")))
     )
     joined = salted_join(li, dim, "l_returnflag", salts=8, salt_source="l_orderkey")
+    # exact quantized-int revenue (functions/exactagg.py): 2M-row-per-flag
+    # float sums flipped the cents digit against DuckDB at the 10x sweep
     return joined.groupBy("flag_name").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        sum_exact(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000, 2
+        ).alias("revenue"),
     )
 
 
@@ -710,10 +728,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_agg",
-    """
+    f"""
     SELECT o_orderstatus, o_orderpriority,
-           count(*)                      AS n,
-           round(sum(o_totalprice), 4)   AS revenue
+           count(*)                              AS n,
+           {sum_exact_sql("o_totalprice", 100)}  AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -726,7 +744,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        sum_exact("o_totalprice", 100).alias("revenue"),
     )
 
 
@@ -1220,10 +1238,10 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_agg",
-    """
+    f"""
     SELECT o_orderstatus, o_orderpriority,
-           count(*)                    AS n,
-           round(sum(o_totalprice), 4) AS revenue
+           count(*)                              AS n,
+           {sum_exact_sql("o_totalprice", 100)}  AS revenue
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -1239,7 +1257,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        sum_exact("o_totalprice", 100).alias("revenue"),
     )
 
 

@@ -16,6 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactagg import (
+    avg_exact,
+    avg_exact_sql,
+    sum_exact,
+    sum_exact_sql,
+)
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -231,35 +237,40 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "conditional_agg",
-    """
+    f"""
     SELECT o_orderpriority,
            count(*)                                                  AS n_orders,
            count(*) FILTER (WHERE o_orderstatus = 'F')               AS n_finished,
-           round(sum(CASE WHEN o_totalprice > 200000
-                          THEN o_totalprice ELSE 0 END), 4)          AS big_rev,
-           round(avg(CASE WHEN o_orderstatus = 'O'
-                          THEN o_totalprice END), 4)                 AS avg_open_price
+           {sum_exact_sql(
+               "CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END",
+               100,
+           )}                                                        AS big_rev,
+           {avg_exact_sql(
+               "CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 100
+           )}                                                        AS avg_open_price
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation battery: count_if / filtered sums /
-    null-skipping conditional avg — one pass, all map-side partial."""
+    null-skipping conditional avg — one pass, all map-side partial. The
+    money aggregates use the exact quantized-int form
+    (functions/exactagg.py) after the 10x-sf0.1 sweep caught the float
+    forms flipping their 4th decimal; the CASE runs INSIDE the
+    quantizer so null-skipping semantics are unchanged."""
     o = load_table(spark, "orders", sf_dir)
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
-        F.round(
-            F.sum(
-                F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(
-                    0.0
-                )
+        sum_exact(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(
+                0.0
             ),
-            4,
+            100,
         ).alias("big_rev"),
-        F.round(
-            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 4
+        avg_exact(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")), 100
         ).alias("avg_open_price"),
     )
 

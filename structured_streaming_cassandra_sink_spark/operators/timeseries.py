@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import ts_micros
+from ..functions.exactagg import avg_exact, avg_exact_sql, qlong
 from ..plans.registry import query
 from ..sources import load_table, spread
 
@@ -813,6 +814,18 @@ def _chain_walk(spark: SparkSession, ev: DataFrame) -> DataFrame:
     spark.conf.set(
         "spark.sql.cteRecursionLevelLimit", str(max(100, int(longest) + 8))
     )
+    # Spark 4 also caps TOTAL rows a recursion may emit
+    # (spark.sql.cteRecursionRowLimit, default 1e6). The walk emits each
+    # event exactly once (every event holds one position in one chain),
+    # so the bound is |events| — a 10x-sf0.1 run (1M events) hits the
+    # default mid-recursion (RECURSION_ROW_LIMIT_EXCEEDED, found by the
+    # sf1eq sweep). Same discipline as the level limit: measure, then
+    # set above the measured need, never below the default.
+    n_events = ev.count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit",
+        str(max(1_000_000, int(n_events) + 1_000)),
+    )
     ev.createOrReplaceTempView("__chain_events")
     return spark.sql(
         f"""
@@ -1187,22 +1200,33 @@ CUSUM_H = 4.0  # decision threshold, in std units of the hourly series
     f"""
     WITH hourly AS (
       SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
-             round(avg(value), 6) AS rate
+             {avg_exact_sql("value", 1_000_000, 6)} AS rate
       FROM events GROUP BY 1, 2),
+    hm AS (
+      SELECT event_type, hour_ts, rate,
+             CAST(floor(rate * 1000000.0 + 0.5) AS BIGINT) AS m
+      FROM hourly),
+    mom AS (
+      SELECT event_type, count(*) AS n, sum(m) AS s1,
+             CAST(sum(CAST(m AS HUGEINT) * m) AS DOUBLE) AS s2d
+      FROM hm GROUP BY 1),
     stats AS (
       SELECT event_type,
-             round(avg(rate), 6)        AS mu,
-             round(stddev_pop(rate), 6) AS sigma
-      FROM hourly GROUP BY 1),
+             floor(s1 / n / 1000000.0 * 1e6 + 0.5) / 1e6 AS mu,
+             floor(sqrt(greatest(
+                 s2d / n / 1e12 - (s1 / n / 1000000.0) * (s1 / n / 1000000.0),
+                 0)) * 1e6 + 0.5) / 1e6 AS sigma
+      FROM mom),
     dev AS (
       SELECT h.event_type, h.hour_ts,
-             round((h.rate - s.mu) / s.sigma, 6) AS z
-      FROM hourly h JOIN stats s USING (event_type)
+             floor((h.rate - s.mu) / s.sigma * 1e6 + 0.5) / 1e6 AS z
+      FROM hm h JOIN stats s USING (event_type)
       WHERE s.sigma > 0),
     cusum AS (
       SELECT event_type, hour_ts, z,
-             round(sum(z) OVER (PARTITION BY event_type ORDER BY hour_ts
-                                ROWS UNBOUNDED PRECEDING), 6) AS s_cum
+             floor(sum(z) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                ROWS UNBOUNDED PRECEDING) * 1e6 + 0.5) / 1e6
+                 AS s_cum
       FROM dev)
     SELECT event_type, hour_ts, z, s_cum,
            CASE WHEN abs(s_cum) > {CUSUM_H} THEN 1 ELSE 0 END AS drifted
@@ -1222,22 +1246,44 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window over the tiny hourly series. Two-sided textbook CUSUM
     (V-mask); the one-sided max(0, .) recurrences don't translate to a
     window frame, so this is the form that stays declarative — and at
-    100 TB the hourly table is still only |types| x hours rows."""
+    100 TB the hourly table is still only |types| x hours rows.
+
+    Float contract (functions/exactagg.py discipline; converted after
+    the 10x-sf0.1 sweep caught round(avg(value),6) drifting 1 ulp at
+    dense buckets): the hourly rate is the exact quantized average; mu
+    and sigma derive from EXACT integer moments of the 1e-6-grid rates
+    (the second moment accumulates in decimal/hugeint — m^2 sums
+    overflow int64 at |value|<=560 — then casts ONCE to double: a
+    single well-defined rounding of an order-free exact integer), and
+    every output round is the floor form. All downstream doubles are
+    bit-identical cross-engine because their inputs are."""
     e = load_table(spark, "events", sf_dir)
+    Q = 1_000_000
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
-    ).agg(F.round(F.avg("value"), 6).alias("rate"))
-    stats = hourly.groupBy("event_type").agg(
-        F.round(F.avg("rate"), 6).alias("mu"),
-        F.round(F.stddev_pop("rate"), 6).alias("sigma"),
+    ).agg(avg_exact("value", Q, 6).alias("rate"))
+    hm = hourly.withColumn("m", qlong(F.col("rate"), Q))
+    md = F.col("m").cast("decimal(19,0)")
+    mom = hm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s1"),
+        F.sum(md * md).cast("double").alias("s2d"),
+    )
+    ex = F.col("s1") / F.col("n") / F.lit(1_000_000.0)
+    ex2 = F.col("s2d") / F.col("n") / F.lit(1e12)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    stats = mom.select(
+        "event_type",
+        r6(ex).alias("mu"),
+        r6(F.sqrt(F.greatest(ex2 - ex * ex, F.lit(0.0)))).alias("sigma"),
     )
     dev = (
-        hourly.join(F.broadcast(stats), "event_type")
+        hm.join(F.broadcast(stats), "event_type")
         .filter(F.col("sigma") > 0)
         .select(
             "event_type",
             "hour_ts",
-            F.round((F.col("rate") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+            r6((F.col("rate") - F.col("mu")) / F.col("sigma")).alias("z"),
         )
     )
     w = (
@@ -1249,7 +1295,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_ts",
         "z",
-        F.round(F.sum("z").over(w), 6).alias("s_cum"),
+        r6(F.sum("z").over(w)).alias("s_cum"),
     ).withColumn(
         "drifted",
         F.when(F.abs(F.col("s_cum")) > CUSUM_H, 1).otherwise(0),

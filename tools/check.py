@@ -172,7 +172,11 @@ def main() -> int:
     spark = get_spark(app_name="check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; derived sets (gen_sf1eq.py)
+        # are Spark-written DIRECTORIES of part files — glob those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = 0
     report: dict[str, dict] = {}
