@@ -2297,3 +2297,65 @@ def test_avg4_exact_cross_engine_seeded_fuzz(spark):
         f"k={k}: spark={got_s[k]!r} duck={got_d[k]!r} ref={expect[k]!r}"
         for k in bad[:5]
     )
+
+
+def test_exactagg_helpers_cross_engine_seeded_fuzz(spark):
+    """Three-way bit-equality fuzz for functions/exactagg.py (the
+    generalization of avg4_exact that the sf1eq sweep drove): sum_exact
+    and avg_exact and their SQL twins and a pure-Python IEEE replay must
+    agree on every group, across the quantization scales the converted
+    queries actually use (q=100 money, q=10^4 products, q=10^6 rates)
+    and output precisions 2/4/6."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.functions.exactagg import (
+        avg_exact,
+        avg_exact_sql,
+        sum_exact,
+        sum_exact_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(120):
+        n = int(rng.integers(1, 80))
+        if g % 3 == 0:  # 2dp money values, large magnitude
+            vals = rng.integers(1, 60_000_000, n) / 100.0
+        elif g % 3 == 1:  # products of 2dp x 2dp (4dp-ish, binary-inexact)
+            vals = (rng.integers(1, 10_000_000, n) / 100.0) * (
+                1 - rng.integers(0, 11, n) / 100.0
+            )
+        else:  # small rates near quantization midpoints
+            vals = (rng.integers(-5_000_000, 5_000_000, n) + 0.5) / 1_000_000.0
+        rows += [(g, float(v)) for v in vals]
+    pdf = pd.DataFrame(rows, columns=["k", "value"])
+
+    CASES = [("sum", 100, 4), ("sum", 10_000, 2), ("avg", 1_000_000, 6),
+             ("avg", 100, 4)]
+
+    def ref(vals, kind, q, d):
+        s = sum(math.floor(v * q + 0.5) for v in vals)
+        x = s / q if kind == "sum" else s / (len(vals) * q)
+        return math.floor(x * 10.0**d + 0.5) / 10.0**d
+
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for kind, q, d in CASES:
+        fn = sum_exact if kind == "sum" else avg_exact
+        sql = (sum_exact_sql if kind == "sum" else avg_exact_sql)("value", q, d)
+        got_s = {
+            r.k: r.v
+            for r in sdf.groupBy("k").agg(fn("value", q, d).alias("v")).collect()
+        }
+        got_d = dict(con.sql(f"SELECT k, {sql} AS v FROM t GROUP BY k").fetchall())
+        expect = pdf.groupby("k")["value"].apply(
+            lambda s: ref(list(s), kind, q, d)
+        ).to_dict()
+        bad = [k for k in expect if not (got_s[k] == got_d[k] == expect[k])]
+        assert not bad, (kind, q, d, bad[:3],
+                         [(got_s[k], got_d[k], expect[k]) for k in bad[:3]])
