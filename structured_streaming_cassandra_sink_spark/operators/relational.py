@@ -1964,24 +1964,35 @@ SSSP_HOPS = 3
 SSSP_MIN_SUPPORT = 2   # co-purchase support floor keeps the graph sparse
 SSSP_SEED_MOD = 199    # seed parts: partkey % 199 == 0
 
+# Every per-iteration CTE is AS MATERIALIZED: DuckDB inlines CTEs by
+# default, and each level here is referenced 2-3 times (a{i} by an{i} AND
+# auth{i}; hh{i} by hn{i} AND h{i}), so inlining re-expands the whole
+# prior subtree per reference — 3^(2*iters) copies of the incidence scan.
+# Harmless at the graded SFs, but the 10x sf1eq sweep measured it
+# spilling >66 GB of DuckDB temp before exhausting disk. MATERIALIZED
+# pins each level to one evaluation — the oracle-side twin of the r4
+# Spark fix for this same query's plan-subtree doubling (localCheckpoint
+# per half-iteration).
 _HITS_ITER_TMPL = """
-    a{i} AS (
+    a{i} AS MATERIALIZED (
       SELECT p, sum(h) AS s
       FROM cp JOIN h{prev} USING (c) GROUP BY p),
     an{i} AS (SELECT max(s) AS m FROM a{i}),
-    auth{i} AS (SELECT p, round(s / (SELECT m FROM an{i}), 9) AS a FROM a{i}),
-    hh{i} AS (
+    auth{i} AS MATERIALIZED (
+      SELECT p, round(s / (SELECT m FROM an{i}), 9) AS a FROM a{i}),
+    hh{i} AS MATERIALIZED (
       SELECT c, sum(a) AS s
       FROM cp JOIN auth{i} USING (p) GROUP BY c),
     hn{i} AS (SELECT max(s) AS m FROM hh{i}),
-    h{i} AS (SELECT c, round(s / (SELECT m FROM hn{i}), 9) AS h FROM hh{i}),"""
+    h{i} AS MATERIALIZED (
+      SELECT c, round(s / (SELECT m FROM hn{i}), 9) AS h FROM hh{i}),"""
 
 _HITS_ORACLE = (
     """
-    WITH cp AS (
+    WITH cp AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM cp),"""
+    h0 AS MATERIALIZED (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM cp),"""
     + "".join(
         _HITS_ITER_TMPL.format(i=i, prev=i - 1) for i in range(1, HITS_ITERS + 1)
     ).rstrip(",")
@@ -2370,17 +2381,21 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AS MATERIALIZED for the same reason as _HITS_ITER_TMPL: e{prev} is
+# referenced by BOTH d{i} and e{i}, keep{i} twice by e{i} — default CTE
+# inlining doubles the peel subtree per round (2^rounds edge-build
+# scans; the sf1eq disk-spill pathology).
 _KCORE_ITER_TMPL = """
     d{i} AS (SELECT s AS node, count(*) AS k FROM e{prev} GROUP BY 1),
-    keep{i} AS (SELECT node FROM d{i} WHERE k >= {kk}),
-    e{i} AS (
+    keep{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE k >= {kk}),
+    e{i} AS MATERIALIZED (
       SELECT e.s, e.d FROM e{prev} e
       JOIN keep{i} ks ON ks.node = e.s
       JOIN keep{i} kd ON kd.node = e.d),"""
 
 _KCORE_ORACLE = (
     _COPURCHASE_EDGES_SQL
-    + ",\n    e0 AS (SELECT s, d FROM edges),"
+    + ",\n    e0 AS MATERIALIZED (SELECT s, d FROM edges),"
     + "".join(
         _KCORE_ITER_TMPL.format(i=i, prev=i - 1, kk=KCORE_K)
         for i in range(1, KCORE_ROUNDS + 1)
