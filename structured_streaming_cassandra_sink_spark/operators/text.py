@@ -1541,6 +1541,50 @@ def collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HEAPS_BUCKET = 100  # docs per vocabulary-growth checkpoint
 
+# Cross-engine-exact OLS in ln-space (the r5 driver FAIL fix). The engines'
+# regr_slope/intercept/r2 kernels accumulate huge float sums in
+# engine-specific order, so their last ulps differ — and a result landing
+# within that ulp noise of a round(,6) boundary hashes differently per
+# environment (every local sweep was green; the driver's env flipped one).
+# Contract v2 (functions/exactagg.py discipline): quantize ln(N), ln(V) to
+# a 1e-6 grid with floor(x*q+0.5) (pure IEEE, bit-identical everywhere),
+# sum the moments as EXACT int64 (order-independent), then both engines run
+# the IDENTICAL double expression over identical integers — bit-identical
+# slope/intercept/r2 by construction, no kernel in the loop.
+#
+# Overflow budget (int64 moments): xq = ln(big_n)*1e6 <= 2.8e7 even at
+# 1e12 tokens/source; xq^2 <= 7.8e14; the checkpoint lattice is held at
+# ~1e3 points/source by scaling HEAPS_BUCKET with the corpus (docstring),
+# so each moment sum <= ~7.8e17 — 11x under 2^63. Slope is invariant to
+# the common 1e6 scale; the intercept divides it back out.
+_HEAPS_Q = "1e6"
+_HEAPS_XQ = "CAST(floor(ln(CAST(big_n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+_HEAPS_YQ = "CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+_H_SN = "CAST(count(xq) AS DOUBLE)"
+_H_SX = "CAST(sum(xq) AS DOUBLE)"
+_H_SY = "CAST(sum(yq) AS DOUBLE)"
+_H_SXX = "CAST(sum(xq * xq) AS DOUBLE)"
+_H_SXY = "CAST(sum(xq * yq) AS DOUBLE)"
+_H_SYY = "CAST(sum(yq * yq) AS DOUBLE)"
+_H_COV = f"({_H_SN} * {_H_SXY} - {_H_SX} * {_H_SY})"
+_H_VARX = f"({_H_SN} * {_H_SXX} - {_H_SX} * {_H_SX})"
+_H_VARY = f"({_H_SN} * {_H_SYY} - {_H_SY} * {_H_SY})"
+_HEAPS_BETA = (
+    f"CASE WHEN {_H_VARX} = 0.0 THEN NULL ELSE "
+    f"floor({_H_COV} / {_H_VARX} * 1e6 + 0.5) / 1e6 END"
+)
+_HEAPS_LNK = (
+    f"CASE WHEN {_H_VARX} = 0.0 THEN NULL ELSE "
+    f"floor(({_H_SY} - {_H_COV} / {_H_VARX} * {_H_SX}) / {_H_SN}"
+    f" / {_HEAPS_Q} * 1e4 + 0.5) / 1e4 END"
+)
+_HEAPS_R2 = (
+    f"CASE WHEN max(v) * 100 < min(v) * 101 OR {_H_VARX} = 0.0"
+    f" OR {_H_VARY} = 0.0 THEN NULL ELSE "
+    f"floor({_H_COV} * {_H_COV} / ({_H_VARX} * {_H_VARY})"
+    f" * 1e6 + 0.5) / 1e6 END"
+)
+
 
 @query(
     "heaps_law_fit",
@@ -1567,17 +1611,17 @@ HEAPS_BUCKET = 100  # docs per vocabulary-growth checkpoint
              sum(COALESCE(nv.n_new, 0)) OVER (PARTITION BY nt.source
                ORDER BY nt.bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-      FROM nt LEFT JOIN nv ON nt.source = nv.source AND nt.bucket = nv.bucket)
+      FROM nt LEFT JOIN nv ON nt.source = nv.source AND nt.bucket = nv.bucket),
+    pts AS (
+      SELECT source, v,
+             {_HEAPS_XQ} AS xq,
+             {_HEAPS_YQ} AS yq
+      FROM cum WHERE v > 0 AND big_n > 0)
     SELECT source, CAST(count(*) AS BIGINT) AS n_points,
-           round(regr_slope(ln(CAST(v AS DOUBLE)),
-                            ln(CAST(big_n AS DOUBLE))), 6)     AS beta,
-           round(regr_intercept(ln(CAST(v AS DOUBLE)),
-                                ln(CAST(big_n AS DOUBLE))), 4) AS ln_k,
-           CASE WHEN max(v) * 100 < min(v) * 101 THEN NULL
-                ELSE round(regr_r2(ln(CAST(v AS DOUBLE)),
-                                   ln(CAST(big_n AS DOUBLE))), 6)
-           END                                                 AS r2
-    FROM cum WHERE v > 0 AND big_n > 0
+           {_HEAPS_BETA} AS beta,
+           {_HEAPS_LNK}  AS ln_k,
+           {_HEAPS_R2}   AS r2
+    FROM pts
     GROUP BY source
     """,
 )
@@ -1594,10 +1638,21 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; new-word and token counts collapse to the (source, bucket)
     checkpoint lattice ({HEAPS_BUCKET} docs per bucket, so the lattice
     is corpus_size/{HEAPS_BUCKET} points); the cumulative windows and
-    the SQL:2003 regression aggregates (same regr_* kernels as
-    `regression_agg`, already parity-proven) run per source over that
-    bounded lattice. At 100 TB the bucket width scales with the corpus
-    so the lattice stays ~10^3 points; the plan is unchanged.
+    the OLS moments run per source over that bounded lattice. At 100 TB
+    the bucket width scales with the corpus so the lattice stays ~10^3
+    points; the plan is unchanged.
+
+    Cross-engine contract (r5 driver-FAIL postmortem): the regression is
+    NOT the engines' regr_* kernels — those accumulate double moments in
+    engine-specific order and their trailing ulps flip round(,6)
+    boundaries per environment. Instead ln N / ln V are quantized to a
+    1e-6 grid, the five moments are summed as exact int64 (order-free),
+    and slope/intercept/r2 are one shared double expression over those
+    integers (module constants above, same text in the oracle) —
+    bit-identical across engines by construction. r2 additionally NULLs
+    when total vocabulary growth is < 1% (integer-exact predicate):
+    ln-space OLS on a near-constant response measures float noise, not
+    fit.
 
     Reference provenance: generalizes the reference's text split
     surface (cassandra_sink.scala:107-111) to corpus-growth law
@@ -1620,7 +1675,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
+    pts = (
         nt.join(nv, ["source", "bucket"], "left")
         .select(
             "source",
@@ -1629,20 +1684,16 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("v"),
         )
         .filter((F.col("v") > 0) & (F.col("big_n") > 0))
-    )
-    lnv = F.log(F.col("v").cast("double"))
-    lnn = F.log(F.col("big_n").cast("double"))
-    return cum.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.round(F.regr_slope(lnv, lnn), 6).alias("beta"),
-        F.round(F.regr_intercept(lnv, lnn), 4).alias("ln_k"),
-        # r2 in ln-space is ill-conditioned when vocabulary barely grows
-        # (SST ~ float noise: Spark clamps to 1.0, DuckDB's sums formula
-        # returns garbage) — integer-exact guard: NULL when total growth
-        # over the run is < 1%, same predicate in the oracle.
-        F.when(
-            F.max("v") * 100 < F.min("v") * 101, F.lit(None).cast("double")
+        .select(
+            "source",
+            "v",
+            F.expr(_HEAPS_XQ).alias("xq"),
+            F.expr(_HEAPS_YQ).alias("yq"),
         )
-        .otherwise(F.round(F.regr_r2(lnv, lnn), 6))
-        .alias("r2"),
+    )
+    return pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr(_HEAPS_BETA).alias("beta"),
+        F.expr(_HEAPS_LNK).alias("ln_k"),
+        F.expr(_HEAPS_R2).alias("r2"),
     )

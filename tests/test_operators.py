@@ -2016,6 +2016,81 @@ def test_heaps_law_fit_bounds_and_degenerate_growth(spark, sf_dir):
     assert out["closed"]["beta"] < 0.05
 
 
+def test_heaps_law_fit_pure_ieee_replay(spark, sf_dir):
+    """Cross-engine contract pin (r5 driver-FAIL postmortem): the OLS is
+    quantized-int64 moments + one shared double expression, so a pure-
+    Python IEEE replay over the same lattice must reproduce Spark's
+    beta/ln_k/r2 BIT-exactly — any engine float kernel sneaking back into
+    the plan breaks this immediately."""
+    import math
+
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.operators.text import HEAPS_BUCKET
+    from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
+
+    lattice = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT source, doc_id // {HEAPS_BUCKET} AS bucket,
+                 string_split(text, ' ') AS tk
+          FROM '{sf_dir}/documents.parquet'),
+        nt AS (SELECT source, bucket, sum(len(tk)) AS n_tok
+               FROM toks GROUP BY 1, 2),
+        nv AS (SELECT source, first_bucket AS bucket, count(*) AS n_new
+               FROM (SELECT source, w, min(bucket) AS first_bucket
+                     FROM (SELECT source, bucket, unnest(tk) AS w FROM toks)
+                     GROUP BY 1, 2) GROUP BY 1, 2)
+        SELECT nt.source,
+               sum(nt.n_tok) OVER (PARTITION BY nt.source ORDER BY nt.bucket
+                 ROWS UNBOUNDED PRECEDING) AS big_n,
+               sum(COALESCE(nv.n_new, 0)) OVER (PARTITION BY nt.source
+                 ORDER BY nt.bucket ROWS UNBOUNDED PRECEDING) AS v
+        FROM nt LEFT JOIN nv USING (source, bucket)
+        """
+    ).fetchall()
+    moments = {}
+    for src, big_n, v in lattice:
+        if not (v > 0 and big_n > 0):
+            continue
+        xq = int(math.floor(math.log(float(big_n)) * 1e6 + 0.5))
+        yq = int(math.floor(math.log(float(v)) * 1e6 + 0.5))
+        m = moments.setdefault(src, [0, 0, 0, 0, 0, 0, None, None])
+        m[0] += 1
+        m[1] += xq
+        m[2] += yq
+        m[3] += xq * xq
+        m[4] += xq * yq
+        m[5] += yq * yq
+        m[6] = v if m[6] is None else min(m[6], v)
+        m[7] = v if m[7] is None else max(m[7], v)
+    expect = {}
+    for src, (n, sx, sy, sxx, sxy, syy, vmin, vmax) in moments.items():
+        sn, dx, dy, dxx, dxy, dyy = map(float, (n, sx, sy, sxx, sxy, syy))
+        cov = sn * dxy - dx * dy
+        varx = sn * dxx - dx * dx
+        vary = sn * dyy - dy * dy
+        beta = (
+            None if varx == 0.0
+            else math.floor(cov / varx * 1e6 + 0.5) / 1e6
+        )
+        ln_k = (
+            None if varx == 0.0
+            else math.floor((dy - cov / varx * dx) / sn / 1e6 * 1e4 + 0.5) / 1e4
+        )
+        r2 = (
+            None
+            if (vmax * 100 < vmin * 101 or varx == 0.0 or vary == 0.0)
+            else math.floor(cov * cov / (varx * vary) * 1e6 + 0.5) / 1e6
+        )
+        expect[src] = (n, beta, ln_k, r2)
+    got = {
+        r["source"]: (r["n_points"], r["beta"], r["ln_k"], r["r2"])
+        for r in QUERIES["heaps_law_fit"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
 def test_equi_depth_histogram_partition_invariants(spark, sf_dir):
     """Buckets are contiguous, ordered, non-overlapping, and conserve
     both row count and NDV within each priority."""
