@@ -20,10 +20,15 @@ Same three-failure-mode analysis as ``avg4_exact``
    boundaries far more often than generic floats — which is why mode 2
    must be fixed wherever mode 1 is.
 
-Overflow budget: |x|*q per row times group row count must stay under
-2^63 (~9.2e18). Callers pick q per column (documented at each use); at
-warehouse scale the same expressions swap the long for DECIMAL(38,0)
-with no other change — exactness and order-independence are preserved.
+Overflow budget: each QUANTIZED VALUE |x|*q must stay under 2^63 (the
+int64 quantizer); the SUM of those values is carried as DECIMAL(38,0)
+on the Spark side — the same ~1e38 headroom as the DuckDB twin's
+HUGEINT promotion of sum(BIGINT) — so a group sum past 2^63 stays
+exact on BOTH engines instead of Spark wrapping silently (ADVICE r5).
+Decimal(38,0)->double and hugeint->double conversions are both
+round-to-nearest of the same exact integer, so the downstream IEEE
+ops still see bit-identical inputs. Callers pick q per column
+(documented at each use).
 
 Each helper has a ``*_SQL`` twin with IDENTICAL arithmetic so a DuckDB
 oracle can mirror the Spark plan bit-for-bit; three-way fuzz (Spark ==
@@ -51,17 +56,20 @@ def _out_round(x: Column, out_dec: int) -> Column:
 
 
 def sum_exact(col: Column | str, q: int, out_dec: int = 4) -> Column:
-    """Order-independent ``round(sum(col), out_dec)`` via an exact int64
-    sum of 1/q-grid quantized values."""
-    s = F.sum(qlong(col, q))
+    """Order-independent ``round(sum(col), out_dec)`` via an exact sum
+    of 1/q-grid int64-quantized values, carried as DECIMAL(38,0) so the
+    accumulator has the DuckDB twin's HUGEINT headroom (no silent int64
+    wrap past 2^63)."""
+    s = F.sum(qlong(col, q).cast("decimal(38,0)"))
     return _out_round(s / F.lit(float(q)), out_dec)
 
 
 def avg_exact(col: Column | str, q: int, out_dec: int = 4) -> Column:
     """Order-independent ``round(avg(col), out_dec)``; NULL-safe
-    (count(col), not count(*)) like the float avg it replaces."""
+    (count(col), not count(*)) like the float avg it replaces. Sum is
+    DECIMAL(38,0) — see sum_exact."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.sum(qlong(c, q))
+    s = F.sum(qlong(c, q).cast("decimal(38,0)"))
     return _out_round(s / (F.count(c) * F.lit(float(q))), out_dec)
 
 

@@ -798,14 +798,19 @@ def _chain_walk(spark: SparkSession, ev: DataFrame) -> DataFrame:
         1,
     ).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    longest = (
+    # ONE pre-pass sizes both recursion limits (ADVICE r5: a separate
+    # ev.count() was a second full scan per call): max(count) over the
+    # per-session row counts is the longest chain, and their sum IS the
+    # total event count the row limit needs.
+    sized = (
         ev.select("user_id", F.sum(is_new).over(run).alias("sess"))
         .groupBy("user_id", "sess")
         .count()
-        .agg(F.max("count"))
-        .first()[0]
-        or 1
+        .agg(F.max("count"), F.sum("count"))
+        .first()
     )
+    longest = sized[0] or 1
+    n_events = sized[1] or 0
     # +8 headroom: the walk emits chain_len rows per root, depth = chain.
     # Never LOWER the limit below Spark's default 100 — the conf is
     # session-global and persists past this query, so a small corpus
@@ -821,7 +826,6 @@ def _chain_walk(spark: SparkSession, ev: DataFrame) -> DataFrame:
     # default mid-recursion (RECURSION_ROW_LIMIT_EXCEEDED, found by the
     # sf1eq sweep). Same discipline as the level limit: measure, then
     # set above the measured need, never below the default.
-    n_events = ev.count()
     spark.conf.set(
         "spark.sql.cteRecursionRowLimit",
         str(max(1_000_000, int(n_events) + 1_000)),

@@ -44,93 +44,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver records correctness rows for only the FIRST 50 registered
-# queries per round. Round-5 rotation (per VERDICT r4 "Next round" #1):
-# the ENTIRE budget goes to the committed 108-query rotation debt, in the
-# exact registry order enumerated in the r4 comment — the first 50 below.
-# One contract note: `knn_classify_eval` (debt position 16) had its
-# broadcast side re-bounded this round (corpus-fraction eval set -> a
-# constant-bounded id-range filter, VERDICT r4 "What's wrong" #2); its
-# oracle was changed in lockstep, so its fresh driver row also re-proves
-# the new contract.
+# queries per round. Round-6 rotation: slot 1 is the heaps_law_fit
+# RE-ROW — its r5 driver row was the project's first FAIL (engine regr_*
+# kernel ulps flipping a round(,6) boundary in the driver environment;
+# every local sweep was green) and its contract was rebuilt this round as
+# quantized-int64 OLS moments + one shared double expression
+# (operators/text.py, bit-identical across engines by construction, pinned
+# by a pure-IEEE replay test). Slots 2-50 continue the committed rotation
+# debt in registry order (r4 verdict "Next round" #1).
 #
-# ROUND-6 ROTATION DEBT — the 58 never-driver-seen oracle queries
-# remaining after this round's front-50, in registry order (operator
-# additions stay FROZEN until the debt clears; after r5 it fits one
-# round's budget, making round 6 the final rotation round):
-#   dau_wau_stickiness, holt_linear_smooth, running_balance_floor,
-#   conformal_forecast_interval, var_cvar_report, late_data_audit,
-#   cohort_ltv_curve, join_asof_nearest, time_decay_attribution,
-#   sax_encode, mann_kendall_trend_test, pinball_loss_eval,
-#   survival_c_index, roc_auc, gini_lorenz,
-#   ks_statistic, calibration_bins, psi_drift,
-#   target_encode_smoothed, chi2_independence, feature_hash,
-#   jackknife_ci, confusion_report, lift_band_report,
-#   ttest_welch, mutual_information, cramers_v,
-#   hhi_concentration, quantile_normalize, winsorize_clip,
-#   bootstrap_ci_poisson, sprt_sequential_test, emd_drift,
-#   spearman_corr, kendall_tau, anova_oneway,
-#   cohens_kappa, pr_auc, log_loss_brier,
-#   naive_bayes_train, naive_bayes_score, isotonic_calibration,
-#   cuped_adjustment, delta_method_ratio_ci, feature_info_gain,
-#   qini_uplift_curve, kruskal_wallis, levene_brown_forsythe,
-#   brier_decomposition, kmeans_lloyd, pq_encode,
-#   dbscan_grid_clusters, countmin_sketch_report, geo_grid_hotspots,
-#   geo_radius_join, geo_knn_within_radius, stream_tumbling_distinct,
+# ROUND-7 ROTATION DEBT — the 9 never-driver-seen oracle queries left
+# after this round's front-50 (operator additions stay FROZEN until the
+# debt clears; round 7 finishes it with 41 slots to spare):
+#   kmeans_lloyd, pq_encode, dbscan_grid_clusters,
+#   countmin_sketch_report, geo_grid_hotspots, geo_radius_join,
+#   geo_knn_within_radius, stream_tumbling_distinct,
 #   stream_enrich_static,
 # plus the lone rows-only unseen query sim_search_pq_adc (excluded from
 # any front-50 by the "hash-checkable only" rule; its oracle-checked
 # companion ann_recall_report went driver-green in r4).
 _PRIORITY_THIS_ROUND = [
-    "graph_clustering_coeff",
-    "hard_negative_topk",
-    "cluster_quality_report",
-    "ndcg_at_k",
-    "mrr_map_at_k",
-    "bpe_merge_step",
-    "vocab_coverage",
-    "bigram_lm_probs",
-    "zipf_fit",
-    "ngram_novelty_score",
-    "js_divergence_sources",
-    "collocation_g2",
     "heaps_law_fit",
-    "rrf_fusion",
-    "embedding_matryoshka_eval",
-    "knn_classify_eval",
-    "split_leakage_safe",
-    "weighted_sample_topk",
-    "compaction_plan",
-    "dp_noisy_counts",
-    "right_to_erasure_apply",
-    "pseudonymize_keys",
-    "ab_test_readout",
-    "temporal_split_embargo",
-    "k_anonymity_check",
-    "ivm_delta_apply",
-    "t_closeness_check",
-    "epoch_shuffle_assign",
-    "span_corruption_mask",
-    "ips_offpolicy_eval",
-    "scd2_build",
-    "ewma_smooth",
-    "markov_transitions",
-    "interpolate_linear",
-    "cusum_changepoint",
-    "period_over_period",
-    "last_touch_attribution",
-    "top_event_paths",
-    "join_asof_forward",
-    "scd2_point_in_time_join",
-    "cep_pattern_match",
-    "acf_lags",
-    "seasonal_decompose",
-    "rolling_median",
-    "survival_kaplan_meier",
-    "theil_sen_trend",
-    "forecast_snaive_backtest",
-    "max_concurrency_sweep",
-    "multi_touch_attribution",
-    "interval_union_time",
+    "dau_wau_stickiness",
+    "holt_linear_smooth",
+    "running_balance_floor",
+    "conformal_forecast_interval",
+    "var_cvar_report",
+    "late_data_audit",
+    "cohort_ltv_curve",
+    "join_asof_nearest",
+    "time_decay_attribution",
+    "sax_encode",
+    "mann_kendall_trend_test",
+    "pinball_loss_eval",
+    "survival_c_index",
+    "roc_auc",
+    "gini_lorenz",
+    "ks_statistic",
+    "calibration_bins",
+    "psi_drift",
+    "target_encode_smoothed",
+    "chi2_independence",
+    "feature_hash",
+    "jackknife_ci",
+    "confusion_report",
+    "lift_band_report",
+    "ttest_welch",
+    "mutual_information",
+    "cramers_v",
+    "hhi_concentration",
+    "quantile_normalize",
+    "winsorize_clip",
+    "bootstrap_ci_poisson",
+    "sprt_sequential_test",
+    "emd_drift",
+    "spearman_corr",
+    "kendall_tau",
+    "anova_oneway",
+    "cohens_kappa",
+    "pr_auc",
+    "log_loss_brier",
+    "naive_bayes_train",
+    "naive_bayes_score",
+    "isotonic_calibration",
+    "cuped_adjustment",
+    "delta_method_ratio_ci",
+    "feature_info_gain",
+    "qini_uplift_curve",
+    "kruskal_wallis",
+    "levene_brown_forsythe",
+    "brier_decomposition",
 ]
 
 

@@ -37,6 +37,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -55,7 +56,13 @@ def get_spark(
         # sf0.1 (SCALING_CURVES.md fourth-decade note) and costs ~3-4% in
         # GC on the heavy sf0.1 queries. Applies only when THIS builder
         # launches the JVM; attaching to an existing session ignores it.
-        .config("spark.driver.memory", "8g")
+        # Overridable (ADVICE r5: 8g can fail to launch on small hosts):
+        # kwarg > SPARK_GRAFT_DRIVER_MEMORY env > 8g default.
+        .config(
+            "spark.driver.memory",
+            driver_memory
+            or os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -103,6 +103,9 @@ def main() -> int:
     sf1eq_dir = None
     if "--sf1eq" in args:
         i = args.index("--sf1eq")
+        if i + 1 >= len(args):
+            print("usage: scaling_curves.py [--sf1eq /path/to/sf1eq-dir]")
+            return 2
         sf1eq_dir = args[i + 1]
 
     registry.load_all()
