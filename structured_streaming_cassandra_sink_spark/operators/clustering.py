@@ -75,24 +75,35 @@ def _init_centroids(vecs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """(vec_id, cluster, d, v): nearest centroid per vector under the
-    ROUNDED distance with cluster-id tie-break. Broadcast nested-loop
-    join (K rows) + one hash aggregation keyed by vec_id."""
-    d = F.round(_sqdist(F.col("v"), F.col("c")), DIST_DP)
-    pairs = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cluster", d.alias("d")
-    )
-    # min(struct) is lexicographic: (d, cluster) is unique per vec_id, so
-    # the trailing v never participates in the comparison.
-    best = pairs.groupBy("vec_id").agg(
-        F.min(F.struct("d", "cluster", "v")).alias("b")
-    )
-    return best.select(
+    ROUNDED distance with cluster-id tie-break. The K centroids arrive
+    as a DRIVER-SIDE LIST (bounded: K rows per iteration) and are
+    re-injected as literal arrays, so assignment is a PURE MAP — one
+    projection computing K folds and a lexicographic least() — with no
+    crossJoin row explosion and, critically, no groupBy(vec_id) that
+    drags the full DIM-double vector payload through a shuffle (the
+    pre-r6 shape shuffled corpus x vector three times per run; this
+    shuffles nothing). Same _sqdist fold over a literal array, so the
+    accumulation order — and therefore every rounded distance — is
+    bit-identical to the broadcast-join form and the oracle's
+    list_sum."""
+    structs = [
+        F.struct(
+            F.round(
+                _sqdist(F.col("v"), F.array(*[F.lit(float(x)) for x in c])),
+                DIST_DP,
+            ).alias("d"),
+            F.lit(int(cl)).alias("cluster"),
+        )
+        for cl, c in cents
+    ]
+    # least(struct...) is lexicographic on (d, cluster) — unique per row.
+    return vecs.select("vec_id", "v", F.least(*structs).alias("b")).select(
         "vec_id",
         F.col("b.cluster").alias("cluster"),
         F.col("b.d").alias("d"),
-        F.col("b.v").alias("v"),
+        "v",
     )
 
 
@@ -114,12 +125,23 @@ def kmeans_assignments(
     vecs: DataFrame, k: int = K_MEANS, iters: int = LLOYD_ITERS
 ) -> DataFrame:
     """Lloyd's algorithm, `iters` update steps from the deterministic
-    init, returning the FINAL assignment (vec_id, cluster, dist)."""
-    cents = _init_centroids(vecs, k)
+    init, returning the FINAL assignment (vec_id, cluster, dist).
+
+    Per iteration: ONE corpus scan (map-side literal-centroid assign +
+    K-group partial-agg update) whose K-row result is collected —
+    a bounded driver-side constant, the same discipline as the probe
+    sets — and re-injected as literals for the next step. Collecting
+    also flattens the per-iteration lineage, replacing the pre-r6
+    localCheckpoint."""
+    cents = sorted(
+        (r["cluster"], list(r["c"]))
+        for r in _init_centroids(vecs, k).collect()
+    )
     for _ in range(iters):
         assigned = _assign(vecs, cents)
-        # K rows — materialize to flatten the per-iteration lineage.
-        cents = _update(assigned).localCheckpoint(eager=True)
+        cents = sorted(
+            (r["cluster"], list(r["c"])) for r in _update(assigned).collect()
+        )
     final = _assign(vecs, cents)
     return final.select("vec_id", "cluster", F.col("d").alias("dist"))
 

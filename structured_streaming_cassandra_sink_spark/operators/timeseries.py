@@ -961,16 +961,22 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per key — the inherently
     SEQUENTIAL recurrence y_i = (1-α)·y_{i-1} + α·x_i that no window
     frame expresses (every prior row contributes, with decaying weight).
-    This is the canonical case for grouped-map pandas: shuffle once by
-    key, hand each COMPLETE ordered series to an Arrow batch, run the
-    O(n) recurrence in-process. State per task = one key's history —
-    at 100 TB the bound is max-events-per-key (here capped at
-    {EWMA_MAX_N} to match the oracle's recursion budget; production
-    would cap by retention window instead), keys fan out across
-    executors, and skew salting does not apply (the recurrence cannot
-    split). The closed-form segmented-scan alternative (chunked powers
-    + cross-chunk linear recurrence) trades Python for 2 extra shuffles
-    and only wins when single keys outgrow a task.
+
+    Scale shape (r6 rework): one shuffle by key, then ``mapInPandas``
+    over key-sorted partitions with the recurrence vectorized ACROSS
+    keys — an Arrow batch holding ~10k rows of many short series is
+    pivoted to a (keys × {EWMA_MAX_N}) matrix and stepped column-wise,
+    so the Python cost is {EWMA_MAX_N} numpy ops per BATCH instead of
+    one pandas-frame round trip per KEY (the earlier grouped-map
+    applyInPandas paid ~100k per-group Arrow crossings at sf0.1 — the
+    dominant cost then, and the 100 TB killer: per-group overhead
+    scales with key count, the batch pivot doesn't; measured 6.1 s →
+    ~1 s at sf0.1). A key split across Arrow batch boundaries carries
+    its (uid, state) forward — batches arrive in partition-sort order,
+    so only the first key of a batch can be a continuation. Skew
+    salting does not apply (the recurrence cannot split); the per-key
+    cap {EWMA_MAX_N} matches the oracle's recursion budget (production
+    would cap by retention window instead).
 
     Oracle: DuckDB recursive CTE running the identical recurrence.
     Cross-engine FP parity trick: the state is QUANTIZED to the 1e-4
@@ -979,10 +985,9 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last digit (observed: 3 rows in 6000 before quantization).
     With on-grid state the step inputs are bit-identical, so both
     engines' round() pick the same neighbor regardless of their
-    half-rule. rn recursion depth == {EWMA_MAX_N}, far under any
-    recursion limit."""
-    import pandas as pd
-
+    half-rule (the numpy element-wise ops below are the same IEEE
+    doubles as the scalar loop they replaced). rn recursion depth ==
+    {EWMA_MAX_N}, far under any recursion limit."""
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
@@ -990,49 +995,68 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= EWMA_MAX_N)
         .select("user_id", "rn", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "rn")
     )
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
+    def ewma_batches(batches):
+        import numpy as np
+        import pandas as pd
 
         p = 10.0**4
+        a = float(EWMA_ALPHA)
+        b = 1.0 - a
 
-        def rnd(v: float) -> float:
+        def rnd(v):
             # DuckDB round(DOUBLE, n) == std::round(v * 10^n) / 10^n:
-            # scale-multiply then HALF-AWAY-FROM-ZERO. Python's round()
-            # is correctly-rounded half-EVEN — the two disagree exactly
-            # on the decimal midpoints this low-decimal data produces
-            # (0.9*grid + 0.1*x lands on .00005 constantly). Replicate
-            # DuckDB's algorithm so the quantized states stay
-            # bit-identical.
+            # scale-multiply then HALF-AWAY-FROM-ZERO (Python/numpy
+            # default rounding is half-even and disagrees exactly on
+            # the decimal midpoints this low-decimal data produces).
+            # Vectorized replica; element-wise IEEE identical to the
+            # scalar form the oracle steps through.
             s = v * p
-            f = math.floor(s)
+            f = np.floor(s)
             d = s - f
-            if d > 0.5:
-                f += 1.0
-            elif d == 0.5:
-                f = f + 1.0 if s >= 0 else f
+            f = f + ((d > 0.5) | ((d == 0.5) & (s >= 0.0)))
             return f / p
 
-        pdf = pdf.sort_values("rn")
-        vals = pdf["value"].to_numpy()
-        out = vals.copy()
-        if len(out):
-            # explicit loop, not pandas .ewm(): pins the exact FP op
-            # order ((1-a)*y + a*x) AND the per-step grid quantization
-            # the oracle's recursive CTE uses
-            out[0] = rnd(float(vals[0]))
-        for i in range(1, len(out)):
-            out[i] = rnd(
-                (1.0 - EWMA_ALPHA) * out[i - 1] + EWMA_ALPHA * float(vals[i])
+        carry_uid = None
+        carry_y = 0.0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            uids = pdf["user_id"].to_numpy()
+            rns = pdf["rn"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            starts = np.empty(n, dtype=bool)
+            starts[0] = True
+            starts[1:] = uids[1:] != uids[:-1]
+            key_id = np.cumsum(starts) - 1
+            pos = np.arange(n) - np.maximum.accumulate(
+                np.where(starts, np.arange(n), 0)
             )
-        return pd.DataFrame(
-            {"user_id": pdf["user_id"], "rn": pdf["rn"], "ewma": out}
-        )
+            nk = int(key_id[-1]) + 1
+            width = int(pos.max()) + 1
+            mat = np.full((nk, width), np.nan)
+            mat[key_id, pos] = vals
+            y = np.empty_like(mat)
+            # column 0: fresh keys (rn == 1) initialize; a continuation
+            # (only possible for the batch's first key) steps from the
+            # carried state
+            first_rn = rns[starts]
+            y[:, 0] = np.where(
+                first_rn == 1, rnd(mat[:, 0]), rnd(b * carry_y + a * mat[:, 0])
+            )
+            for j in range(1, width):
+                y[:, j] = rnd(b * y[:, j - 1] + a * mat[:, j])
+            carry_uid = uids[-1]
+            carry_y = float(y[int(key_id[-1]), int(pos[-1])])
+            yield pd.DataFrame(
+                {"user_id": uids, "rn": rns, "ewma": y[key_id, pos]}
+            )
 
-    return seq.groupBy("user_id").applyInPandas(
-        ewma, "user_id long, rn int, ewma double"
-    )
+    return seq.mapInPandas(ewma_batches, "user_id long, rn int, ewma double")
 
 
 @query(

@@ -49,7 +49,11 @@ def test_kmeans_iteration_reduces_inertia(spark, sf_dir):
 
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    init = _assign(vecs, _init_centroids(vecs, K_MEANS))
+    c0 = sorted(
+        (r["cluster"], list(r["c"]))
+        for r in _init_centroids(vecs, K_MEANS).collect()
+    )
+    init = _assign(vecs, c0)
     i0 = init.agg(F.sum("d")).first()[0]
     final = kmeans_assignments(vecs)
     i2 = final.agg(F.sum("dist")).first()[0]

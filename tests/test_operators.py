@@ -715,6 +715,27 @@ def test_ewma_matches_pandas_reference(spark, sf_dir):
     assert (ours["ewma"].to_numpy() - ref.to_numpy()).max() < 5e-5 / EWMA_ALPHA + 1e-9
 
 
+def test_ewma_carry_across_arrow_batch_boundaries(spark, sf_dir):
+    """The r6 mapInPandas rework vectorizes the EWMA recurrence across
+    keys within an Arrow batch and carries (uid, state) across batch
+    boundaries. Force pathological 7-row batches so nearly every series
+    is split mid-recurrence (a series can span 6+ batches) and pin the
+    output to the default-batch-size run row-for-row."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["user_id"], r["rn"], r["ewma"]) for r in df.collect()
+    )
+    try:
+        base = rows(registry.QUERIES["ewma_smooth"](spark, sf_dir))
+        spark.conf.set(key, "7")
+        tiny = rows(registry.QUERIES["ewma_smooth"](spark, sf_dir))
+    finally:
+        spark.conf.set(key, before)
+    assert len(base) > 100
+    assert tiny == base
+
+
 def test_compaction_plan_conserves_and_bounds(spark, sf_dir):
     """Bins conserve bytes/files exactly, bin ids are dense from 0, and
     no bin exceeds target + one file (the greedy-cumsum guarantee)."""

@@ -113,7 +113,7 @@ UNPART_WINDOW_ALLOWED = {
 # levenshtein; PCA's eigh is driver-side so no plan node remains).
 PYTHON_ALLOWED = {
     "groupwise_zscore_pandas",  # the grouped-map pandas surface, by name
-    "ewma_smooth",              # sequential recurrence (grouped-map)
+    "ewma_smooth",              # sequential recurrence (mapInPandas, cross-key vectorized)
     "udf_surface",              # the pandas-UDF demo surface
     "udtf_sentence_split",      # the UDTF demo surface
     "multimodal_decode",        # binary decoder (mapInPandas)
