@@ -49,7 +49,8 @@ BNLJ_ALLOWED = {
     # probe/centroid-set x corpus products (the design):
     "sim_search_topk", "sim_search_pq_adc", "hard_negative_topk",
     "ndcg_at_k", "mrr_map_at_k", "ann_recall_report",
-    "embedding_cluster_assign", "kmeans_lloyd",
+    "embedding_cluster_assign",
+    # kmeans_lloyd pruned r6: literal-centroid assign, no BNLJ anymore
     # 1-row scalar / stats-row ride-alongs:
     "ab_test_readout", "acf_lags", "benford_check", "bigram_lm_probs",
     "bm25_score", "calibration_bins", "countmin_sketch_report",
