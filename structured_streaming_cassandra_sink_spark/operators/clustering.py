@@ -211,8 +211,11 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (Lloyd), {LLOYD_ITERS} deterministic update steps over the
     embeddings corpus; output = final (vec_id, cluster, dist). The
     iterative-algorithm showcase next to connected_components and PCA:
-    per iteration, one corpus scan + one K-group shuffle — the corpus is
-    never collected, the K-row centroid frame is broadcast back."""
+    per iteration, ONE corpus scan — map-side literal-centroid
+    assignment fused into the K-group partial-agg update — and only the
+    K-row centroid table ever reaches the driver (collected and
+    re-injected as literals; the corpus is never collected and, since
+    r6, never shuffled either)."""
     emb = spread(load_table(spark, "embeddings", sf_dir))
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     return kmeans_assignments(vecs)
