@@ -555,12 +555,24 @@ def test_lateral_topn_decorrelated(spark, sf_dir):
     assert "Window" in plan or "Join" in plan
 
 
-def test_kmeans_centroids_broadcast(spark, sf_dir):
-    """Lloyd assignment: the K-row centroid side rides a broadcast —
-    the corpus never shuffles for the argmin."""
+def test_kmeans_centroids_literal_map_assign(spark, sf_dir):
+    """Lloyd assignment (r6 shape): centroids are collected K-row
+    constants re-injected as literals, so the final assign is a PURE
+    MAP — no join of any kind, no shuffle, the corpus vector payload
+    never moves (the pre-r6 broadcast-join shape needed a
+    groupBy(vec_id) that shuffled every vector per iteration)."""
     plan = _plan(spark, sf_dir, "kmeans_lloyd")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    for node in ("BroadcastNestedLoopJoin", "SortMergeJoin",
+                 "BroadcastHashJoin", "CartesianProduct",
+                 "Exchange hashpartitioning"):
+        assert node not in plan, node
+    # the one allowed Exchange is spread()'s round-robin small-file
+    # fan-out — a data-parallelism repartition, not an argmin shuffle
+    # (count the formatted-mode detail headers, one per physical node)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "least(" in plan
 
 
 def test_pq_codebook_broadcast(spark, sf_dir):
