@@ -781,30 +781,57 @@ def lift_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- ttest_welch
 
+# Cross-engine-exact moment contract (r6 kernel purge, heaps_law_fit
+# postmortem applied BEFORE this query's first driver row): avg/var_samp
+# kernels accumulate doubles in engine/build-specific order, so their
+# trailing ulps can flip a round() boundary in the driver environment
+# even when every local sweep is green. Instead: quantize value to a
+# 1e-6 grid (pure-IEEE floor form), sum the two moments as exact
+# DECIMAL(38,0) (Spark) / HUGEINT-promoted BIGINT (DuckDB) — identical
+# integers — and derive mean/variance in ONE shared double expression.
+# Budget: vq <= 1e8 for |value| <= 100, vq^2 <= 1e16 per row (int64-safe
+# per element), sums exact to ~1e38.
+_TT_VQ = "CAST(floor(value * 1e6 + 0.5) AS BIGINT)"
+_TT_N = "CAST(count(vq) AS DOUBLE)"
+_TT_SX = "CAST(sum(CAST(vq AS DECIMAL(38,0))) AS DOUBLE)"
+_TT_SXX = "CAST(sum(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE)"
+_TT_MEAN = f"({_TT_SX} / ({_TT_N} * 1e6))"
+_TT_VAR = (
+    f"(({_TT_N} * {_TT_SXX} - {_TT_SX} * {_TT_SX})"
+    f" / ({_TT_N} * ({_TT_N} - 1.0)) / 1e12)"
+)
+# post-pivot scalar expressions (identical doubles in, identical text):
+_TT_SE = "(v1 / n_click + v2 / n_view)"
+_TT_TSTAT = f"floor((m1 - m2) / sqrt{_TT_SE} * 1e4 + 0.5) / 1e4"
+_TT_DF = (
+    f"floor({_TT_SE} * {_TT_SE}"
+    f" / ((v1 / n_click) * (v1 / n_click) / (n_click - 1)"
+    f"    + (v2 / n_view) * (v2 / n_view) / (n_view - 1)) * 1e2 + 0.5) / 1e2"
+)
+
 
 @query(
     "ttest_welch",
-    """
-    WITH g AS (
+    f"""
+    WITH q AS (
+      SELECT event_type, {_TT_VQ} AS vq
+      FROM events WHERE event_type IN ('click', 'view')),
+    g AS (
       SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             avg(value) AS m,
-             var_samp(value) AS v
-      FROM events WHERE event_type IN ('click', 'view')
-      GROUP BY 1),
+             CAST(count(vq) AS BIGINT) AS n,
+             {_TT_MEAN} AS m,
+             {_TT_VAR} AS v
+      FROM q GROUP BY 1),
     p AS (
       SELECT a.n AS n_click, b.n AS n_view,
              a.m AS m1, b.m AS m2, a.v AS v1, b.v AS v2
       FROM g a JOIN g b
         ON a.event_type = 'click' AND b.event_type = 'view')
     SELECT n_click, n_view,
-           round(m1, 4) AS mean_click,
-           round(m2, 4) AS mean_view,
-           round((m1 - m2) / sqrt(v1 / n_click + v2 / n_view), 4) AS t_stat,
-           round((v1 / n_click + v2 / n_view) * (v1 / n_click + v2 / n_view)
-                 / ((v1 / n_click) * (v1 / n_click) / (n_click - 1)
-                    + (v2 / n_view) * (v2 / n_view) / (n_view - 1)),
-                 2) AS df_welch
+           floor(m1 * 1e4 + 0.5) / 1e4 AS mean_click,
+           floor(m2 * 1e4 + 0.5) / 1e4 AS mean_view,
+           {_TT_TSTAT} AS t_stat,
+           {_TT_DF} AS df_welch
     FROM p
     """,
 )
@@ -812,21 +839,28 @@ def ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test comparing mean event value
     between 'click' and 'view' — the continuous-metric companion to
     `ab_test_readout`'s two-proportion z. One conditional scan computes
-    both groups' (n, mean, var_samp) as single-pass mergeable moment
-    states (Welford partials Spark merges map-side — never the
-    cancellation-prone E[x²]−E[x]² form); the t statistic and the
+    both groups' (n, Σvq, Σvq²) moments; the t statistic and the
     Welch–Satterthwaite df are arithmetic on the resulting 2-row table.
     The arms pivot via a self-join of the 2-row aggregate (broadcast;
     the oracle spells the identical join) so the query stays one data
-    shuffle. Means round to 4dp (value-scale floats), df to 2dp."""
+    shuffle. Means floor-round to 4dp, df to 2dp.
+
+    Cross-engine contract (r6): NO avg/var_samp kernels — values are
+    1e-6-grid quantized and the moments summed as exact integers, with
+    mean/variance/t/df derived by shared double expressions (module
+    constants above, same text in the oracle) — bit-identical across
+    engines by construction. The E[x²]-form is safe HERE because it is
+    exact integer arithmetic up to the one final double conversion;
+    it is only cancellation-prone when accumulated in floats."""
     e = load_table(spark, "events", sf_dir)
     g = (
         e.filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", F.expr(_TT_VQ).alias("vq"))
         .groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
-            F.avg("value").alias("m"),
-            F.var_samp("value").alias("v"),
+            F.count("vq").alias("n"),
+            F.expr(_TT_MEAN).alias("m"),
+            F.expr(_TT_VAR).alias("v"),
         )
     )
     a = g.filter(F.col("event_type") == "click").select(
@@ -838,24 +872,13 @@ def ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v2"),
     )
     p = a.crossJoin(F.broadcast(b))
-    se1 = F.col("v1") / F.col("n_click")
-    se2 = F.col("v2") / F.col("n_view")
     return p.select(
         "n_click",
         "n_view",
-        F.round(F.col("m1"), 4).alias("mean_click"),
-        F.round(F.col("m2"), 4).alias("mean_view"),
-        F.round(
-            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 4
-        ).alias("t_stat"),
-        F.round(
-            (se1 + se2) * (se1 + se2)
-            / (
-                se1 * se1 / (F.col("n_click") - 1)
-                + se2 * se2 / (F.col("n_view") - 1)
-            ),
-            2,
-        ).alias("df_welch"),
+        F.expr("floor(m1 * 1e4 + 0.5) / 1e4").alias("mean_click"),
+        F.expr("floor(m2 * 1e4 + 0.5) / 1e4").alias("mean_view"),
+        F.expr(_TT_TSTAT).alias("t_stat"),
+        F.expr(_TT_DF).alias("df_welch"),
     )
 
 
@@ -2253,25 +2276,70 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- experimentation: CUPED, delta
 
 
+# Exact-moment fragments for cuped_adjustment (r6 kernel purge). The
+# event-level value quantizes to a 1e-4 grid, per-user pre/post totals
+# are exact int64, and the five global moments are exact integer sums.
+# Second moments reach ~1e18 per user-row, so they are carried as
+# DECIMAL(38,0) on Spark and HUGEINT in DuckDB — DIFFERENT integer
+# carrier text, IDENTICAL integer values; the double-arithmetic wrapper
+# text is shared verbatim, so both engines convert the same integers
+# and run the same IEEE ops.
+_CU_VQ = "CAST(floor(value * 1e4 + 0.5) AS BIGINT)"
+_CU_N = "CAST(count(x) AS DOUBLE)"
+_CU_SX = "CAST(sum(x) AS DOUBLE)"
+_CU_SY = "CAST(sum(y) AS DOUBLE)"
+_CU_SXX_SPARK = (
+    "CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)"
+)
+_CU_SYY_SPARK = (
+    "CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE)"
+)
+_CU_SXY_SPARK = (
+    "CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE)"
+)
+_CU_SXX_SQL = "CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)"
+_CU_SYY_SQL = "CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)"
+_CU_SXY_SQL = "CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)"
+
+
+def _cu_var(sqq: str, sv: str) -> str:
+    return f"(({_CU_N} * {sqq} - {sv} * {sv}) / ({_CU_N} * {_CU_N}))"
+
+
+def _cu_cov(sxy: str) -> str:
+    return (
+        f"(({_CU_N} * {sxy} - {_CU_SX} * {_CU_SY}) / ({_CU_N} * {_CU_N}))"
+    )
+
+
+_CU_VX_SPARK = _cu_var(_CU_SXX_SPARK, _CU_SX)
+_CU_VY_SPARK = _cu_var(_CU_SYY_SPARK, _CU_SY)
+_CU_CXY_SPARK = _cu_cov(_CU_SXY_SPARK)
+_CU_VX_SQL = _cu_var(_CU_SXX_SQL, _CU_SX)
+_CU_VY_SQL = _cu_var(_CU_SYY_SQL, _CU_SY)
+_CU_CXY_SQL = _cu_cov(_CU_SXY_SQL)
+
+
 @query(
     "cuped_adjustment",
-    """
+    f"""
     WITH u AS (
       SELECT user_id,
-             sum(CASE WHEN day(ts) <= 15 THEN value ELSE 0 END) AS x_pre,
-             sum(CASE WHEN day(ts) >  15 THEN value ELSE 0 END) AS y_post
+             sum(CASE WHEN day(ts) <= 15 THEN {_CU_VQ} ELSE 0 END) AS x,
+             sum(CASE WHEN day(ts) >  15 THEN {_CU_VQ} ELSE 0 END) AS y
       FROM events GROUP BY user_id),
     m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_users,
-             covar_pop(x_pre, y_post) AS cxy,
-             var_pop(x_pre)  AS vx,
-             var_pop(y_post) AS vy
+      SELECT CAST(count(x) AS BIGINT) AS n_users,
+             {_CU_CXY_SQL} AS cxy,
+             {_CU_VX_SQL}  AS vx,
+             {_CU_VY_SQL} AS vy
       FROM u)
     SELECT n_users,
-           round(cxy / vx, 6)                         AS theta,
-           round(vy, 4)                               AS var_raw,
-           round(vy - cxy * cxy / vx, 4)              AS var_adjusted,
-           round((cxy * cxy / vx) / vy, 6)            AS variance_reduction
+           floor(cxy / vx * 1e6 + 0.5) / 1e6                 AS theta,
+           floor(vy / 1e8 * 1e4 + 0.5) / 1e4                 AS var_raw,
+           floor((vy - cxy * cxy / vx) / 1e8 * 1e4 + 0.5) / 1e4
+                                                             AS var_adjusted,
+           floor((cxy * cxy / vx) / vy * 1e6 + 0.5) / 1e6    AS variance_reduction
     FROM m
     """,
 )
@@ -2283,45 +2351,74 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard trick that shrinks A/B confidence intervals without
     touching assignment. Two shuffles total at any scale: one
     user-level conditional aggregation (map-side combinable), then the
-    global moment aggregation of 4 scalars via single-pass mergeable
-    (co)variance states. The reported variance_reduction = ρ² is the
-    fraction of metric variance the covariate explains.
+    global moment aggregation of 5 scalars. The reported
+    variance_reduction = ρ² is the fraction of metric variance the
+    covariate explains.
 
-    FP parity: var_pop/covar_pop run different internal orders per
-    engine; outputs round at 4 (value-scale) / 6 (ratios), the
-    engine-pair convention for raw-double moments."""
+    Cross-engine contract (r6 kernel purge, before this query's first
+    driver row): value quantizes to the 1e-4 grid AT THE EVENT LEVEL
+    (pure-IEEE floor form), so the per-user pre/post totals are exact
+    int64 outright and the global moments are exact integer sums — the
+    second moments carried as DECIMAL(38,0) on Spark / HUGEINT in
+    DuckDB (identical integers; x² per user reaches ~1e18, past the
+    comfortable int64 sum margin). θ and ρ² are grid-scale-invariant;
+    the variances divide the 1e8 grid² factor back out. No
+    var_pop/covar_pop kernels anywhere; every double derives from
+    identical integers via shared expression text. Outputs floor-round
+    at 6dp (ratios) / 4dp (value²-scale)."""
     e = load_table(spark, "events", sf_dir)
     u = e.groupBy("user_id").agg(
-        F.sum(F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(0.0)).alias(
-            "x_pre"
-        ),
-        F.sum(F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(0.0)).alias(
-            "y_post"
-        ),
+        F.sum(
+            F.when(F.dayofmonth("ts") <= 15, F.expr(_CU_VQ)).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(F.dayofmonth("ts") > 15, F.expr(_CU_VQ)).otherwise(F.lit(0))
+        ).alias("y"),
     )
     m = u.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.covar_pop("x_pre", "y_post").alias("cxy"),
-        F.var_pop("x_pre").alias("vx"),
-        F.var_pop("y_post").alias("vy"),
+        F.count("x").alias("n_users"),
+        F.expr(_CU_CXY_SPARK).alias("cxy"),
+        F.expr(_CU_VX_SPARK).alias("vx"),
+        F.expr(_CU_VY_SPARK).alias("vy"),
     )
-    theta = F.col("cxy") / F.col("vx")
     return m.select(
         "n_users",
-        F.round(theta, 6).alias("theta"),
-        F.round(F.col("vy"), 4).alias("var_raw"),
-        F.round(F.col("vy") - F.col("cxy") * F.col("cxy") / F.col("vx"), 4).alias(
-            "var_adjusted"
-        ),
-        F.round((F.col("cxy") * F.col("cxy") / F.col("vx")) / F.col("vy"), 6).alias(
-            "variance_reduction"
-        ),
+        F.expr("floor(cxy / vx * 1e6 + 0.5) / 1e6").alias("theta"),
+        F.expr("floor(vy / 1e8 * 1e4 + 0.5) / 1e4").alias("var_raw"),
+        F.expr(
+            "floor((vy - cxy * cxy / vx) / 1e8 * 1e4 + 0.5) / 1e4"
+        ).alias("var_adjusted"),
+        F.expr(
+            "floor((cxy * cxy / vx) / vy * 1e6 + 0.5) / 1e6"
+        ).alias("variance_reduction"),
     )
+
+
+# Exact-moment contract (r6 kernel purge, same rationale as ttest_welch;
+# lands BEFORE this query's first driver row): the user-level (x, y) are
+# already INTEGER counts, so the per-arm moments are exact int64 sums
+# outright — no quantization needed, no var_pop/covar_pop kernels — and
+# every double below derives from identical integers via identical text.
+_DM_N = "CAST(count(x) AS DOUBLE)"
+_DM_SX = "CAST(sum(x) AS DOUBLE)"
+_DM_SY = "CAST(sum(y) AS DOUBLE)"
+_DM_SXX = "CAST(sum(x * x) AS DOUBLE)"
+_DM_SXY = "CAST(sum(x * y) AS DOUBLE)"
+_DM_SYY = "CAST(sum(y * y) AS DOUBLE)"
+_DM_MY = f"({_DM_SY} / {_DM_N})"
+_DM_VX = f"(({_DM_N} * {_DM_SXX} - {_DM_SX} * {_DM_SX}) / ({_DM_N} * {_DM_N}))"
+_DM_VY = f"(({_DM_N} * {_DM_SYY} - {_DM_SY} * {_DM_SY}) / ({_DM_N} * {_DM_N}))"
+_DM_CXY = f"(({_DM_N} * {_DM_SXY} - {_DM_SX} * {_DM_SY}) / ({_DM_N} * {_DM_N}))"
+_DM_SE = (
+    "sqrt((vx - 2 * (sx * 1.0 / sy) * cxy"
+    " + (sx * 1.0 / sy) * (sx * 1.0 / sy) * vy)"
+    " / (n_users * my * my))"
+)
 
 
 @query(
     "delta_method_ratio_ci",
-    """
+    f"""
     WITH u AS (
       SELECT user_id, user_id % 2 AS arm,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -2331,26 +2428,24 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2),
     m AS (
       SELECT arm,
-             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(x) AS BIGINT) AS n_users,
              CAST(sum(x) AS BIGINT) AS sx,
              CAST(sum(y) AS BIGINT) AS sy,
-             avg(y * 1.0)    AS my,
-             var_pop(x * 1.0)  AS vx,
-             var_pop(y * 1.0)  AS vy,
-             covar_pop(x * 1.0, y * 1.0) AS cxy
+             {_DM_MY} AS my,
+             {_DM_VX} AS vx,
+             {_DM_VY} AS vy,
+             {_DM_CXY} AS cxy
       FROM u GROUP BY arm),
     r AS (
       SELECT arm, n_users, sx, sy,
              sx * 1.0 / sy AS ratio,
-             sqrt((vx - 2 * (sx * 1.0 / sy) * cxy
-                   + (sx * 1.0 / sy) * (sx * 1.0 / sy) * vy)
-                  / (n_users * my * my)) AS se
+             {_DM_SE} AS se
       FROM m)
     SELECT arm, n_users, sx AS clicks, sy AS views,
-           round(ratio, 6)            AS ratio,
-           round(se, 6)               AS se,
-           round(ratio - 1.96 * se, 6) AS ci_lo,
-           round(ratio + 1.96 * se, 6) AS ci_hi
+           floor(ratio * 1e6 + 0.5) / 1e6              AS ratio,
+           floor(se * 1e6 + 0.5) / 1e6                 AS se,
+           floor((ratio - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+           floor((ratio + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi
     FROM r
     """,
 )
@@ -2364,40 +2459,46 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-arm moment aggregation — two map-side-combinable
     shuffles at any scale, no per-user state afterward.
 
-    Ratios are exact-integer quotients; moment outputs follow the
-    round(6) convention for raw-double (co)variance noise."""
+    Cross-engine contract (r6): the user-level counts are integers, so
+    the five moments are EXACT int64 sums (no var_pop/covar_pop
+    kernels); (co)variances, the ratio and the delta-method se derive
+    from those integers through shared double expressions (module
+    constants, same text in the oracle) — bit-identical across engines
+    by construction. Outputs floor-round at 6dp."""
     e = load_table(spark, "events", sf_dir)
     u = e.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("y"),
     ).withColumn("arm", F.col("user_id") % 2)
     m = u.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n_users"),
+        F.count("x").alias("n_users"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.avg(F.col("y") * 1.0).alias("my"),
-        F.var_pop(F.col("x") * 1.0).alias("vx"),
-        F.var_pop(F.col("y") * 1.0).alias("vy"),
-        F.covar_pop(F.col("x") * 1.0, F.col("y") * 1.0).alias("cxy"),
+        F.expr(_DM_MY).alias("my"),
+        F.expr(_DM_VX).alias("vx"),
+        F.expr(_DM_VY).alias("vy"),
+        F.expr(_DM_CXY).alias("cxy"),
     )
-    ratio = F.col("sx") * 1.0 / F.col("sy")
-    se = F.sqrt(
-        (
-            F.col("vx")
-            - 2 * ratio * F.col("cxy")
-            + ratio * ratio * F.col("vy")
-        )
-        / (F.col("n_users") * F.col("my") * F.col("my"))
-    )
-    return m.select(
+    r = m.select(
+        "arm",
+        "n_users",
+        "sx",
+        "sy",
+        "my",
+        "vx",
+        "vy",
+        "cxy",
+        F.expr("sx * 1.0 / sy").alias("ratio"),
+    ).withColumn("se", F.expr(_DM_SE))
+    return r.select(
         "arm",
         "n_users",
         F.col("sx").alias("clicks"),
         F.col("sy").alias("views"),
-        F.round(ratio, 6).alias("ratio"),
-        F.round(se, 6).alias("se"),
-        F.round(ratio - 1.96 * se, 6).alias("ci_lo"),
-        F.round(ratio + 1.96 * se, 6).alias("ci_hi"),
+        F.expr("floor(ratio * 1e6 + 0.5) / 1e6").alias("ratio"),
+        F.expr("floor(se * 1e6 + 0.5) / 1e6").alias("se"),
+        F.expr("floor((ratio - 1.96 * se) * 1e6 + 0.5) / 1e6").alias("ci_lo"),
+        F.expr("floor((ratio + 1.96 * se) * 1e6 + 0.5) / 1e6").alias("ci_hi"),
     )
 
 
