@@ -94,3 +94,88 @@ def sum_exact_sql(c: str, q: int, out_dec: int = 4) -> str:
 def avg_exact_sql(c: str, q: int, out_dec: int = 4) -> str:
     """DuckDB twin of avg_exact."""
     return AVG_EXACT_SQL.format(c=c, q=float(q), d=out_dec)
+
+
+# --------------------------------------------------------------------------
+# hi/lo exact integer sums — the r7 carrier (retires DECIMAL(38,0)/HUGEINT)
+# --------------------------------------------------------------------------
+#
+# ADVICE r6 (medium): the DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) carriers
+# convert to double differently once the SUM passes 2^63 — Spark's
+# BigInteger.doubleValue is correctly rounded, DuckDB recombines 64-bit
+# halves (a double rounding) — so "both round-to-nearest of the same exact
+# integer" was only true inside int64 range. The hi/lo carrier removes the
+# wide integer type entirely:
+#
+#   lo = p % 2^30                      (int64; truncated % in BOTH engines)
+#   hi = CAST((p - lo) / 2^30.0 AS BIGINT)
+#
+# (p - lo) is a multiple of 2^30 with |p - lo| < 2^63, so as a double it
+# has <= 33 significant bits -> the int64->double conversion is EXACT, the
+# power-of-two division is EXACT, and the BIGINT cast is of an integral
+# double (Spark truncates, DuckDB rounds — equal on integral values). The
+# two int64 sums are order-independent exact integers; recombination
+#
+#   S = CAST(sum(hi) AS DOUBLE) * 2^30.0 + CAST(sum(lo) AS DOUBLE)
+#
+# is one correctly-rounded int64->double conversion each (deterministic in
+# every IEEE engine), one exact power-of-two multiply, one IEEE add — the
+# SAME text runs on both engines, so S is bit-identical by construction.
+#
+# Budgets: |p| < 2^63 per row (int64 product); |sum(hi)| < 2^63 <=>
+# |sum(p)| < 2^93 ~ 9.9e27; |sum(lo)| <= n * 2^30 < 2^63 for n < 2^33
+# rows. Callers document per-query magnitudes against these.
+
+HILO_SHIFT = 1 << 30
+
+
+def qlong_sql(c: str, q: int) -> str:
+    """SQL text of ``qlong`` — identical in Spark SQL and DuckDB."""
+    return f"CAST(floor(({c}) * {float(q)} + 0.5) AS BIGINT)"
+
+
+def hilo_sum_sql(p: str) -> str:
+    """Order-independent exact ``sum(p)`` as a DOUBLE, for any int64
+    expression ``p`` — shared text, parses and evaluates identically in
+    Spark SQL and DuckDB (see module comment for the proof)."""
+    lo = f"(({p}) % {HILO_SHIFT})"
+    hi = f"CAST((({p}) - {lo}) / {float(HILO_SHIFT)} AS BIGINT)"
+    return (
+        f"(CAST(CAST(sum({hi}) AS BIGINT) AS DOUBLE) * {float(HILO_SHIFT)}"
+        f" + CAST(CAST(sum({lo}) AS BIGINT) AS DOUBLE))"
+    )
+
+
+def count_d_sql(c: str) -> str:
+    """``count(c)`` as DOUBLE — shared text (NULL-skipping like the
+    moment sums it normalizes)."""
+    return f"CAST(count({c}) AS DOUBLE)"
+
+
+def sum_d_sql(c: str) -> str:
+    """Exact int64 ``sum(c)`` as DOUBLE — shared text. Budget: the SUM
+    itself must stay under 2^63 (use hilo_sum_sql past that)."""
+    return f"CAST(CAST(sum({c}) AS BIGINT) AS DOUBLE)"
+
+
+def fgrid_sql(expr: str, out_dec: int) -> str:
+    """d-decimal output grid ``floor(x*10^d + 0.5)/10^d`` — the shared
+    pure-IEEE round (never the engines' round(), whose half-rules
+    diverge at representation boundaries)."""
+    return f"floor(({expr}) * 1e{out_dec} + 0.5) / 1e{out_dec}"
+
+
+# Bivariate-moment derived forms over the n^2-scaled centered moments
+# (covn = n*Sxy - Sx*Sy, varn = n*Sxx - Sx*Sx): every fragment is pure
+# IEEE arithmetic over deterministic doubles, shared verbatim by both
+# engines. Degenerate-group guards (ADVICE r6: Spark's non-ANSI double
+# divide returns NULL on /0 while DuckDB yields inf/nan) are integer-
+# exact CASE predicates in the same shared text.
+
+
+def covn_sql(n: str, sxy: str, sx: str, sy: str) -> str:
+    return f"(({n}) * ({sxy}) - ({sx}) * ({sy}))"
+
+
+def varn_sql(n: str, sxx: str, sx: str) -> str:
+    return f"(({n}) * ({sxx}) - ({sx}) * ({sx}))"

@@ -19,8 +19,15 @@ from pyspark.sql import functions as F
 from ..functions.exactagg import (
     avg_exact,
     avg_exact_sql,
+    count_d_sql,
+    covn_sql,
+    fgrid_sql,
+    hilo_sum_sql,
+    qlong_sql,
+    sum_d_sql,
     sum_exact,
     sum_exact_sql,
+    varn_sql,
 )
 from ..plans.registry import query
 from ..sources import load_table
@@ -275,13 +282,43 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# groupwise_zscore exact contract (r7 kernel purge): the pandas side
+# cannot share SQL text, so the contract is op-for-op IEEE mirroring —
+# numpy float64 ops ARE IEEE doubles, so each step below is spelled to
+# match the oracle expression exactly, in the same order:
+#   vq   = floor(value*100 + 0.5) as int64      (lossless: 2-dec data)
+#   s1   = Σvq, s2 = Σvq², n                    (exact int64, order-free)
+#   varn = n·s2 − s1·s1  over DOUBLES of those integers (one correctly-
+#          rounded int→double conversion each — deterministic)
+#   z    = (vq − s1/n) / sqrt(varn / (n·(n−1)))  then the 4dp floor grid
+# Degenerate guard is integer-exact on BOTH sides: n < 2 or
+# min(vq) = max(vq) → z = 0.0 (never the engines' /0 NULL-vs-inf split).
+_GZ_VQ = qlong_sql("value", 100)
+_GZ_Z = (
+    "CASE WHEN nn < 2 OR mnq = mxq OR "
+    + varn_sql("sn", "s2", "s1")
+    + " <= 0.0 THEN 0.0 ELSE "
+    + fgrid_sql(
+        "(CAST(vq AS DOUBLE) - s1 / sn)"
+        " / sqrt(" + varn_sql("sn", "s2", "s1") + " / (sn * (sn - 1.0)))",
+        4,
+    )
+    + " END"
+)
+
+
 @query(
     "groupwise_zscore_pandas",
-    """
-    SELECT event_id, event_type,
-           round((value - avg(value) OVER (PARTITION BY event_type))
-                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
-    FROM events
+    f"""
+    WITH q AS (
+      SELECT event_id, event_type, {_GZ_VQ} AS vq FROM events),
+    g AS (
+      SELECT event_type, count(vq) AS nn, {count_d_sql('vq')} AS sn,
+             {sum_d_sql('vq')} AS s1, {sum_d_sql('vq * vq')} AS s2,
+             min(vq) AS mnq, max(vq) AS mxq
+      FROM q GROUP BY event_type)
+    SELECT q.event_id, q.event_type, {_GZ_Z} AS z
+    FROM q JOIN g USING (event_type)
     """,
 )
 def groupwise_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,23 +331,38 @@ def groupwise_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window-function form is the production path, this pins the
     plumbing).
 
-    Oracle parity: pandas ``std(ddof=1)`` == SQL ``stddev_samp``; both
-    sides round z to the 4-decimal grid so pandas pairwise-summation
-    vs DuckDB streaming-aggregation float order can't flip the compare
-    (Catalyst-window equivalence at 1e-9 is separately pinned in
-    tests/test_operators.py)."""
+    Oracle parity (r7 purge — pandas mean()/std() kernels retired like
+    the SQL ones): both sides run the exact-moment recipe in the module
+    comment above; numpy float64 arithmetic is IEEE, so mirroring the
+    oracle's double expression op-for-op over the SAME exact integers
+    is bit-identical — pandas pairwise summation never runs. The
+    integer moments are exact for any group: vq² ≤ 3.2e9/row, Σ ≤
+    3.2e15 int64 at sf1eq (and numpy int64 sums are exact, no dtype
+    promotion surprises)."""
+    import numpy as np
     import pandas as pd
 
     events = load_table(spark, "events", sf_dir)
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=1)
-        z = (pdf["value"] - pdf["value"].mean()) / std if std else 0.0
-        out = pd.DataFrame(
+        import math
+
+        # exact integer moments — op-for-op mirror of the oracle text
+        vq = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        n = len(vq)
+        s1 = int(vq.sum())
+        s2 = int((vq * vq).sum())
+        sn, d1, d2 = float(n), float(s1), float(s2)
+        varn = sn * d2 - d1 * d1
+        if n < 2 or int(vq.min()) == int(vq.max()) or varn <= 0.0:
+            z = np.zeros(n, dtype=np.float64)
+        else:
+            sd = math.sqrt(varn / (sn * (sn - 1.0)))
+            z = (vq.astype(np.float64) - d1 / sn) / sd
+            z = np.floor(z * 1e4 + 0.5) / 1e4
+        return pd.DataFrame(
             {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z}
         )
-        out["z"] = out["z"].round(4)
-        return out
 
     return events.select("event_id", "event_type", "value").groupBy(
         "event_type"
@@ -375,37 +427,110 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-engine-exact bivariate moments (r7 kernel purge — the
+# heaps_law_fit postmortem applied to the whole stat surface): the
+# engines' corr/covar_samp/stddev_samp kernels accumulate double moments
+# in engine/build-specific order, so their trailing ulps can flip a
+# round() boundary in the driver environment even when every local sweep
+# is green (the only driver FAIL ever recorded, r5). Contract: quantize
+# on a lossless grid (quantity is integral, price/discount are exact
+# cents — q=100 recovers the rational data exactly), sum the moments as
+# order-free exact int64 (second moments via the hi/lo carrier,
+# functions/exactagg.py), and derive every statistic in ONE shared
+# double expression both engines run over identical integers.
+#
+# Budgets (sf1eq, n<=2.4e6/group; 1000x headroom noted): xq<=5e3,
+# yq<=1.05e7, dq<=10; per-row products <= yq^2 ~ 1.1e14 < 2^63; linear
+# sums <= 6.3e13 < 2^63; hi/lo carries products exactly to |sum|<2^93.
+_CC_XQ = qlong_sql("l_quantity", 100)
+_CC_YQ = qlong_sql("l_extendedprice", 100)
+_CC_DQ = qlong_sql("l_discount", 100)
+_CC_G = {
+    "sn": count_d_sql("xq"),
+    "sx": sum_d_sql("xq"),
+    "sy": sum_d_sql("yq"),
+    "sd": sum_d_sql("dq"),
+    "sxx": hilo_sum_sql("xq * xq"),
+    "syy": hilo_sum_sql("yq * yq"),
+    "sxy": hilo_sum_sql("xq * yq"),
+    "sxd": hilo_sum_sql("xq * dq"),
+}
+_CC_VARX = varn_sql("sn", "sxx", "sx")
+_CC_VARY = varn_sql("sn", "syy", "sy")
+_CC_COVXY = covn_sql("sn", "sxy", "sx", "sy")
+_CC_COVXD = covn_sql("sn", "sxd", "sx", "sd")
+# scale notes: corr is grid-invariant (qx*qy cancels); covar divides the
+# 1e4 = qx*qd grid product back out; sd/avg divide the 1e2 price grid.
+_CC_CORR = (
+    f"CASE WHEN sn > 1.0 AND {_CC_VARX} > 0.0 AND {_CC_VARY} > 0.0 THEN "
+    + fgrid_sql(f"{_CC_COVXY} / sqrt({_CC_VARX} * {_CC_VARY})", 6)
+    + " END"
+)
+_CC_COVAR = (
+    "CASE WHEN sn > 1.0 THEN "
+    + fgrid_sql(f"{_CC_COVXD} / (sn * (sn - 1.0)) / 1e4", 6)
+    + " END"
+)
+_CC_SD = (
+    f"CASE WHEN sn <= 1.0 THEN NULL WHEN {_CC_VARY} <= 0.0 THEN 0.0 ELSE "
+    + fgrid_sql(f"sqrt({_CC_VARY} / (sn * (sn - 1.0))) / 1e2", 4)
+    + " END"
+)
+_CC_AVG = fgrid_sql("sy / (sn * 1e2)", 4)
+
+
 @query(
     "column_corr",
-    """
+    f"""
+    WITH q AS (
+      SELECT l_returnflag, {_CC_XQ} AS xq, {_CC_YQ} AS yq, {_CC_DQ} AS dq
+      FROM lineitem),
+    g AS (
+      SELECT l_returnflag,
+             {_CC_G['sn']} AS sn, {_CC_G['sx']} AS sx, {_CC_G['sy']} AS sy,
+             {_CC_G['sd']} AS sd, {_CC_G['sxx']} AS sxx,
+             {_CC_G['syy']} AS syy, {_CC_G['sxy']} AS sxy,
+             {_CC_G['sxd']} AS sxd
+      FROM q GROUP BY l_returnflag)
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
-           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
-           round(stddev_samp(l_extendedprice), 4)       AS sd_price,
-           round(avg(l_extendedprice), 4)               AS avg_price
-    FROM lineitem
-    GROUP BY l_returnflag
+           {_CC_CORR}  AS corr_qty_price,
+           {_CC_COVAR} AS covar_qty_disc,
+           {_CC_SD}    AS sd_price,
+           {_CC_AVG}   AS avg_price
+    FROM g
     """,
 )
 def column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per group — Pearson correlation, sample
     covariance, sample stddev (the feature-diagnostics pass a curation
-    pipeline runs before training). All four are single-pass streaming
-    aggregates (Welford-style partial states that Spark merges
-    map-side), so the whole query is one shuffle of 3 tiny
-    (flag, moment-state) partials — the ideal 100 TB shape: cost is one
-    scan, network is O(groups). round() on both engines absorbs the
-    partial-merge vs sequential accumulation ULP difference."""
+    pipeline runs before training). Plan shape is unchanged from the
+    kernel form: ONE hash aggregate whose int64 moment sums combine
+    map-side, so the shuffle moves 3 tiny (flag, 9-moment) rows — the
+    ideal 100 TB aggregation. Correctness now rides the exact-moment
+    contract (module constants above; same text in the oracle): the
+    q=100 grid is LOSSLESS on this data (integral quantities, cent
+    prices/discounts), the moments are order-free exact integers, and
+    corr/covar/sd/avg are shared double expressions over them —
+    bit-identical across engines by construction, no corr/covar/stddev
+    kernel anywhere (r5 heaps FAIL class retired). Degenerate groups
+    (n<=1, zero variance) take integer-exact CASE guards instead of
+    engine-specific NULL-vs-inf division behavior (ADVICE r6)."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "corr_qty_price"
-        ),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
-            "covar_qty_disc"
-        ),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    q = li.select(
+        "l_returnflag",
+        F.expr(_CC_XQ).alias("xq"),
+        F.expr(_CC_YQ).alias("yq"),
+        F.expr(_CC_DQ).alias("dq"),
+    )
+    g = q.groupBy("l_returnflag").agg(
+        *[F.expr(sql).alias(name) for name, sql in _CC_G.items()]
+    )
+    return g.select(
+        "l_returnflag",
+        F.expr(_CC_CORR).alias("corr_qty_price"),
+        F.expr(_CC_COVAR).alias("covar_qty_disc"),
+        F.expr(_CC_SD).alias("sd_price"),
+        F.expr(_CC_AVG).alias("avg_price"),
     )
 
 
@@ -482,33 +607,88 @@ def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# regression_agg exact-moment contract (r7 kernel purge): x = quantity,
+# y = extendedprice, both on the lossless q=100 grid (same budgets as
+# column_corr above — this is literally the r5 heaps FAIL kernel class,
+# regr_*, retired). slope and r2 are grid-invariant because qx = qy;
+# the intercept divides the y grid back out.
+_RA_VARX = varn_sql("sn", "sxx", "sx")
+_RA_VARY = varn_sql("sn", "syy", "sy")
+_RA_COV = covn_sql("sn", "sxy", "sx", "sy")
+_RA_SLOPE = (
+    f"CASE WHEN {_RA_VARX} > 0.0 THEN "
+    + fgrid_sql(f"{_RA_COV} / {_RA_VARX}", 6)
+    + " END"
+)
+_RA_INTERCEPT = (
+    f"CASE WHEN {_RA_VARX} > 0.0 THEN "
+    + fgrid_sql(f"(sy - {_RA_COV} / {_RA_VARX} * sx) / sn / 1e2", 4)
+    + " END"
+)
+_RA_R2 = (
+    f"CASE WHEN {_RA_VARX} > 0.0 AND {_RA_VARY} > 0.0 THEN "
+    + fgrid_sql(f"{_RA_COV} * {_RA_COV} / ({_RA_VARX} * {_RA_VARY})", 6)
+    + " END"
+)
+
+
 @query(
     "regression_agg",
-    """
+    f"""
+    WITH q AS (
+      SELECT l_returnflag, {_CC_XQ} AS xq, {_CC_YQ} AS yq
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    g AS (
+      SELECT l_returnflag,
+             {_CC_G['sn']} AS sn, {_CC_G['sx']} AS sx, {_CC_G['sy']} AS sy,
+             {_CC_G['sxx']} AS sxx, {_CC_G['syy']} AS syy,
+             {_CC_G['sxy']} AS sxy
+      FROM q GROUP BY l_returnflag)
     SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
-    FROM lineitem
-    GROUP BY l_returnflag
+           {_RA_SLOPE}     AS slope,
+           {_RA_INTERCEPT} AS intercept,
+           {_RA_R2}        AS r2,
+           CAST(sn AS BIGINT) AS n_pairs
+    FROM g
     """,
 )
 def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL:2003 linear-regression aggregates (regr_slope / intercept /
-    r2 / count): price-per-quantity fit per return flag — the one-pass
-    OLS that replaces a collect-and-sklearn roundtrip for simple trend
-    features. Like `column_corr`, these are algebraic aggregates over
-    (n, sum x, sum y, sum xy, sum x2, sum y2) partials: single scan, one
-    shuffle of tiny moment states, merged map-side — the ideal 100 TB
-    aggregation shape."""
+    """One-pass OLS per group (the SQL:2003 regr_slope/intercept/r2/
+    count surface): price-per-quantity fit per return flag — the trend
+    feature that replaces a collect-and-sklearn roundtrip. Plan shape
+    unchanged: single scan, ONE hash aggregate of int64 moment sums
+    merged map-side, shuffle moves 3 tiny rows.
+
+    Correctness contract (r7): this is the exact kernel family
+    (regr_*) whose engine-specific ulps caused the r5 heaps_law_fit
+    driver FAIL — now zero regr kernels: lossless q=100 quantization,
+    order-free exact int64/hi-lo moments, slope/intercept/r2 as shared
+    double expressions over identical integers (bit-identical by
+    construction). regr_count semantics (pairs where BOTH sides
+    non-null) are the explicit WHERE on both engines; degenerate
+    variance takes a shared CASE guard, not engine divide-by-zero
+    behavior."""
     li = load_table(spark, "lineitem", sf_dir)
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+    q = li.filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.expr(_CC_XQ).alias("xq"),
+        F.expr(_CC_YQ).alias("yq"),
+    )
+    g = q.groupBy("l_returnflag").agg(
+        *[
+            F.expr(_CC_G[name]).alias(name)
+            for name in ("sn", "sx", "sy", "sxx", "syy", "sxy")
+        ]
+    )
+    return g.select(
+        "l_returnflag",
+        F.expr(_RA_SLOPE).alias("slope"),
+        F.expr(_RA_INTERCEPT).alias("intercept"),
+        F.expr(_RA_R2).alias("r2"),
+        F.col("sn").cast("bigint").alias("n_pairs"),
     )
 
 
@@ -669,42 +849,83 @@ def mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# moments_agg exact-moment contract (r7 kernel purge): l_quantity is
+# INTEGRAL (verified on the data; q=1 grid is the identity), so the four
+# power sums are plain exact int64 — xq^4 <= 6.25e6 per row, sums
+# <= 3.75e13 at sf1eq and < 2^63 up to ~10^5x that. Central moments and
+# the g1/g2 ratios are one shared double expression; pow() (a libm
+# kernel, NOT correctly rounded everywhere) is avoided — m2^1.5 is
+# sqrt(m2)*m2 and squares are explicit multiplies, all IEEE-exact ops.
+_MA_XQ = qlong_sql("l_quantity", 1)
+_MA_G = {
+    "sn": count_d_sql("xq"),
+    "s1": sum_d_sql("xq"),
+    "s2": sum_d_sql("xq * xq"),
+    "s3": sum_d_sql("xq * xq * xq"),
+    "s4": sum_d_sql("xq * xq * xq * xq"),
+}
+_MA_MU = "(s1 / sn)"
+_MA_M2 = f"(s2 / sn - {_MA_MU} * {_MA_MU})"
+_MA_M3 = (
+    f"(s3 / sn - 3.0 * {_MA_MU} * (s2 / sn)"
+    f" + 2.0 * {_MA_MU} * {_MA_MU} * {_MA_MU})"
+)
+_MA_M4 = (
+    f"(s4 / sn - 4.0 * {_MA_MU} * (s3 / sn)"
+    f" + 6.0 * {_MA_MU} * {_MA_MU} * (s2 / sn)"
+    f" - 3.0 * {_MA_MU} * {_MA_MU} * {_MA_MU} * {_MA_MU})"
+)
+_MA_SKEW = (
+    f"CASE WHEN {_MA_M2} > 0.0 THEN "
+    + fgrid_sql(f"{_MA_M3} / (sqrt({_MA_M2}) * {_MA_M2})", 4)
+    + " END"
+)
+_MA_KURT = (
+    f"CASE WHEN {_MA_M2} > 0.0 THEN "
+    + fgrid_sql(f"{_MA_M4} / ({_MA_M2} * {_MA_M2}) - 3.0", 4)
+    + " END"
+)
+
+
 @query(
     "moments_agg",
-    """
-    WITH m AS (
+    f"""
+    WITH q AS (SELECT l_returnflag, {_MA_XQ} AS xq FROM lineitem),
+    g AS (
       SELECT l_returnflag,
-             avg(l_quantity)                    AS mu,
-             avg(l_quantity * l_quantity)       AS m2r,
-             avg(pow(l_quantity, 3))            AS m3r,
-             avg(pow(l_quantity, 4))            AS m4r,
-             count(*)                           AS n
-      FROM lineitem GROUP BY l_returnflag)
-    SELECT l_returnflag, n,
-           round((m3r - 3*mu*m2r + 2*pow(mu,3))
-                 / pow(m2r - mu*mu, 1.5), 4)                 AS skew_pop,
-           round((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*pow(mu,4))
-                 / pow(m2r - mu*mu, 2) - 3.0, 4)             AS kurt_pop
-    FROM m
+             {_MA_G['sn']} AS sn, {_MA_G['s1']} AS s1, {_MA_G['s2']} AS s2,
+             {_MA_G['s3']} AS s3, {_MA_G['s4']} AS s4
+      FROM q GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(sn AS BIGINT) AS n,
+           {_MA_SKEW} AS skew_pop,
+           {_MA_KURT} AS kurt_pop
+    FROM g
     """,
 )
 def moments_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness / excess kurtosis per group — the
     distribution-shape gates of a data-quality report (heavy-tailed
-    value columns break mean-based thresholds). Spark's skewness()/
-    kurtosis() are the POPULATION (g1, g2) estimators while DuckDB's
-    builtins are the bias-corrected SAMPLE ones (G1, G2) — a silent
-    cross-engine trap, so the oracle rebuilds Spark's definition from
-    raw power sums. Cross-engine float caveat: central moments computed
-    from E[X^k] differ from Spark's streaming-update formulation in the
-    last ulps; round(4) absorbs it (same convention as the ln/exp
-    battery). One map-side-partial hash aggregate; the power sums ride
-    the same pass as the count."""
+    value columns break mean-based thresholds). Population (g1, g2)
+    estimators, i.e. Spark's skewness()/kurtosis() definition — but NOT
+    its kernels (r7 purge): the engines' streaming central-moment
+    updates differ in trailing ulps per build, the class behind the r5
+    heaps driver FAIL. Here the four raw power sums are exact int64
+    (quantity is integral — the q=1 grid is the identity on this data)
+    and g1/g2 derive in one shared double expression over identical
+    integers on both engines; m2^1.5 is spelled sqrt(m2)*m2 because
+    pow() is a libm kernel with no cross-engine rounding guarantee.
+    One map-side-partial hash aggregate; the power sums ride the same
+    pass as the count — shuffle is 3 tiny rows at any scale."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.skewness("l_quantity"), 4).alias("skew_pop"),
-        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_pop"),
+    q = li.select("l_returnflag", F.expr(_MA_XQ).alias("xq"))
+    g = q.groupBy("l_returnflag").agg(
+        *[F.expr(sql).alias(name) for name, sql in _MA_G.items()]
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("sn").cast("bigint").alias("n"),
+        F.expr(_MA_SKEW).alias("skew_pop"),
+        F.expr(_MA_KURT).alias("kurt_pop"),
     )
 
 
@@ -824,63 +1045,79 @@ def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# incremental_stats_merge exact contract (r7 kernel purge): value is
+# exact 2-decimal on this data, so vq = value*100 is lossless int64
+# (<= 5.7e4; vq^2 <= 3.2e9/row; global sums <= 3.2e15 at sf1eq, three
+# orders under 2^63). INT sums make the two-level merge EXACT — integer
+# addition is associative, so daily-partial merge == direct single-pass
+# bit-for-bit, which is the whole mergeability claim (the float version
+# could only prove it on a rounded grid).
+_IS_VQ = qlong_sql("value", 100)
+_IS_VARN = varn_sql("sn", "s2", "s1")
+_IS_MEAN = fgrid_sql("s1 / (sn * 1e2)", 4)
+_IS_STD = (
+    f"CASE WHEN {_IS_VARN} <= 0.0 THEN 0.0 ELSE "
+    + fgrid_sql(f"sqrt({_IS_VARN}) / (sn * 1e2)", 4)
+    + " END"
+)
+
+
 @query(
     "incremental_stats_merge",
-    """
-    SELECT event_type,
-           count(*)                         AS n,
-           round(avg(value), 4)             AS mean_value,
-           round(stddev_pop(value), 4)      AS std_value
-    FROM events
-    GROUP BY event_type
+    f"""
+    WITH q AS (SELECT event_type, {_IS_VQ} AS vq FROM events),
+    g AS (
+      SELECT event_type, {count_d_sql('vq')} AS sn,
+             {sum_d_sql('vq')} AS s1, {sum_d_sql('vq * vq')} AS s2
+      FROM q GROUP BY event_type)
+    SELECT event_type, CAST(sn AS BIGINT) AS n,
+           {_IS_MEAN} AS mean_value,
+           {_IS_STD}  AS std_value
+    FROM g
     """,
 )
 def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable moments (Chan et al.'s parallel variance): per-day
-    partials (n, sum, sum-of-squares) combine into exact global
-    mean/std via pure addition — the incremental-statistics pattern
-    that lets a 100 TB pipeline maintain running column stats by
-    merging each new day's partial instead of re-scanning history
-    (same role HLL partial-merge plays for distinct counts). The
-    oracle computes the DIRECT single-pass aggregate; the query
-    computes the two-level merged form — equality (on the rounded
-    grid) is the mergeability proof. Power sums, not (mean, M2)
-    pairs: addition-only merges, no weighted recombination. Numerical
-    caveat: raw power sums cancel catastrophically when std << |mean|
-    (s2 and s1²/n agree in their leading digits); production merges
-    shifted sums (subtract a per-partition pivot) or (n, mean, M2)
-    triples. Here the variance is clamped at 0 before sqrt so a
-    near-constant group yields ~0 (like the oracle's stddev_pop)
-    instead of sqrt(-eps)=NaN."""
+    partials (n, Σvq, Σvq²) combine into the global mean/std_pop via
+    pure addition — the incremental-statistics pattern that lets a
+    100 TB pipeline maintain running column stats by merging each new
+    day's partial instead of re-scanning history (same role HLL
+    partial-merge plays for distinct counts). The oracle computes the
+    DIRECT single-pass aggregate; the query computes the two-level
+    merged form — and because the partials are exact int64 on the
+    lossless q=100 grid (r7 purge; value is 2-decimal data), integer
+    associativity makes merged == direct EXACTLY, not merely on a
+    rounded grid. No avg/stddev kernels: mean and std_pop derive in
+    one shared double expression over identical integers on both
+    engines (module constants above). std_pop of a constant group is
+    0.0 via the shared integer-exact guard — sqrt(-eps) NaN and the
+    engines' divide-by-zero divergence are unreachable. sqrt(n²·varp)
+    note: std = sqrt(n·s2 − s1²)/(n·q) because pop-variance n² scale
+    factors out of the root exactly."""
     e = load_table(spark, "events", sf_dir)
     daily = (
         e.select(
             "event_type",
             F.col("ts").cast("date").alias("d"),
-            "value",
+            F.expr(_IS_VQ).alias("vq"),
         )
         .groupBy("event_type", "d")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("s1"),
-            F.sum(F.col("value") * F.col("value")).alias("s2"),
+            F.count("vq").alias("n_day"),
+            F.sum("vq").alias("s1_day"),
+            F.sum(F.expr("vq * vq")).alias("s2_day"),
         )
     )
     merged = daily.groupBy("event_type").agg(
-        F.sum("n").alias("n"),
-        F.sum("s1").alias("s1"),
-        F.sum("s2").alias("s2"),
+        F.sum("n_day").cast("double").alias("sn"),
+        F.sum("s1_day").cast("double").alias("s1"),
+        F.sum("s2_day").cast("double").alias("s2"),
     )
-    mean = F.col("s1") / F.col("n")
-    # clamp at 0: catastrophic cancellation on a near-constant group can
-    # push s2/n - mean² a few ULPs negative, and sqrt(-eps) is NaN where
-    # the oracle's stddev_pop returns ~0
-    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
     return merged.select(
         "event_type",
-        "n",
-        F.round(mean, 4).alias("mean_value"),
-        F.round(F.sqrt(var), 4).alias("std_value"),
+        F.col("sn").cast("bigint").alias("n"),
+        F.expr(_IS_MEAN).alias("mean_value"),
+        F.expr(_IS_STD).alias("std_value"),
     )
 
 

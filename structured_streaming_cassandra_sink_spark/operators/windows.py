@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import ts_micros
+from ..functions.exactagg import fgrid_sql, qlong_sql
 from ..plans.registry import query
 from ..sources import load_table
 
@@ -185,26 +186,55 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLL_N = 20          # rolling-frame width (preceding rows, current excluded)
 ROLL_MIN_OBS = 10    # minimum observations in the frame to emit a z-score
-ANOM_Z = 3.0
+ANOM_Z = 3            # |z| threshold — integer so the flag predicate is exact
+
+# anomaly_rolling_z exact contract (r7 kernel purge): the frame moments
+# are exact int64 window sums of the lossless q=100 grid (vq <= 5.7e4,
+# vq^2 <= 3.2e9/row; a 20-row frame sum <= 6.5e10 — integer window
+# aggregation is order-free by associativity, whatever the engines'
+# sliding-frame update order). The z-score is one shared double
+# expression over (vq, s1, s2, nn); sd>0 and the |z|>3 anomaly flag are
+# INTEGER-EXACT predicates (cross-multiplied, no float boundary at all):
+#   sd > 0        <=>  nn*s2 - s1^2 > 0                    (<= 1.3e15)
+#   |z| > 3       <=>  (vq*nn - s1)^2 * (nn-1) > 9*nn*(nn*s2 - s1^2)
+# magnitudes: (vq*nn - s1)^2 <= (1.3e6)^2 ~ 1.7e12, x19 ~ 3.2e13; RHS
+# <= 9*20*1.3e15 ~ 2.3e17 — all comfortably int64 on both engines.
+_AZ_VQ = qlong_sql("value", 100)
+_AZ_VARN = "(nn * s2 - s1 * s1)"
+_AZ_OK = f"(nn >= {ROLL_MIN_OBS} AND {_AZ_VARN} > 0)"
+_AZ_Z = (
+    f"CASE WHEN {_AZ_OK} THEN "
+    + fgrid_sql(
+        "(CAST(vq AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+        f" / sqrt(CAST({_AZ_VARN} AS DOUBLE)"
+        " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))",
+        4,
+    )
+    + " END"
+)
+_AZ_FLAG = (
+    f"coalesce({_AZ_OK} AND (vq * nn - s1) * (vq * nn - s1) * (nn - 1)"
+    f" > {ANOM_Z * ANOM_Z} * nn * {_AZ_VARN}, false)"
+)
 
 
 @query(
     "anomaly_rolling_z",
     f"""
     WITH w AS (
-      SELECT event_id, event_type, value,
-             avg(value)         OVER f AS mu,
-             stddev_samp(value) OVER f AS sd,
-             count(*)           OVER f AS n_obs
+      SELECT event_id, event_type, {_AZ_VQ} AS vq,
+             sum({_AZ_VQ})               OVER f AS s1,
+             sum({_AZ_VQ} * {_AZ_VQ})    OVER f AS s2,
+             count(*)                    OVER f AS n_obs
       FROM events
       WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
-                   ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING))
+                   ROWS BETWEEN {ROLL_N} PRECEDING AND 1 PRECEDING)),
+    n AS (SELECT event_id, event_type, vq, s1, s2,
+                 CAST(n_obs AS BIGINT) AS nn FROM w)
     SELECT event_id, event_type,
-           round(CASE WHEN n_obs >= {ROLL_MIN_OBS} AND sd > 0
-                      THEN (value - mu) / sd END, 4) AS zscore,
-           coalesce(n_obs >= {ROLL_MIN_OBS} AND sd > 0
-                    AND abs((value - mu) / sd) > {ANOM_Z}, false) AS is_anomaly
-    FROM w
+           {_AZ_Z}    AS zscore,
+           {_AZ_FLAG} AS is_anomaly
+    FROM n
     """,
 )
 def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,30 +242,40 @@ def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing {ROLL_N}-event mean/stddev of its own event_type (frame
     excludes the current row, so a spike cannot mask itself). The frame
     needs >= {ROLL_MIN_OBS} observations to emit a score — warm-up rows
-    get NULL, not a noisy estimate. One shuffle on event_type; all three
-    window aggregates share the same frame, so Catalyst computes them in
-    a single Window operator over one sort. At 100 TB the same query
-    partitions by (event_type, day) with a {ROLL_N}-row carry-in, or
-    becomes the applyInPandasWithState streaming twin (bounded state:
-    {ROLL_N} floats per key)."""
+    get NULL, not a noisy estimate. One shuffle on event_type; both
+    int64 moment sums share the same frame, so Catalyst computes them
+    in a single Window operator over one sort — same plan shape as the
+    float form. At 100 TB the same query partitions by
+    (event_type, day) with a {ROLL_N}-row carry-in, or becomes the
+    applyInPandasWithState streaming twin (bounded state: {ROLL_N}
+    ints per key).
+
+    Correctness (r7 purge): no rolling avg/stddev_samp kernels — exact
+    int64 frame moments on the lossless q=100 grid, one shared double
+    expression for z, and INTEGER-EXACT predicates for both the sd>0
+    guard and the |z|>{ANOM_Z} flag (cross-multiplied — the boolean
+    column cannot sit on a float boundary at all; budgets in the
+    module comment). The r5 heaps FAIL class is unreachable here."""
     e = load_table(spark, "events", sf_dir)
     f = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(-ROLL_N, -1)
     )
-    mu, sd, n_obs = (
-        F.avg("value").over(f),
-        F.stddev_samp("value").over(f),
-        F.count(F.lit(1)).over(f),
-    )
-    ok = (n_obs >= ROLL_MIN_OBS) & (sd > 0)
-    z = (F.col("value") - mu) / sd
-    return e.select(
+    vq = F.expr(_AZ_VQ)
+    n = e.select(
         "event_id",
         "event_type",
-        F.round(F.when(ok, z), 4).alias("zscore"),
-        F.coalesce(ok & (F.abs(z) > ANOM_Z), F.lit(False)).alias("is_anomaly"),
+        vq.alias("vq"),
+        F.sum(vq).over(f).alias("s1"),
+        F.sum(vq * vq).over(f).alias("s2"),
+        F.count(F.lit(1)).over(f).cast("bigint").alias("nn"),
+    )
+    return n.select(
+        "event_id",
+        "event_type",
+        F.expr(_AZ_Z).alias("zscore"),
+        F.expr(_AZ_FLAG).alias("is_anomaly"),
     )
 
 
