@@ -55,45 +55,54 @@ def _out_round(x: Column, out_dec: int) -> Column:
     return F.floor(x * F.lit(p) + F.lit(0.5)) / F.lit(p)
 
 
+def _hilo_sum_col(p: Column) -> Column:
+    """Column form of ``hilo_sum_sql`` below — op-for-op identical:
+    lo = p % 2^30 (truncated, both engines), hi = (p - lo) / 2^30.0
+    (exact: a multiple of 2^30 under 2^63 has <= 33 significant bits),
+    recombined with one correctly-rounded int64->double conversion per
+    half, an exact power-of-two multiply and one IEEE add."""
+    shift = 1 << 30
+    lo = p % F.lit(shift)
+    hi = ((p - lo) / F.lit(float(shift))).cast("long")
+    return (
+        F.sum(hi).cast("long").cast("double") * F.lit(float(shift))
+        + F.sum(lo).cast("long").cast("double")
+    )
+
+
 def sum_exact(col: Column | str, q: int, out_dec: int = 4) -> Column:
     """Order-independent ``round(sum(col), out_dec)`` via an exact sum
-    of 1/q-grid int64-quantized values, carried as DECIMAL(38,0) so the
-    accumulator has the DuckDB twin's HUGEINT headroom (no silent int64
-    wrap past 2^63)."""
-    s = F.sum(qlong(col, q).cast("decimal(38,0)"))
-    return _out_round(s / F.lit(float(q)), out_dec)
+    of 1/q-grid int64-quantized values, carried as the hi/lo int64 pair
+    (r7 — the former DECIMAL(38,0)/HUGEINT carriers convert to double
+    differently past 2^63, ADVICE r6): exact to |sum| < 2^93, no wide
+    integer type on either engine."""
+    return _out_round(_hilo_sum_col(qlong(col, q)) / F.lit(float(q)), out_dec)
 
 
 def avg_exact(col: Column | str, q: int, out_dec: int = 4) -> Column:
     """Order-independent ``round(avg(col), out_dec)``; NULL-safe
     (count(col), not count(*)) like the float avg it replaces. Sum is
-    DECIMAL(38,0) — see sum_exact."""
+    the hi/lo carrier — see sum_exact."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.sum(qlong(c, q).cast("decimal(38,0)"))
-    return _out_round(s / (F.count(c) * F.lit(float(q))), out_dec)
-
-
-SUM_EXACT_SQL = (
-    "floor(sum(CAST(floor(({c}) * {q} + 0.5) AS BIGINT))"
-    " / {q} * 1e{d} + 0.5) / 1e{d}"
-)
-
-AVG_EXACT_SQL = (
-    "floor(sum(CAST(floor(({c}) * {q} + 0.5) AS BIGINT))"
-    " / (count({c}) * {q}) * 1e{d} + 0.5) / 1e{d}"
-)
+    s = _hilo_sum_col(qlong(c, q))
+    return _out_round(
+        s / (F.count(c).cast("double") * F.lit(float(q))), out_dec
+    )
 
 
 def sum_exact_sql(c: str, q: int, out_dec: int = 4) -> str:
-    """DuckDB twin of sum_exact — same IEEE ops in the same order.
-    ``{q}`` is emitted as a float literal so the division happens in
-    double exactly like Spark's."""
-    return SUM_EXACT_SQL.format(c=c, q=float(q), d=out_dec)
+    """DuckDB twin of sum_exact — same IEEE ops in the same order."""
+    return fgrid_sql(f"{hilo_sum_sql(qlong_sql(c, q))} / {float(q)}", out_dec)
 
 
 def avg_exact_sql(c: str, q: int, out_dec: int = 4) -> str:
     """DuckDB twin of avg_exact."""
-    return AVG_EXACT_SQL.format(c=c, q=float(q), d=out_dec)
+    qq = qlong_sql(c, q)
+    return fgrid_sql(
+        f"{hilo_sum_sql(qq)}"
+        f" / (CAST(count({qq}) AS DOUBLE) * {float(q)})",
+        out_dec,
+    )
 
 
 # --------------------------------------------------------------------------

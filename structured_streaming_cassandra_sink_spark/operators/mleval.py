@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactagg import hilo_sum_sql
 from ..plans.registry import query
 from ..sources import load_table, spread
 
@@ -781,32 +782,43 @@ def lift_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- ttest_welch
 
-# Cross-engine-exact moment contract (r6 kernel purge, heaps_law_fit
-# postmortem applied BEFORE this query's first driver row): avg/var_samp
-# kernels accumulate doubles in engine/build-specific order, so their
-# trailing ulps can flip a round() boundary in the driver environment
-# even when every local sweep is green. Instead: quantize value to a
-# 1e-6 grid (pure-IEEE floor form), sum the two moments as exact
-# DECIMAL(38,0) (Spark) / HUGEINT-promoted BIGINT (DuckDB) — identical
-# integers — and derive mean/variance in ONE shared double expression.
-# Budget: vq <= 1e8 for |value| <= 100, vq^2 <= 1e16 per row (int64-safe
-# per element), sums exact to ~1e38.
-_TT_VQ = "CAST(floor(value * 1e6 + 0.5) AS BIGINT)"
+# Cross-engine-exact moment contract (r6 kernel purge, hardened r7 per
+# ADVICE): avg/var_samp kernels accumulate doubles in engine/build-
+# specific order, so their trailing ulps can flip a round() boundary in
+# the driver environment even when every local sweep is green. Instead:
+# quantize value to the 1e-4 grid — LOSSLESS on this 2-decimal data and
+# two orders more int64 headroom than the old 1e-6 grid (|value| safe to
+# ~3e5 before vq^2 passes 2^63; the old grid silently wrapped Spark-side
+# past |value|~3037 because the multiply ran in BIGINT before the
+# DECIMAL cast — the r6 ADVICE finding). Moments are exact int64 sums,
+# the second moment through the hi/lo carrier (functions/exactagg.py) so
+# NO wide-integer type appears on either engine (the DECIMAL(38,0) vs
+# HUGEINT ->double conversions are not the same rounding past 2^63);
+# mean/variance/t/df derive in ONE shared double expression. Degenerate
+# arms (n<2, zero variance) take shared CASE guards instead of the
+# engines' divide-by-zero split (Spark non-ANSI NULL vs DuckDB inf).
+_TT_VQ = "CAST(floor(value * 1e4 + 0.5) AS BIGINT)"
 _TT_N = "CAST(count(vq) AS DOUBLE)"
-_TT_SX = "CAST(sum(CAST(vq AS DECIMAL(38,0))) AS DOUBLE)"
-_TT_SXX = "CAST(sum(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE)"
-_TT_MEAN = f"({_TT_SX} / ({_TT_N} * 1e6))"
+_TT_SX = "CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE)"
+_TT_SXX = hilo_sum_sql("vq * vq")
+_TT_MEAN = f"({_TT_SX} / ({_TT_N} * 1e4))"
 _TT_VAR = (
     f"(({_TT_N} * {_TT_SXX} - {_TT_SX} * {_TT_SX})"
-    f" / ({_TT_N} * ({_TT_N} - 1.0)) / 1e12)"
+    f" / ({_TT_N} * ({_TT_N} - 1.0)) / 1e8)"
 )
 # post-pivot scalar expressions (identical doubles in, identical text):
 _TT_SE = "(v1 / n_click + v2 / n_view)"
-_TT_TSTAT = f"floor((m1 - m2) / sqrt{_TT_SE} * 1e4 + 0.5) / 1e4"
+_TT_OK = f"(n_click > 1 AND n_view > 1 AND {_TT_SE} > 0.0)"
+_TT_TSTAT = (
+    f"CASE WHEN {_TT_OK} THEN "
+    f"floor((m1 - m2) / sqrt{_TT_SE} * 1e4 + 0.5) / 1e4 END"
+)
 _TT_DF = (
+    f"CASE WHEN {_TT_OK} AND (v1 > 0.0 OR v2 > 0.0) THEN "
     f"floor({_TT_SE} * {_TT_SE}"
     f" / ((v1 / n_click) * (v1 / n_click) / (n_click - 1)"
     f"    + (v2 / n_view) * (v2 / n_view) / (n_view - 1)) * 1e2 + 0.5) / 1e2"
+    " END"
 )
 
 
@@ -845,13 +857,16 @@ def ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle spells the identical join) so the query stays one data
     shuffle. Means floor-round to 4dp, df to 2dp.
 
-    Cross-engine contract (r6): NO avg/var_samp kernels — values are
-    1e-6-grid quantized and the moments summed as exact integers, with
-    mean/variance/t/df derived by shared double expressions (module
-    constants above, same text in the oracle) — bit-identical across
-    engines by construction. The E[x²]-form is safe HERE because it is
-    exact integer arithmetic up to the one final double conversion;
-    it is only cancellation-prone when accumulated in floats."""
+    Cross-engine contract (r6, hardened r7): NO avg/var_samp kernels —
+    values are quantized on the lossless 1e-4 grid, the moments summed
+    as exact int64 (second moment via the hi/lo carrier, so no
+    DECIMAL/HUGEINT wide type on either engine), and mean/variance/t/df
+    derived by shared double expressions (module constants above, same
+    text in the oracle) — bit-identical across engines by construction,
+    with shared CASE guards on degenerate arms. The E[x²]-form is safe
+    HERE because it is exact integer arithmetic up to the one final
+    double conversion; it is only cancellation-prone when accumulated
+    in floats."""
     e = load_table(spark, "events", sf_dir)
     g = (
         e.filter(F.col("event_type").isin("click", "view"))
@@ -2276,30 +2291,27 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- experimentation: CUPED, delta
 
 
-# Exact-moment fragments for cuped_adjustment (r6 kernel purge). The
-# event-level value quantizes to a 1e-4 grid, per-user pre/post totals
-# are exact int64, and the five global moments are exact integer sums.
-# Second moments reach ~1e18 per user-row, so they are carried as
-# DECIMAL(38,0) on Spark and HUGEINT in DuckDB — DIFFERENT integer
-# carrier text, IDENTICAL integer values; the double-arithmetic wrapper
-# text is shared verbatim, so both engines convert the same integers
-# and run the same IEEE ops.
+# Exact-moment fragments for cuped_adjustment (r6 kernel purge,
+# carrier hardened r7 per ADVICE): the event-level value quantizes to a
+# 1e-4 grid, per-user pre/post totals are exact int64, and the five
+# global moments are exact integer sums. Second moments reach ~1e18 per
+# user-row — the r6 carriers (DECIMAL(38,0) Spark / HUGEINT DuckDB)
+# held the SUM exactly but convert to double differently past 2^63
+# (Spark BigInteger.doubleValue is correctly rounded; DuckDB recombines
+# 64-bit halves — a double rounding), so "bit-identical by construction"
+# had a residual env risk. r7: the hi/lo int64 carrier
+# (functions/exactagg.py) — IDENTICAL text on both engines, only exact
+# int64->double conversions, sums exact to 2^93 ~ 9.9e27 (covers the
+# ~1e22–1e25 worst-case second-moment budget). Per-row budget:
+# |x|, |y| < 3.03e9 (= sqrt(2^63), i.e. user-total |value| < 3.0e5)
+# before the int64 product wraps — documented, loud in DuckDB.
 _CU_VQ = "CAST(floor(value * 1e4 + 0.5) AS BIGINT)"
 _CU_N = "CAST(count(x) AS DOUBLE)"
-_CU_SX = "CAST(sum(x) AS DOUBLE)"
-_CU_SY = "CAST(sum(y) AS DOUBLE)"
-_CU_SXX_SPARK = (
-    "CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)"
-)
-_CU_SYY_SPARK = (
-    "CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE)"
-)
-_CU_SXY_SPARK = (
-    "CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE)"
-)
-_CU_SXX_SQL = "CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)"
-_CU_SYY_SQL = "CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)"
-_CU_SXY_SQL = "CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE)"
+_CU_SX = "CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)"
+_CU_SY = "CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)"
+_CU_SXX = hilo_sum_sql("x * x")
+_CU_SYY = hilo_sum_sql("y * y")
+_CU_SXY = hilo_sum_sql("x * y")
 
 
 def _cu_var(sqq: str, sv: str) -> str:
@@ -2312,12 +2324,21 @@ def _cu_cov(sxy: str) -> str:
     )
 
 
-_CU_VX_SPARK = _cu_var(_CU_SXX_SPARK, _CU_SX)
-_CU_VY_SPARK = _cu_var(_CU_SYY_SPARK, _CU_SY)
-_CU_CXY_SPARK = _cu_cov(_CU_SXY_SPARK)
-_CU_VX_SQL = _cu_var(_CU_SXX_SQL, _CU_SX)
-_CU_VY_SQL = _cu_var(_CU_SYY_SQL, _CU_SY)
-_CU_CXY_SQL = _cu_cov(_CU_SXY_SQL)
+_CU_VX = _cu_var(_CU_SXX, _CU_SX)
+_CU_VY = _cu_var(_CU_SYY, _CU_SY)
+_CU_CXY = _cu_cov(_CU_SXY)
+# Degenerate-input guards (ADVICE r6: Spark's non-ANSI double divide
+# NULLs on /0 where DuckDB yields inf/nan — share the sentinel instead):
+_CU_THETA = "CASE WHEN vx > 0.0 THEN floor(cxy / vx * 1e6 + 0.5) / 1e6 END"
+_CU_VRAW = "floor(vy / 1e8 * 1e4 + 0.5) / 1e4"
+_CU_VADJ = (
+    "CASE WHEN vx > 0.0 THEN"
+    " floor((vy - cxy * cxy / vx) / 1e8 * 1e4 + 0.5) / 1e4 END"
+)
+_CU_VREDUX = (
+    "CASE WHEN vx > 0.0 AND vy > 0.0 THEN"
+    " floor((cxy * cxy / vx) / vy * 1e6 + 0.5) / 1e6 END"
+)
 
 
 @query(
@@ -2330,16 +2351,15 @@ _CU_CXY_SQL = _cu_cov(_CU_SXY_SQL)
       FROM events GROUP BY user_id),
     m AS (
       SELECT CAST(count(x) AS BIGINT) AS n_users,
-             {_CU_CXY_SQL} AS cxy,
-             {_CU_VX_SQL}  AS vx,
-             {_CU_VY_SQL} AS vy
+             {_CU_CXY} AS cxy,
+             {_CU_VX}  AS vx,
+             {_CU_VY} AS vy
       FROM u)
     SELECT n_users,
-           floor(cxy / vx * 1e6 + 0.5) / 1e6                 AS theta,
-           floor(vy / 1e8 * 1e4 + 0.5) / 1e4                 AS var_raw,
-           floor((vy - cxy * cxy / vx) / 1e8 * 1e4 + 0.5) / 1e4
-                                                             AS var_adjusted,
-           floor((cxy * cxy / vx) / vy * 1e6 + 0.5) / 1e6    AS variance_reduction
+           {_CU_THETA}  AS theta,
+           {_CU_VRAW}   AS var_raw,
+           {_CU_VADJ}   AS var_adjusted,
+           {_CU_VREDUX} AS variance_reduction
     FROM m
     """,
 )
@@ -2355,17 +2375,19 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance_reduction = ρ² is the fraction of metric variance the
     covariate explains.
 
-    Cross-engine contract (r6 kernel purge, before this query's first
-    driver row): value quantizes to the 1e-4 grid AT THE EVENT LEVEL
-    (pure-IEEE floor form), so the per-user pre/post totals are exact
-    int64 outright and the global moments are exact integer sums — the
-    second moments carried as DECIMAL(38,0) on Spark / HUGEINT in
-    DuckDB (identical integers; x² per user reaches ~1e18, past the
-    comfortable int64 sum margin). θ and ρ² are grid-scale-invariant;
-    the variances divide the 1e8 grid² factor back out. No
-    var_pop/covar_pop kernels anywhere; every double derives from
-    identical integers via shared expression text. Outputs floor-round
-    at 6dp (ratios) / 4dp (value²-scale)."""
+    Cross-engine contract (r6 kernel purge; carrier hardened r7):
+    value quantizes to the 1e-4 grid AT THE EVENT LEVEL (pure-IEEE
+    floor form), so the per-user pre/post totals are exact int64
+    outright and the global moments are exact integer sums — the
+    second moments (x² per user reaches ~1e18) carried by the hi/lo
+    int64 pair with IDENTICAL text on both engines (module comment
+    above; the r6 DECIMAL/HUGEINT carriers converted to double
+    differently past 2^63). θ and ρ² are grid-scale-invariant; the
+    variances divide the 1e8 grid² factor back out. No var_pop/
+    covar_pop kernels anywhere; every double derives from identical
+    integers via shared expression text, with shared CASE guards on
+    zero-variance inputs. Outputs floor-round at 6dp (ratios) / 4dp
+    (value²-scale)."""
     e = load_table(spark, "events", sf_dir)
     u = e.groupBy("user_id").agg(
         F.sum(
@@ -2377,20 +2399,16 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = u.agg(
         F.count("x").alias("n_users"),
-        F.expr(_CU_CXY_SPARK).alias("cxy"),
-        F.expr(_CU_VX_SPARK).alias("vx"),
-        F.expr(_CU_VY_SPARK).alias("vy"),
+        F.expr(_CU_CXY).alias("cxy"),
+        F.expr(_CU_VX).alias("vx"),
+        F.expr(_CU_VY).alias("vy"),
     )
     return m.select(
         "n_users",
-        F.expr("floor(cxy / vx * 1e6 + 0.5) / 1e6").alias("theta"),
-        F.expr("floor(vy / 1e8 * 1e4 + 0.5) / 1e4").alias("var_raw"),
-        F.expr(
-            "floor((vy - cxy * cxy / vx) / 1e8 * 1e4 + 0.5) / 1e4"
-        ).alias("var_adjusted"),
-        F.expr(
-            "floor((cxy * cxy / vx) / vy * 1e6 + 0.5) / 1e6"
-        ).alias("variance_reduction"),
+        F.expr(_CU_THETA).alias("theta"),
+        F.expr(_CU_VRAW).alias("var_raw"),
+        F.expr(_CU_VADJ).alias("var_adjusted"),
+        F.expr(_CU_VREDUX).alias("variance_reduction"),
     )
 
 
@@ -2409,10 +2427,21 @@ _DM_MY = f"({_DM_SY} / {_DM_N})"
 _DM_VX = f"(({_DM_N} * {_DM_SXX} - {_DM_SX} * {_DM_SX}) / ({_DM_N} * {_DM_N}))"
 _DM_VY = f"(({_DM_N} * {_DM_SYY} - {_DM_SY} * {_DM_SY}) / ({_DM_N} * {_DM_N}))"
 _DM_CXY = f"(({_DM_N} * {_DM_SXY} - {_DM_SX} * {_DM_SY}) / ({_DM_N} * {_DM_N}))"
-_DM_SE = (
-    "sqrt((vx - 2 * (sx * 1.0 / sy) * cxy"
+# Degenerate guards (ADVICE r6): sy = 0 makes the ratio undefined —
+# Spark's non-ANSI divide NULLs while DuckDB yields inf, so the guard is
+# the shared sentinel; the se radicand can land a few ulps negative on
+# near-degenerate arms, where Spark sqrt gives NaN but DuckDB RAISES —
+# the <= 0 clamp keeps both engines on 0.0.
+_DM_RATIO = "CASE WHEN sy > 0 THEN sx * 1.0 / sy END"
+_DM_SE_INNER = (
+    "((vx - 2 * (sx * 1.0 / sy) * cxy"
     " + (sx * 1.0 / sy) * (sx * 1.0 / sy) * vy)"
     " / (n_users * my * my))"
+)
+_DM_SE = (
+    f"CASE WHEN sy = 0 OR my <= 0.0 THEN NULL"
+    f" WHEN {_DM_SE_INNER} <= 0.0 THEN 0.0"
+    f" ELSE sqrt{_DM_SE_INNER} END"
 )
 
 
@@ -2438,7 +2467,7 @@ _DM_SE = (
       FROM u GROUP BY arm),
     r AS (
       SELECT arm, n_users, sx, sy,
-             sx * 1.0 / sy AS ratio,
+             {_DM_RATIO} AS ratio,
              {_DM_SE} AS se
       FROM m)
     SELECT arm, n_users, sx AS clicks, sy AS views,
@@ -2488,7 +2517,7 @@ def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vx",
         "vy",
         "cxy",
-        F.expr("sx * 1.0 / sy").alias("ratio"),
+        F.expr(_DM_RATIO).alias("ratio"),
     ).withColumn("se", F.expr(_DM_SE))
     return r.select(
         "arm",

@@ -180,8 +180,16 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines use type-7 interpolation — parity proven by
     exact_percentiles) plus a flag that the approx value lands inside
     the exact [q-0.01, q+0.01] rank band; the oracle asserts the flag,
-    making sketch drift a driver FAIL. GK with accuracy 10k guarantees
-    rank error 1e-4 << the 0.01 band.
+    making sketch drift a driver FAIL. GK with accuracy 1000 guarantees
+    rank error 1e-3 — a 10x margin inside the 0.01 band.
+
+    Accuracy sizing (r7 — this was the registry's worst scaling curve):
+    GK insert/merge cost grows with the sketch's compressed size, and
+    accuracy 10_000 made the SKETCH the data-dominated term — measured
+    min-of-2 at sf1eq: 2.18 s (acc 1e4) vs 0.19 s (acc 1e3), 12x, while
+    sf0.1 hid it (0.13 vs 0.07 — overhead-dominated). At 100 TB the
+    sketch IS the plan, so its constant matters more than the
+    band-scaffolding exact side (0.95 s, sub-linear, test-only).
 
     All six exact rank points ride in ONE percentile(col, array(...))
     aggregate (a single sorted buffer per group) and both sketch points
@@ -194,7 +202,7 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"percentile(l_extendedprice, array({', '.join(map(str, ranks))}))"
     )
     appx = F.percentile_approx(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10_000)
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(1_000)
     )
     agged = li.groupBy("l_returnflag").agg(pcts.alias("ps"), appx.alias("aps"))
     p = lambda i: F.col("ps").getItem(i)  # noqa: E731

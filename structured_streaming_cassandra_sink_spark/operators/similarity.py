@@ -23,6 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactagg import (
+    count_d_sql,
+    fgrid_sql,
+    hilo_sum_sql,
+    qlong_sql,
+    sum_d_sql,
+    varn_sql,
+)
 from ..functions.vectorfns import as_double, dot, norm
 from ..plans.registry import query
 from ..sources import load_table, spread
@@ -346,13 +354,22 @@ def lsh_probe(
     qsig = spark.createDataFrame(
         qsig_rows, "query_id long, qvec array<double>, t int, sig int"
     ).withColumn("qn", norm(as_double(F.col("qvec"))))
-    # Static (t, sig) partition filter: queries x tables pairs — tiny.
+    # Static (t, sig) partition pruning by DIRECT PATH (r7): listing the
+    # whole L*2^bits partition tree and pruning it with an OR-chain cost
+    # ~2 s of planning per probe at sf0.1 (the probe itself runs in
+    # ~0.1 s); enumerating exactly the probed bucket dirs keeps the
+    # FileIndex to |queries|*L directories — at any corpus size the
+    # probe's planning cost is O(buckets probed), not O(buckets built).
+    # basePath keeps (t, sig) as partition columns; a bucket no query
+    # hashed to may not exist on disk, so only present dirs are listed.
+    corpus_dir = os.path.join(index_dir, "corpus")
     pairs = {(t, s) for _, _, t, s in qsig_rows}
-    pair_filter = None
-    for t, s in sorted(pairs):
-        cond = (F.col("t") == t) & (F.col("sig") == s)
-        pair_filter = cond if pair_filter is None else (pair_filter | cond)
-    idx = spark.read.parquet(os.path.join(index_dir, "corpus")).filter(pair_filter)
+    paths = [
+        p
+        for t, s in sorted(pairs)
+        if os.path.isdir(p := os.path.join(corpus_dir, f"t={t}", f"sig={s}"))
+    ]
+    idx = spark.read.option("basePath", corpus_dir).parquet(*paths)
     candidates = (
         idx.join(F.broadcast(qsig), ["t", "sig"])
         .select("query_id", "vec_id", "qvec", "qn", "v", "nv")
@@ -965,19 +982,46 @@ def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embedding_dim_stats exact contract (r7 kernel purge): elements widen
+# float32->double exactly on both engines, then quantize to the 1e-8
+# grid (error <= 5e-9 per value — 3 orders below the 6dp output grid).
+# Budgets: |e| <= 1 on unit-ish embeddings (headroom to |e| <= 90 before
+# eq^2 hits 2^63); eq <= 1e8, eq^2 <= 1e16 carried hi/lo; linear sums
+# <= 2e12 int64 at sf1eq. min/max come FROM the quantized ints (exact
+# selections), so every output derives from identical integers via the
+# shared double text — no avg/stddev kernels (r5 heaps FAIL class).
+_ED_EQ = qlong_sql("e", 10**8)
+_ED_VARN = varn_sql("sn", "s2", "s1")
+_ED_MEAN = fgrid_sql("s1 / (sn * 1e8)", 6)
+_ED_STD = (
+    f"CASE WHEN sn <= 1.0 THEN NULL WHEN {_ED_VARN} <= 0.0 THEN 0.0 ELSE "
+    + fgrid_sql(f"sqrt({_ED_VARN} / (sn * (sn - 1.0))) / 1e8", 6)
+    + " END"
+)
+_ED_MIN = fgrid_sql("CAST(mn AS DOUBLE) / 1e8", 6)
+_ED_MAX = fgrid_sql("CAST(mx AS DOUBLE) / 1e8", 6)
+
+
 @query(
     "embedding_dim_stats",
-    """
+    f"""
     WITH ex AS (
       SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS e
-      FROM embeddings)
+      FROM embeddings),
+    q AS (
+      SELECT dim, {_ED_EQ} AS eq
+      FROM (SELECT dim, CAST(e AS DOUBLE) AS e FROM ex)),
+    g AS (
+      SELECT dim, {count_d_sql('eq')} AS sn, {sum_d_sql('eq')} AS s1,
+             {hilo_sum_sql('eq * eq')} AS s2,
+             min(eq) AS mn, max(eq) AS mx
+      FROM q GROUP BY dim)
     SELECT dim,
-           round(avg(e), 6)         AS mean_e,
-           round(stddev_samp(e), 6) AS std_e,
-           round(min(e), 6)         AS min_e,
-           round(max(e), 6)         AS max_e
-    FROM (SELECT dim, CAST(e AS DOUBLE) AS e FROM ex)
-    GROUP BY dim
+           {_ED_MEAN} AS mean_e,
+           {_ED_STD}  AS std_e,
+           {_ED_MIN}  AS min_e,
+           {_ED_MAX}  AS max_e
+    FROM g
     """,
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,16 +1030,30 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean flags normalization drift). Same dimension-wise partial-agg
     shape as `embedding_centroid`: posexplode the raw attribute, ONE
     map-side-combinable groupBy over (dim) — shuffles 64 tiny rows no
-    matter how many billions of vectors flow by."""
+    matter how many billions of vectors flow by. Values ride the
+    exact-moment contract (module constants above, identical text in
+    the oracle): 1e-8-grid int64 moments with the hi/lo second-moment
+    carrier, shared double derivations, integer-exact degenerate
+    guards — bit-identical cross-engine by construction."""
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    ex = emb.select(F.posexplode(F.col("embedding")).alias("i", "e")).select(
-        (F.col("i") + 1).alias("dim"), F.col("e").cast("double").alias("e")
+    q = (
+        emb.select(F.posexplode(F.col("embedding")).alias("i", "e"))
+        .select((F.col("i") + 1).alias("dim"), F.col("e").cast("double").alias("e"))
+        .select("dim", F.expr(_ED_EQ).alias("eq"))
     )
-    return ex.groupBy("dim").agg(
-        F.round(F.avg("e"), 6).alias("mean_e"),
-        F.round(F.stddev_samp("e"), 6).alias("std_e"),
-        F.round(F.min("e"), 6).alias("min_e"),
-        F.round(F.max("e"), 6).alias("max_e"),
+    g = q.groupBy("dim").agg(
+        F.expr(count_d_sql("eq")).alias("sn"),
+        F.expr(sum_d_sql("eq")).alias("s1"),
+        F.expr(hilo_sum_sql("eq * eq")).alias("s2"),
+        F.min("eq").alias("mn"),
+        F.max("eq").alias("mx"),
+    )
+    return g.select(
+        "dim",
+        F.expr(_ED_MEAN).alias("mean_e"),
+        F.expr(_ED_STD).alias("std_e"),
+        F.expr(_ED_MIN).alias("min_e"),
+        F.expr(_ED_MAX).alias("max_e"),
     )
 
 
@@ -1138,30 +1196,49 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-vector worst case), the driver row goes red instead of
     silently shipping a degraded index.
     One corpus scan for the exact side + two partition-pruned probe
-    scans; the 50-row comparison join is trivially broadcast."""
-    ex = sim_search_topk(spark, sf_dir).select("query_id", "vec_id", "cos_sim")
-    lsh = (
-        sim_search_ann_lsh(spark, sf_dir)
-        .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
-        .withColumn("lhit", F.lit(1))
-    )
-    ivf = (
-        sim_search_ann_ivf(spark, sf_dir)
-        .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
-        .withColumn("ihit", F.lit(1))
-    )
-    pq = (
-        sim_search_pq_adc(spark, sf_dir)
-        .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
-        .withColumn("phit", F.lit(1))
-    )
+    scans; the 50-row comparison join is trivially broadcast.
+
+    Build-phase concurrency (r7 trim): each probe constructor does
+    driver-side work while BUILDING its DataFrame (collect the probe
+    batch, read codebooks/centroids, staleness-check its index) — built
+    sequentially those waits serialize ahead of the single scoring job,
+    which was most of the report's wall clock (measured 4.2 s -> the
+    scoring stages themselves overlap fine inside one action). The four
+    subtrees build in parallel threads (Spark supports concurrent
+    driver actions; each probe touches only its own index), then ONE
+    action runs the joined plan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _hits(fn, flag):
+        # no dropDuplicates: every probe ends in a per-query row_number
+        # top-k filter, so (query_id, vec_id) is unique by construction
+        # (each candidate set is deduped before ranking) — the defensive
+        # re-dedup here was 3 extra shuffles of 50-row inputs.
+        return (
+            fn(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .withColumn(flag, F.lit(1))
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_ex = pool.submit(
+            lambda: sim_search_topk(spark, sf_dir).select(
+                "query_id", "vec_id", "cos_sim"
+            )
+        )
+        f_lsh = pool.submit(_hits, sim_search_ann_lsh, "lhit")
+        f_ivf = pool.submit(_hits, sim_search_ann_ivf, "ihit")
+        f_pq = pool.submit(_hits, sim_search_pq_adc, "phit")
+        ex, lsh, ivf, pq = (
+            f_ex.result(),
+            f_lsh.result(),
+            f_ivf.result(),
+            f_pq.result(),
+        )
     j = (
-        ex.join(lsh, ["query_id", "vec_id"], "left")
-        .join(ivf, ["query_id", "vec_id"], "left")
-        .join(pq, ["query_id", "vec_id"], "left")
+        ex.join(F.broadcast(lsh), ["query_id", "vec_id"], "left")
+        .join(F.broadcast(ivf), ["query_id", "vec_id"], "left")
+        .join(F.broadcast(pq), ["query_id", "vec_id"], "left")
     )
     n = F.count(F.lit(1))
     return j.agg(
@@ -1180,16 +1257,36 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pca_variance_report exact contract (r7 kernel purge): the hashed
+# total_var no longer comes from the numpy eigensolve (float moment sums
+# in library-specific order — the r5 FAIL class) but from the exact
+# quantized per-dimension var_pop, trace-identical to the eigenvalue sum
+# by linear algebra: per-dim moments on the 1e-8 grid (same budgets as
+# embedding_dim_stats above), var_pop derived in shared double text,
+# re-quantized to a 1e-12 int grid (vp <= ~0.35 -> vpq <= 3.5e11; 64
+# dims sum < 2.3e13 int64) and summed exactly across dims — the 64-row
+# double sum that would otherwise be engine-order-dependent is integer.
+_PV_VARN = varn_sql("sn", "s2", "s1")
+_PV_VP = f"({_PV_VARN} / (sn * sn) / 1e16)"   # var_pop in raw units
+_PV_VPQ = f"CAST(floor({_PV_VP} * 1e12 + 0.5) AS BIGINT)"
+_PV_TOTAL = fgrid_sql(f"{sum_d_sql('vpq')} / 1e12", 4)
+
+
 @query(
     "pca_variance_report",
-    """
+    f"""
     WITH u AS (SELECT generate_subscripts(embedding, 1) AS d,
-                      unnest(embedding)::DOUBLE AS v
+                      unnest(embedding)::DOUBLE AS e
                FROM embeddings),
-         pv AS (SELECT d, var_pop(v) AS vp FROM u GROUP BY d)
+         q AS (SELECT d, {_ED_EQ} AS eq FROM u),
+         g AS (SELECT d, {count_d_sql('eq')} AS sn, {sum_d_sql('eq')} AS s1,
+                      {hilo_sum_sql('eq * eq')} AS s2
+               FROM q GROUP BY d),
+         pv AS (SELECT {_PV_VPQ} AS vpq FROM g)
     SELECT 64 AS dim, 64 AS n_components,
-           round(sum(vp), 4) AS total_var,
-           TRUE AS orthonormal_ok, TRUE AS eigs_descending_ok
+           {_PV_TOTAL} AS total_var,
+           TRUE AS orthonormal_ok, TRUE AS eigs_descending_ok,
+           TRUE AS trace_matches_exact
     FROM pv
     """,
 )
@@ -1199,27 +1296,57 @@ def pca_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unlike the basis-ambiguous vectors that keep embedding_pca_project
     rows-only), and their sum must equal the covariance trace = the sum
     of per-dimension population variances — which DuckDB computes
-    INDEPENDENTLY from the raw embeddings. A bug anywhere in the
-    distributed moment pass (dropped partial, wrong n, mean/outer mixup)
-    or the eigensolve breaks the trace and hash-FAILs the row. The
-    Spark-side flags additionally pin the full eigenbasis: C @ C.T == I
-    (orthonormal within 1e-8) and eigenvalues descending and >= -1e-9.
-    Cost: the one moment scan pca_fit always does; nothing else."""
+    INDEPENDENTLY from the raw embeddings. The hashed total_var rides
+    the exact quantized-moment contract on BOTH engines (module
+    constants above; r7 purge — numpy float sums no longer feed a
+    hashed double); the eigensolve is pinned by three boolean flags the
+    oracle asserts TRUE: C @ C.T == I (orthonormal within 1e-8),
+    eigenvalues descending and >= -1e-9, and the eigenvalue sum
+    matching the exact trace within 1e-6 relative — a bug anywhere in
+    the distributed moment pass (dropped partial, wrong n, mean/outer
+    mixup) or the eigensolve flips trace_matches_exact and hash-FAILs
+    the row. Cost: the pca_fit moment scan plus one trivial
+    2000x64-explode aggregate."""
     import numpy as np
 
     emb = spread(load_table(spark, "embeddings", sf_dir))
     dim = 64
     _, comps, eigvals = pca_fit(emb, dim, dim)  # full basis: all 64
-    total_var = float(np.sum(eigvals))
     gram = comps @ comps.T
     ortho = bool(np.allclose(gram, np.eye(dim), atol=1e-8))
     descending = bool(
         np.all(np.diff(eigvals) <= 1e-12) and np.all(eigvals >= -1e-9)
     )
-    return spark.createDataFrame(
-        [(dim, dim, round(total_var, 4), ortho, descending)],
-        "dim int, n_components int, total_var double, "
-        "orthonormal_ok boolean, eigs_descending_ok boolean",
+    g = (
+        emb.select(F.posexplode(F.col("embedding")).alias("i", "e"))
+        .select((F.col("i") + 1).alias("d"), F.col("e").cast("double").alias("e"))
+        .select("d", F.expr(_ED_EQ).alias("eq"))
+        .groupBy("d")
+        .agg(
+            F.expr(count_d_sql("eq")).alias("sn"),
+            F.expr(sum_d_sql("eq")).alias("s1"),
+            F.expr(hilo_sum_sql("eq * eq")).alias("s2"),
+        )
+        .select(F.expr(_PV_VPQ).alias("vpq"))
+    )
+    # 1-row bounded collect (report pattern): the UN-gridded exact total
+    # for the trace band (the hashed column re-derives the 4dp-gridded
+    # form inside the plan below — banding against that would just
+    # measure the output grid, not the eigensolve).
+    total_exact = g.selectExpr(
+        f"{sum_d_sql('vpq')} / 1e12 AS tv"
+    ).collect()[0]["tv"]
+    trace_ok = bool(
+        abs(float(np.sum(eigvals)) - total_exact)
+        <= 1e-6 * max(1.0, total_exact)
+    )
+    return g.agg(F.expr(_PV_TOTAL).alias("total_var")).select(
+        F.lit(dim).alias("dim"),
+        F.lit(dim).alias("n_components"),
+        "total_var",
+        F.lit(ortho).alias("orthonormal_ok"),
+        F.lit(descending).alias("eigs_descending_ok"),
+        F.lit(trace_ok).alias("trace_matches_exact"),
     )
 
 

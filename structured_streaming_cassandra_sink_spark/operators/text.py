@@ -13,6 +13,13 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exactagg import (
+    count_d_sql,
+    covn_sql,
+    fgrid_sql,
+    sum_d_sql,
+    varn_sql,
+)
 from ..functions.textfns import fingerprint, tokens
 from ..plans.registry import query
 from ..sources import load_table, spread
@@ -1233,6 +1240,38 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZIPF_HEAD = 1000  # fit over the head of the frequency table
 
+# zipf_fit exact-OLS contract (r7 kernel purge — same recipe as
+# heaps_law_fit above, same regr_* kernel class as the r5 driver FAIL):
+# quantize ln(rank), ln(count) to the 1e-6 grid (floor form, pure IEEE),
+# sum the five moments as exact int64 over the <= ZIPF_HEAD fit rows,
+# and derive slope/r2 in one shared double expression over identical
+# integers. Budgets: xq = ln(rnk)*1e6 <= 6.91e6, yq = ln(cnt)*1e6 <=
+# ~2.8e7 at 1e12 tokens; xq*yq <= 2e14 < 2^53 per row, moment sums over
+# 1000 rows <= 2e17 < 2^63 — all direct int64, no hi/lo needed.
+#
+# Residual non-IEEE kernel (ADVICE r6, documented like heaps): ln() is
+# libm — JVM Math.log (1-ulp contract) and DuckDB/glibc log can differ
+# by 1 ulp, flipping floor(ln(x)*1e6+0.5) when the scaled value lands
+# within an ulp of an integer (~1.5e-9 per point on these magnitudes).
+# Every downstream op from the quantized integers is exact.
+_ZF_XQ = "CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+_ZF_YQ = "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+_ZF_VARX = varn_sql("sn", "sxx", "sx")
+_ZF_VARY = varn_sql("sn", "syy", "sy")
+_ZF_COV = covn_sql("sn", "sxy", "sx", "sy")
+# slope/r2 are invariant to the common 1e6 grid scale; the exponent is
+# the negated slope of ln cnt on ln rank.
+_ZF_EXP = (
+    f"CASE WHEN {_ZF_VARX} > 0.0 THEN "
+    + fgrid_sql(f"-({_ZF_COV}) / {_ZF_VARX}", 4)
+    + " END"
+)
+_ZF_R2 = (
+    f"CASE WHEN {_ZF_VARX} > 0.0 AND {_ZF_VARY} > 0.0 THEN "
+    + fgrid_sql(f"{_ZF_COV} * {_ZF_COV} / ({_ZF_VARX} * {_ZF_VARY})", 4)
+    + " END"
+)
+
 
 @query(
     "zipf_fit",
@@ -1245,12 +1284,20 @@ ZIPF_HEAD = 1000  # fit over the head of the frequency table
     ranked AS (
       SELECT token, cnt,
              row_number() OVER (ORDER BY cnt DESC, token) AS rnk
-      FROM cnt)
-    SELECT CAST(count(*) AS BIGINT) AS n_fit,
-           round(-regr_slope(ln(cnt * 1.0), ln(rnk * 1.0)), 4)
-             AS zipf_exponent,
-           round(regr_r2(ln(cnt * 1.0), ln(rnk * 1.0)), 4) AS r2
-    FROM ranked WHERE rnk <= {ZIPF_HEAD}
+      FROM cnt),
+    pts AS (
+      SELECT {_ZF_XQ} AS xq, {_ZF_YQ} AS yq
+      FROM ranked WHERE rnk <= {ZIPF_HEAD}),
+    g AS (
+      SELECT {count_d_sql('xq')} AS sn,
+             {sum_d_sql('xq')} AS sx, {sum_d_sql('yq')} AS sy,
+             {sum_d_sql('xq * xq')} AS sxx, {sum_d_sql('yq * yq')} AS syy,
+             {sum_d_sql('xq * yq')} AS sxy
+      FROM pts)
+    SELECT CAST(sn AS BIGINT) AS n_fit,
+           {_ZF_EXP} AS zipf_exponent,
+           {_ZF_R2}  AS r2
+    FROM g
     """,
 )
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1261,25 +1308,33 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawls before training. Token counts collapse map-side to the
     vocabulary lattice (zipf-bounded, like `ngram_counts`); the global
     rank window runs over that lattice with (count desc, token)
-    tie-break so both engines rank identically; the regression is one
-    SQL:2003 regr_* aggregate over {ZIPF_HEAD} rows. ln() on integer
-    inputs is deterministic to 1 ulp cross-engine — absorbed by the
-    4dp rounding of slope/r²."""
+    tie-break so both engines rank identically; the OLS is the exact
+    quantized-moment contract (module constants above — NO regr_*
+    kernels, the r5 heaps FAIL class) over {ZIPF_HEAD} rows, with ln()
+    documented as the one residual libm kernel."""
     d = load_table(spark, "documents", sf_dir)
     tok = d.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    cnt = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
     wr = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = cnt.withColumn("rnk", F.row_number().over(wr)).filter(
-        F.col("rnk") <= ZIPF_HEAD
+    pts = (
+        cnt.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= ZIPF_HEAD)
+        .select(F.expr(_ZF_XQ).alias("xq"), F.expr(_ZF_YQ).alias("yq"))
     )
-    lncnt = F.log(F.col("cnt") * 1.0)
-    lnrnk = F.log(F.col("rnk") * 1.0)
-    return ranked.agg(
-        F.count("*").alias("n_fit"),
-        F.round(-F.regr_slope(lncnt, lnrnk), 4).alias("zipf_exponent"),
-        F.round(F.regr_r2(lncnt, lnrnk), 4).alias("r2"),
+    g = pts.agg(
+        F.expr(count_d_sql("xq")).alias("sn"),
+        F.expr(sum_d_sql("xq")).alias("sx"),
+        F.expr(sum_d_sql("yq")).alias("sy"),
+        F.expr(sum_d_sql("xq * xq")).alias("sxx"),
+        F.expr(sum_d_sql("yq * yq")).alias("syy"),
+        F.expr(sum_d_sql("xq * yq")).alias("sxy"),
+    )
+    return g.select(
+        F.col("sn").cast("bigint").alias("n_fit"),
+        F.expr(_ZF_EXP).alias("zipf_exponent"),
+        F.expr(_ZF_R2).alias("r2"),
     )
 
 
@@ -1557,6 +1612,15 @@ HEAPS_BUCKET = 100  # docs per vocabulary-growth checkpoint
 # ~1e3 points/source by scaling HEAPS_BUCKET with the corpus (docstring),
 # so each moment sum <= ~7.8e17 — 11x under 2^63. Slope is invariant to
 # the common 1e6 scale; the intercept divides it back out.
+#
+# Residual non-IEEE kernel (ADVICE r6): ln() itself is libm, not a basic
+# IEEE op — JVM Math.log carries a 1-ulp contract (intrinsic-dependent)
+# while DuckDB uses glibc log, so floor(ln(x)*1e6+0.5) can still flip
+# when the scaled value lands within an ulp of an integer (~1.5e-9 per
+# lattice point at these magnitudes; the pure-IEEE replay test shares
+# Python's libm with DuckDB and would NOT catch a JVM-side flip). Every
+# op downstream of the quantized integers is exact; if a driver row ever
+# flips here, derive ln from the integer inputs via a shared series.
 _HEAPS_Q = "1e6"
 _HEAPS_XQ = "CAST(floor(ln(CAST(big_n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
 _HEAPS_YQ = "CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import ts_micros
-from ..functions.exactagg import avg_exact, avg_exact_sql, qlong
+from ..functions.exactagg import avg_exact, avg_exact_sql, hilo_sum_sql, qlong
 from ..plans.registry import query
 from ..sources import load_table, spread
 
@@ -1045,6 +1045,16 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (only possible for the batch's first key) steps from the
             # carried state
             first_rn = rns[starts]
+            # continuation guard (ADVICE r6): a batch-leading key with
+            # rn != 1 must BE the carried key — if the repartition+sort
+            # contract above this mapInPandas ever breaks, fail loudly
+            # instead of silently seeding one user's EWMA from another's
+            # carried state.
+            if first_rn[0] != 1 and uids[0] != carry_uid:
+                raise AssertionError(
+                    "ewma_smooth: batch-leading continuation key "
+                    f"{uids[0]} does not match carried key {carry_uid}"
+                )
             y[:, 0] = np.where(
                 first_rn == 1, rnd(mat[:, 0]), rnd(b * carry_y + a * mat[:, 0])
             )
@@ -1236,7 +1246,7 @@ CUSUM_H = 4.0  # decision threshold, in std units of the hourly series
       FROM hourly),
     mom AS (
       SELECT event_type, count(*) AS n, sum(m) AS s1,
-             CAST(sum(CAST(m AS HUGEINT) * m) AS DOUBLE) AS s2d
+             {hilo_sum_sql('m * m')} AS s2d
       FROM hm GROUP BY 1),
     stats AS (
       SELECT event_type,
@@ -1280,22 +1290,22 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 10x-sf0.1 sweep caught round(avg(value),6) drifting 1 ulp at
     dense buckets): the hourly rate is the exact quantized average; mu
     and sigma derive from EXACT integer moments of the 1e-6-grid rates
-    (the second moment accumulates in decimal/hugeint — m^2 sums
-    overflow int64 at |value|<=560 — then casts ONCE to double: a
-    single well-defined rounding of an order-free exact integer), and
-    every output round is the floor form. All downstream doubles are
-    bit-identical cross-engine because their inputs are."""
+    — the second moment (m^2 sums overflow int64 at |value|<=560) rides
+    the hi/lo int64 carrier with IDENTICAL text on both engines (r7;
+    the former decimal/hugeint carriers convert to double differently
+    past 2^63, ADVICE r6) — and every output round is the floor form.
+    All downstream doubles are bit-identical cross-engine because
+    their inputs are."""
     e = load_table(spark, "events", sf_dir)
     Q = 1_000_000
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
     ).agg(avg_exact("value", Q, 6).alias("rate"))
     hm = hourly.withColumn("m", qlong(F.col("rate"), Q))
-    md = F.col("m").cast("decimal(19,0)")
     mom = hm.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("m").alias("s1"),
-        F.sum(md * md).cast("double").alias("s2d"),
+        F.expr(hilo_sum_sql("m * m")).alias("s2d"),
     )
     ex = F.col("s1") / F.col("n") / F.lit(1_000_000.0)
     ex2 = F.col("s2d") / F.col("n") / F.lit(1e12)

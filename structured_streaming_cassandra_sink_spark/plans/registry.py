@@ -44,76 +44,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver records correctness rows for only the FIRST 50 registered
-# queries per round. Round-6 rotation: slot 1 is the heaps_law_fit
-# RE-ROW — its r5 driver row was the project's first FAIL (engine regr_*
-# kernel ulps flipping a round(,6) boundary in the driver environment;
-# every local sweep was green) and its contract was rebuilt this round as
-# quantized-int64 OLS moments + one shared double expression
-# (operators/text.py, bit-identical across engines by construction, pinned
-# by a pure-IEEE replay test). Slots 2-50 continue the committed rotation
-# debt in registry order (r4 verdict "Next round" #1).
+# queries per round. Round-7 rotation (r6 verdict "Next round" #1-#3):
 #
-# ROUND-7 ROTATION DEBT — the 9 never-driver-seen oracle queries left
-# after this round's front-50 (operator additions stay FROZEN until the
-# debt clears; round 7 finishes it with 41 slots to spare):
-#   kmeans_lloyd, pq_encode, dbscan_grid_clusters,
-#   countmin_sketch_report, geo_grid_hotspots, geo_radius_join,
-#   geo_knn_within_radius, stream_tumbling_distinct,
-#   stream_enrich_static,
-# plus the lone rows-only unseen query sim_search_pq_adc (excluded from
-# any front-50 by the "hash-checkable only" rule; its oracle-checked
-# companion ann_recall_report went driver-green in r4).
+# Slots 1-10: the LAST never-driver-seen queries — after this round
+#   every one of the 300 registered components has driver evidence.
+#   sim_search_pq_adc is rows-only (no oracle) and takes the driver's
+#   weaker rows-only check; its oracle-hashed companion
+#   ann_recall_report went green in r4.
+# Slots 11-19: the nine converted float-kernel stat queries (r7 purge:
+#   engine corr/covar/stddev/regr/skew/kurt kernels -> quantized exact
+#   int64 moments + shared double expressions) — fresh rows for the
+#   new contracts, retiring the only driver-FAIL class ever recorded
+#   (r5 heaps_law_fit).
+# Slots 20-22: the three r6-converted queries whose contracts hardened
+#   this round per ADVICE (hi/lo carrier replaces DECIMAL/HUGEINT,
+#   widen-before-multiply, degenerate-group guards).
+# Slots 23-24: NEW streaming-evidence rows that EXECUTE the streaming
+#   engine to convergence (update-mode PK-upsert — the reference's
+#   exact shape — and dropDuplicatesWithinWatermark), streaming/
+#   stream_rows.py.
+# Slots 25-31: the sum_exact/avg_exact/cusum users whose shared carrier
+#   switched from DECIMAL(38,0)/HUGEINT to hi/lo int64 this round.
+# Slots 32-50: evidence refresh — the queries whose only driver rows
+#   date from r1, oldest first in registry order.
 _PRIORITY_THIS_ROUND = [
-    "heaps_law_fit",
-    "dau_wau_stickiness",
-    "holt_linear_smooth",
-    "running_balance_floor",
-    "conformal_forecast_interval",
-    "var_cvar_report",
-    "late_data_audit",
-    "cohort_ltv_curve",
-    "join_asof_nearest",
-    "time_decay_attribution",
-    "sax_encode",
-    "mann_kendall_trend_test",
-    "pinball_loss_eval",
-    "survival_c_index",
-    "roc_auc",
-    "gini_lorenz",
-    "ks_statistic",
-    "calibration_bins",
-    "psi_drift",
-    "target_encode_smoothed",
-    "chi2_independence",
-    "feature_hash",
-    "jackknife_ci",
-    "confusion_report",
-    "lift_band_report",
+    # -- never-seen (1-10)
+    "kmeans_lloyd",
+    "pq_encode",
+    "dbscan_grid_clusters",
+    "countmin_sketch_report",
+    "geo_grid_hotspots",
+    "geo_radius_join",
+    "geo_knn_within_radius",
+    "stream_tumbling_distinct",
+    "stream_enrich_static",
+    "sim_search_pq_adc",
+    # -- r7 kernel-purge conversions (11-19)
+    "column_corr",
+    "regression_agg",
+    "moments_agg",
+    "zipf_fit",
+    "anomaly_rolling_z",
+    "groupwise_zscore_pandas",
+    "incremental_stats_merge",
+    "embedding_dim_stats",
+    "pca_variance_report",
+    # -- ADVICE-hardened contracts (20-22)
     "ttest_welch",
-    "mutual_information",
-    "cramers_v",
-    "hhi_concentration",
-    "quantile_normalize",
-    "winsorize_clip",
-    "bootstrap_ci_poisson",
-    "sprt_sequential_test",
-    "emd_drift",
-    "spearman_corr",
-    "kendall_tau",
-    "anova_oneway",
-    "cohens_kappa",
-    "pr_auc",
-    "log_loss_brier",
-    "naive_bayes_train",
-    "naive_bayes_score",
-    "isotonic_calibration",
     "cuped_adjustment",
     "delta_method_ratio_ci",
-    "feature_info_gain",
-    "qini_uplift_curve",
-    "kruskal_wallis",
-    "levene_brown_forsythe",
-    "brier_decomposition",
+    # -- new streaming-execution rows (23-24)
+    "stream_update_upsert_state",
+    "stream_dedup_watermark",
+    # -- hi/lo carrier-swap users (25-31)
+    "groupby_agg",
+    "grouping_sets",
+    "cube_agg",
+    "rollup_agg",
+    "join_skew_salted",
+    "conditional_agg",
+    "cusum_changepoint",
+    # -- oldest-evidence refresh, r1-only rows (32-50)
+    "flagship_latest_event_per_user",
+    "scan_project_cast",
+    "filter_predicate",
+    "json_extract",
+    "split_explode",
+    "date_derive",
+    "dedup_by_key",
+    "join_inner_broadcast",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_range",
+    "pivot_agg",
+    "unpivot_melt",
+    "map_ops",
+    "join_null_safe",
+    "window_rank",
+    "window_frame",
+    "window_lag_lead",
 ]
 
 
@@ -138,7 +148,7 @@ def load_all() -> None:
         sketches,
         geo,
     )
-    from ..streaming import batch_equiv  # noqa: F401
+    from ..streaming import batch_equiv, stream_rows  # noqa: F401
 
     missing = set(_PRIORITY_THIS_ROUND) - set(QUERIES)
     if missing:

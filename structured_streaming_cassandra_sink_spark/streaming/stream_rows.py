@@ -1,0 +1,258 @@
+"""Driver-hashable rows that EXECUTE the streaming engine (r7).
+
+The streaming layer's correctness previously lived only in pytest
+(stream == batch equivalence, chaos/restart tests); the registry's
+stream_* rows were batch twins that never ran a StreamingQuery. These
+two queries close that gap: each one runs the REAL pipeline — file
+message mirror -> CAST/split/from_json parse chain -> streaming
+aggregation or stateful dedup -> foreachBatch sink — to convergence,
+publishes the converged sink table as a warehouse artifact (same
+source-fingerprint + atomic-publish discipline as the ANN indexes), and
+returns a DataFrame the driver hashes against a plain batch oracle.
+
+Reference provenance: this is the reference's end-to-end operating shape
+(cassandra_sink.scala:82-130) — Kafka-shaped multi-record messages
+(:92-97), the parse chain (:113-116), outputMode("update") (:125) into
+an upsert-by-key sink table (:71-79) — executed, not just mirrored.
+
+Cross-engine float contract: every hashed aggregate is an exact int64
+(counts, quantized-value sums, event-id checksums). Streaming state
+accumulates across micro-batches in engine order, so ONLY associative
+integer aggregates can promise convergence-to-oracle bit-for-bit; the
+derived sum_value divides the lossless q=100 grid back out in shared
+double text (functions/exactagg.py discipline).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exactagg import fgrid_sql, qlong_sql
+from ..operators.similarity import (
+    _atomic_publish,
+    index_current,
+    write_source_marker,
+)
+from ..plans.registry import query
+from ..sources import load_table
+from .sinks import parquet_append_sink, parquet_upsert_sink, start_to_sink
+from .sources import events_to_messages, file_message_stream, parse_message_stream
+
+MIRROR_FILES = 3  # message files -> micro-batches (maxFilesPerTrigger=1)
+
+
+def _stream_artifact_dir(name: str, sf_dir: str) -> str:
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(
+        repo_root,
+        "spark-warehouse",
+        name,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def _run_stream_to_artifact(
+    spark: SparkSession, sf_dir: str, name: str, build_fn
+) -> str:
+    """Source-fingerprint-guarded streaming run: if the published
+    artifact matches the current input parquet, reuse it (bench and
+    repeat driver calls read, not re-stream); otherwise run the
+    pipeline via ``build_fn(events_df, build_dir) -> sink_subdir`` and
+    atomically publish. Same staleness/publish discipline as
+    operators/similarity.lsh_build."""
+    art_dir = _stream_artifact_dir(name, sf_dir)
+    if index_current(art_dir, "table", sf_dir, ("events",)):
+        return os.path.join(art_dir, "table")
+    tmp = f"{art_dir}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        build_fn(load_table(spark, "events", sf_dir), tmp)
+        write_source_marker(tmp, sf_dir, ("events",))
+        # drop run scaffolding (messages/checkpoint) before publish
+        for sub in ("messages", "checkpoint"):
+            shutil.rmtree(os.path.join(tmp, sub), ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _atomic_publish(tmp, art_dir)
+    return os.path.join(art_dir, "table")
+
+
+# ------------------------------------------------- update-mode upsert row
+
+_SU_VQ = qlong_sql("value", 100)
+_SU_SUMV = fgrid_sql("CAST(svq AS DOUBLE) / 1e2", 4)
+
+
+def _build_update_upsert(events: DataFrame, build_dir: str) -> None:
+    """Run the reference's operating shape to convergence: pack events
+    into Kafka-shaped multi-record messages, stream them in
+    {MIRROR_FILES} micro-batches through the parse chain into an
+    UPDATE-mode hourly aggregation, foreachBatch-upserted by window key
+    (the Cassandra-PK analogue). The aggregate state is exact int64
+    (count + q=100 value sum) so cross-micro-batch accumulation is
+    associative — convergence to the batch oracle is bit-exact, not
+    rounded."""
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    events_to_messages(events).repartition(MIRROR_FILES).write.mode(
+        "overwrite"
+    ).parquet(msg_dir)
+    parsed = parse_message_stream(file_message_stream(spark, msg_dir))
+    # aggregate on NTZ wall-time so the hour buckets are timezone-free
+    # (the wire is tz-aware because watermarks require it; this query
+    # needs no watermark — update mode + finite AvailableNow data)
+    agg = (
+        parsed.select(
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            F.expr(_SU_VQ).alias("vq"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vq").alias("svq"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "svq",
+            F.concat_ws(
+                "|", F.col("w.start").cast("string"), F.col("event_type")
+            ).alias("wkey"),
+        )
+    )
+    sink = parquet_upsert_sink(sink_dir, key="wkey", order=["n"])
+    q = start_to_sink(
+        agg,
+        sink,
+        ckpt,
+        query_name="StreamRowUpdateUpsert",
+        output_mode="update",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_update_upsert_state",
+    f"""
+    WITH g AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type,
+             count(*)                AS n,
+             sum({_SU_VQ})           AS svq
+      FROM events GROUP BY 1, 2, 3)
+    SELECT window_start, window_end, event_type, CAST(n AS BIGINT) AS n,
+           {_SU_SUMV} AS sum_value
+    FROM g
+    """,
+)
+def stream_update_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERGED state of the reference pipeline, executed for real:
+    multi-record Kafka-shaped messages -> CAST/split/from_json ->
+    update-mode hourly aggregation -> upsert-by-key foreachBatch sink
+    (cassandra_sink.scala:92-97, :113-119, :125, :71-79), run across
+    {MIRROR_FILES} micro-batches with per-query checkpointing, then the
+    sink table read back and hashed against DuckDB computing the same
+    aggregate in ONE batch pass. Green means: update mode re-emitted
+    exactly the changed windows each epoch, the PK upsert kept each
+    window's latest emission, and the end state equals the full batch
+    aggregate — the reference's convergence claim, driver-checked.
+
+    Scale: the artifact build streams once per (data fingerprint) and
+    republishes atomically; repeat calls are a parquet read. At 100 TB
+    this is the production pattern itself — the sink IS the serving
+    table; the oracle compare is the test harness around it."""
+    table = _run_stream_to_artifact(
+        spark, sf_dir, "stream_upsert", _build_update_upsert
+    )
+    t = spark.read.parquet(table)
+    return t.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        F.expr(_SU_SUMV).alias("sum_value"),
+    )
+
+
+# -------------------------------------------- watermarked-dedup row
+
+DUP_MOD = 7  # every 7th event is re-delivered (deterministic dup set)
+DEDUP_WATERMARK = "90 days"  # wider than the data span: no eviction mid-run
+
+
+def _build_dedup_watermark(events: DataFrame, build_dir: str) -> None:
+    """Stream the events PLUS a deterministic re-delivery of every
+    {DUP_MOD}th event through dropDuplicatesWithinWatermark(event_id)
+    into an append sink. The watermark is wider than the data span, so
+    every duplicate within the run is suppressed — the converged sink
+    must contain each event exactly once."""
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    dups = events.filter(F.col("event_id") % DUP_MOD == 0)
+    events_to_messages(events.unionByName(dups)).repartition(
+        MIRROR_FILES
+    ).write.mode("overwrite").parquet(msg_dir)
+    parsed = parse_message_stream(file_message_stream(spark, msg_dir))
+    deduped = parsed.withWatermark("ts", DEDUP_WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = start_to_sink(
+        deduped.select("event_id", "event_type", F.expr(_SU_VQ).alias("vq")),
+        parquet_append_sink(sink_dir),
+        ckpt,
+        query_name="StreamRowDedupWatermark",
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_dedup_watermark",
+    f"""
+    SELECT event_type,
+           count(*)                       AS n_events,
+           CAST(sum(event_id) AS BIGINT)  AS id_checksum,
+           CAST(sum({_SU_VQ}) AS BIGINT)  AS vq_checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark, executed for real: the event
+    stream is replayed WITH a deterministic duplicate delivery (every
+    {DUP_MOD}th event re-sent — the at-least-once reality the
+    reference's Cassandra PK upsert absorbs, cassandra_sink.scala:
+    19-23), streamed through the watermarked stateful dedup into an
+    append sink across {MIRROR_FILES} micro-batches. The converged sink
+    is then aggregated per event_type into exact-integer invariants —
+    row count, event-id checksum, quantized-value checksum — and hashed
+    against DuckDB computing the same over the ORIGINAL events: equal
+    iff the dedup dropped exactly the duplicates, kept exactly one copy
+    of everything else, and mangled no payload. Bounded state by
+    design: dedup keys older than the watermark horizon evict, which is
+    what makes this operator streamable at 100 TB (naive dropDuplicates
+    state grows forever); here the horizon exceeds the replay span so
+    the run is exact."""
+    table = _run_stream_to_artifact(
+        spark, sf_dir, "stream_dedup", _build_dedup_watermark
+    )
+    t = spark.read.parquet(table)
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+        F.sum("vq").cast("bigint").alias("vq_checksum"),
+    )
