@@ -2455,3 +2455,49 @@ def test_exactagg_helpers_cross_engine_seeded_fuzz(spark):
         bad = [k for k in expect if not (got_s[k] == got_d[k] == expect[k])]
         assert not bad, (kind, q, d, bad[:3],
                          [(got_s[k], got_d[k], expect[k]) for k in bad[:3]])
+
+
+def test_hilo_sum_adversarial_three_way_fuzz(spark):
+    """Bit-equality fuzz for the r7 hi/lo carrier (hilo_sum_sql /
+    _hilo_sum_col) in the regime the r6 DECIMAL(38,0)/HUGEINT carriers
+    could NOT guarantee: per-row int64 products up to 2^62, mixed signs,
+    group sums far past 2^53 (so the final int->double conversions are
+    correctly-rounded, not exact). Spark, DuckDB and a pure-Python
+    replay of the exact recombination (exact int halves -> float() —
+    Python float(int) is the same correctly-rounded conversion -> exact
+    power-of-two multiply -> one IEEE add) must agree to the BIT."""
+    import random
+
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.functions.exactagg import (
+        HILO_SHIFT,
+        hilo_sum_sql,
+    )
+
+    rnd = random.Random(11)
+    vals = [rnd.randint(-(2**61), 2**61) for _ in range(4000)]
+    vals += [0, 1, -1, 2**62, -(2**62), 2**62 - 1, -(2**62) + 1]
+    expr = hilo_sum_sql("p")
+
+    his = los = 0
+    for p in vals:
+        lo = p % HILO_SHIFT if p >= 0 else -((-p) % HILO_SHIFT)  # truncated %
+        his += (p - lo) // HILO_SHIFT
+        los += lo
+    ref = float(his) * float(HILO_SHIFT) + float(los)
+
+    got_s = (
+        spark.createDataFrame([(v,) for v in vals], "p long")
+        .selectExpr(f"{expr} AS s")
+        .collect()[0][0]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(p BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_d = con.execute(f"SELECT {expr} FROM t").fetchone()[0]
+
+    assert got_s.hex() == got_d.hex() == ref.hex()
+    # and the carrier is EXACT here: the true integer sum fits a double
+    # only after rounding — both halves stayed inside int64
+    assert abs(his) < 2**63 and abs(los) < 2**63
