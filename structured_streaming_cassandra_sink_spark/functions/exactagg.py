@@ -143,14 +143,22 @@ def qlong_sql(c: str, q: int) -> str:
     return f"CAST(floor(({c}) * {float(q)} + 0.5) AS BIGINT)"
 
 
+# Literal spelled in EXPONENT notation: Spark SQL types `1073741824.0`
+# as DECIMAL(11,1) (DuckDB: DOUBLE), which silently routes the per-row
+# hi-division through Decimal128 arithmetic — same exact values (the
+# numerator divides exactly either way) but ~3x the aggregate cost,
+# caught by the r7 bench. `1073741824e0` is DOUBLE in both engines.
+_SHIFT_D = f"{HILO_SHIFT}e0"
+
+
 def hilo_sum_sql(p: str) -> str:
     """Order-independent exact ``sum(p)`` as a DOUBLE, for any int64
     expression ``p`` — shared text, parses and evaluates identically in
     Spark SQL and DuckDB (see module comment for the proof)."""
     lo = f"(({p}) % {HILO_SHIFT})"
-    hi = f"CAST((({p}) - {lo}) / {float(HILO_SHIFT)} AS BIGINT)"
+    hi = f"CAST((({p}) - {lo}) / {_SHIFT_D} AS BIGINT)"
     return (
-        f"(CAST(CAST(sum({hi}) AS BIGINT) AS DOUBLE) * {float(HILO_SHIFT)}"
+        f"(CAST(CAST(sum({hi}) AS BIGINT) AS DOUBLE) * {_SHIFT_D}"
         f" + CAST(CAST(sum({lo}) AS BIGINT) AS DOUBLE))"
     )
 

@@ -186,6 +186,118 @@ def stream_update_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- applyInPandasWithState row
+
+RT_OUTPUT = "user_id bigint, n_events bigint, svq bigint, last_us bigint"
+RT_STATE = "n bigint, svq bigint, last_us bigint"
+
+
+def _running_totals_exact(key, pdf_iter, state):
+    """Per-user running totals with EXACT-INTEGER state (driver-row twin
+    of streaming/stateful._running_totals): the float `s += value.sum()`
+    accumulator there is arrival-order-dependent, so a hashed contract
+    uses int64 (count, Σ floor(value*100+0.5), max event micros) — the
+    same numpy IEEE quantizer as the oracle text, summed exactly."""
+    import numpy as np
+    import pandas as pd
+
+    n, svq, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        vq = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        svq += int(vq.sum())
+        last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+    state.update((n, svq, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "svq": [svq],
+            "last_us": [last_us],
+        }
+    )
+
+
+def _build_running_totals(events: DataFrame, build_dir: str) -> None:
+    """Run the custom stateful operator (applyInPandasWithState, update
+    mode, state-store-backed per-user accumulators) across
+    {MIRROR_FILES} micro-batches, upserting each emission by user_id —
+    the converged table is each user's final accumulator."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .stateful import require_keys
+
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    events_to_messages(events).repartition(MIRROR_FILES).write.mode(
+        "overwrite"
+    ).parquet(msg_dir)
+    parsed = parse_message_stream(file_message_stream(spark, msg_dir))
+    totals = require_keys(parsed, "user_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _running_totals_exact,
+        outputStructType=RT_OUTPUT,
+        stateStructType=RT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = parquet_upsert_sink(sink_dir, key="user_id", order=["n_events"])
+    q = start_to_sink(
+        totals,
+        sink,
+        ckpt,
+        query_name="StreamRowRunningTotals",
+        output_mode="update",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_running_totals_state",
+    f"""
+    SELECT user_id,
+           count(*)                      AS n_events,
+           {fgrid_sql(f"CAST(sum({_SU_VQ}) AS DOUBLE) / 1e2", 4)} AS sum_value,
+           max(ts)                       AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator surface (applyInPandasWithState —
+    the escape hatch for state the built-in streaming ops can't
+    express), executed for real and driver-hashed: per-user running
+    accumulators (count, quantized-value sum, latest event micros) live
+    in the streaming state store across {MIRROR_FILES} micro-batches,
+    each update-mode emission upserts by user, and the converged table
+    must equal DuckDB's one-pass batch aggregate over the same events.
+    Green means the state store carried every key's accumulator across
+    batches exactly — count, Σvq and max-micros are all order-free
+    integers, so convergence is bit-exact (the float-state demo twin
+    stays in streaming/stateful.py under pytest).
+
+    Scale: state is two int64s + a timestamp per user, partitioned by
+    key across executors (RocksDB provider in production); the pandas
+    fn sees one key's Arrow batch per call. Artifact build streams once
+    per data fingerprint, then reads (same discipline as the other
+    stream rows)."""
+    table = _run_stream_to_artifact(
+        spark, sf_dir, "stream_running_totals", _build_running_totals
+    )
+    t = spark.read.parquet(table)
+    return t.select(
+        "user_id",
+        "n_events",
+        F.expr(fgrid_sql("CAST(svq AS DOUBLE) / 1e2", 4)).alias("sum_value"),
+        F.timestamp_micros(F.col("last_us"))
+        .cast("timestamp_ntz")
+        .alias("last_ts"),
+    )
+
+
 # -------------------------------------------- watermarked-dedup row
 
 DUP_MOD = 7  # every 7th event is re-delivered (deterministic dup set)
