@@ -59,13 +59,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Slots 20-22: the three r6-converted queries whose contracts hardened
 #   this round per ADVICE (hi/lo carrier replaces DECIMAL/HUGEINT,
 #   widen-before-multiply, degenerate-group guards).
-# Slots 23-25: NEW streaming-evidence rows that EXECUTE the streaming
+# Slots 23-26: NEW streaming-evidence rows that EXECUTE the streaming
 #   engine to convergence (update-mode PK-upsert — the reference's
-#   exact shape — dropDuplicatesWithinWatermark, and the custom
-#   applyInPandasWithState accumulator), streaming/stream_rows.py.
-# Slots 26-32: the sum_exact/avg_exact/cusum users whose shared carrier
+#   exact shape — dropDuplicatesWithinWatermark, the custom
+#   applyInPandasWithState accumulator, and the quarantine bad-records
+#   split), streaming/stream_rows.py.
+# Slots 27-33: the sum_exact/avg_exact/cusum users whose shared carrier
 #   switched from DECIMAL(38,0)/HUGEINT to hi/lo int64 this round.
-# Slots 33-50: evidence refresh — the queries whose only driver rows
+# Slots 34-50: evidence refresh — the queries whose only driver rows
 #   date from r1, oldest first in registry order.
 _PRIORITY_THIS_ROUND = [
     # -- never-seen (1-10)
@@ -93,10 +94,11 @@ _PRIORITY_THIS_ROUND = [
     "ttest_welch",
     "cuped_adjustment",
     "delta_method_ratio_ci",
-    # -- new streaming-execution rows (23-25)
+    # -- new streaming-execution rows (23-26)
     "stream_update_upsert_state",
     "stream_dedup_watermark",
     "stream_running_totals_state",
+    "stream_quarantine_audit",
     # -- hi/lo carrier-swap users (25-31)
     "groupby_agg",
     "grouping_sets",
@@ -123,7 +125,6 @@ _PRIORITY_THIS_ROUND = [
     "map_ops",
     "join_null_safe",
     "window_rank",
-    "window_frame",
 ]
 
 

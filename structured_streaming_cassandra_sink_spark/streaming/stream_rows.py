@@ -2,10 +2,11 @@
 
 The streaming layer's correctness previously lived only in pytest
 (stream == batch equivalence, chaos/restart tests); the registry's
-stream_* rows were batch twins that never ran a StreamingQuery. These
-two queries close that gap: each one runs the REAL pipeline — file
-message mirror -> CAST/split/from_json parse chain -> streaming
-aggregation or stateful dedup -> foreachBatch sink — to convergence,
+stream_* rows were batch twins that never ran a StreamingQuery. The
+queries here close that gap: each one runs the REAL pipeline — file
+message mirror -> CAST/split/from_json parse chain -> windowed
+aggregation / stateful dedup / custom state / quarantine split ->
+foreachBatch sink(s) — to convergence,
 publishes the converged sink table as a warehouse artifact (same
 source-fingerprint + atomic-publish discipline as the ANN indexes), and
 returns a DataFrame the driver hashes against a plain batch oracle.
@@ -39,8 +40,18 @@ from ..operators.similarity import (
 )
 from ..plans.registry import query
 from ..sources import load_table
-from .sinks import parquet_append_sink, parquet_upsert_sink, start_to_sink
-from .sources import events_to_messages, file_message_stream, parse_message_stream
+from .sinks import (
+    parquet_append_sink,
+    parquet_epoch_append_sink,
+    parquet_upsert_sink,
+    start_to_sink,
+)
+from .sources import (
+    events_to_messages,
+    file_message_stream,
+    parse_message_stream,
+    parse_message_stream_with_quarantine,
+)
 
 MIRROR_FILES = 3  # message files -> micro-batches (maxFilesPerTrigger=1)
 
@@ -368,3 +379,119 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("bigint").alias("id_checksum"),
         F.sum("vq").cast("bigint").alias("vq_checksum"),
     )
+
+
+# --------------------------------------- bad-records quarantine row
+
+CORRUPT_MOD = 13  # every 13th event's wire line is deterministically mangled
+
+
+def _build_quarantine(events: DataFrame, build_dir: str) -> None:
+    """Stream a message mirror in which every {CORRUPT_MOD}th event's
+    JSON line is deterministically truncated into garbage, through the
+    quarantine parse split (one read, fan-out to a good sink and a
+    dead-letter sink inside a single foreachBatch — the production
+    two-sink shape), with epoch-partitioned appends so a replayed epoch
+    cannot double-count."""
+    from ..sources.formats import TS_FORMAT, TS_NTZ_FORMAT
+    from pyspark.sql import types as T
+
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    good_dir = os.path.join(build_dir, "table")
+    bad_dir = os.path.join(build_dir, "quarantine")
+    opts = {"timestampFormat": TS_FORMAT, "timestampNTZFormat": TS_NTZ_FORMAT}
+    cols = [
+        F.col(c).cast("timestamp").alias(c)
+        if isinstance(events.schema[c].dataType, T.TimestampNTZType)
+        else F.col(c)
+        for c in events.columns
+    ]
+    line = F.when(
+        F.col("event_id") % CORRUPT_MOD == 0,
+        # truncated JSON prefix — unparseable, so from_json yields the
+        # all-null struct the quarantine predicate routes aside
+        F.concat(F.lit('{"bad":'), F.substring(F.to_json(F.struct(*cols), opts), 1, 8)),
+    ).otherwise(F.to_json(F.struct(*cols), opts))
+    (
+        events.withColumn("json", line)
+        .withColumn("msg_id", F.floor(F.col("event_id") / 3))
+        .groupBy("msg_id")
+        .agg(F.concat_ws("\n", F.collect_list("json")).alias("value"))
+        .select("value")
+        .repartition(MIRROR_FILES)
+        .write.mode("overwrite")
+        .parquet(msg_dir)
+    )
+    good_sink = parquet_epoch_append_sink(good_dir)
+    bad_sink = parquet_epoch_append_sink(bad_dir)
+
+    def fan_out(batch: DataFrame, epoch_id: int) -> None:
+        good, quarantine = parse_message_stream_with_quarantine(batch)
+        good_sink(
+            good.select("event_id", "event_type", F.expr(_SU_VQ).alias("vq")),
+            epoch_id,
+        )
+        bad_sink(quarantine, epoch_id)
+
+    q = start_to_sink(
+        file_message_stream(spark, msg_dir),
+        fan_out,
+        ckpt,
+        query_name="StreamRowQuarantine",
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_quarantine_audit",
+    f"""
+    SELECT event_type,
+           count(*)                      AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE event_id % {CORRUPT_MOD} <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__quarantined__'             AS event_type,
+           count(*)                      AS n_events,
+           CAST(0 AS BIGINT)             AS id_checksum
+    FROM events WHERE event_id % {CORRUPT_MOD} = 0
+    """,
+)
+def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bad-records policy, executed as a stream and driver-hashed —
+    closing the semantic gap the reference leaves open (its NOT-NULL
+    StructFields are declared but never enforced; malformed JSON
+    silently becomes null rows, cassandra_sink.scala:105-110 /
+    SURVEY §1.2): every {CORRUPT_MOD}th event's wire line is
+    deterministically mangled, the stream fans out of ONE
+    foreachBatch read into a good sink and a dead-letter sink
+    (epoch-partitioned appends — replay-idempotent), and the converged
+    tables must show exactly the uncorrupted events per type
+    (count + id checksum) plus exactly one quarantined line per
+    corrupted event. Green means no silent null rows reached the good
+    path, nothing was double-counted across micro-batches, and no
+    poison line killed the query — the operational contract a 100 TB
+    ingest needs from its parse chain."""
+    table = _run_stream_to_artifact(
+        spark, sf_dir, "stream_quarantine", _build_quarantine
+    )
+    good = spark.read.parquet(table)
+    bad = spark.read.parquet(
+        os.path.join(os.path.dirname(table), "quarantine")
+    )
+    g = good.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )
+    q = bad.agg(
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        F.lit("__quarantined__").alias("event_type"),
+        "n_events",
+        F.lit(0).cast("bigint").alias("id_checksum"),
+    )
+    return g.unionByName(q)
