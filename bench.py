@@ -92,6 +92,7 @@ def main() -> int:
             "stream_running_totals",
             "_build_running_totals",
         ),
+        "stream_quarantine_audit": ("stream_quarantine", "_build_quarantine"),
     }
     if _stream_rows.keys() & set(names):
         # One-time streaming convergence runs are the amortized cost of

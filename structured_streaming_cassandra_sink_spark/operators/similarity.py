@@ -360,16 +360,37 @@ def lsh_probe(
     # ~0.1 s); enumerating exactly the probed bucket dirs keeps the
     # FileIndex to |queries|*L directories — at any corpus size the
     # probe's planning cost is O(buckets probed), not O(buckets built).
-    # basePath keeps (t, sig) as partition columns; a bucket no query
-    # hashed to may not exist on disk, so only present dirs are listed.
+    # basePath keeps the partition columns; a bucket no query hashed to
+    # may not exist on disk, so only present dirs are listed. Two
+    # layouts share the probe: the snapshot build writes corpus/t=/sig=,
+    # the incremental refresher corpus/epoch=<id>/t=/sig= (epoch is an
+    # extra partition column the select below never touches).
+    import glob as _glob
+
     corpus_dir = os.path.join(index_dir, "corpus")
     pairs = {(t, s) for _, _, t, s in qsig_rows}
-    paths = [
+    snapshot = [
         p
         for t, s in sorted(pairs)
         if os.path.isdir(p := os.path.join(corpus_dir, f"t={t}", f"sig={s}"))
     ]
-    idx = spark.read.option("basePath", corpus_dir).parquet(*paths)
+    epochs = [
+        p
+        for t, s in sorted(pairs)
+        for p in sorted(
+            _glob.glob(os.path.join(corpus_dir, "epoch=*", f"t={t}", f"sig={s}"))
+        )
+    ]
+    # one layout per index (snapshot XOR refreshed); mixing would give
+    # the reader inconsistent partition schemas
+    paths = snapshot or epochs
+    if paths:
+        idx = spark.read.option("basePath", corpus_dir).parquet(*paths)
+    else:  # no probed bucket materialized — empty candidate set
+        idx = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.lit(False))
+        )
     candidates = (
         idx.join(F.broadcast(qsig), ["t", "sig"])
         .select("query_id", "vec_id", "qvec", "qn", "v", "nv")

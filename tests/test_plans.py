@@ -186,9 +186,30 @@ def test_ivf_probe_prunes_cells(spark, sf_dir):
 
 def test_lsh_probe_prunes_buckets(spark, sf_dir):
     """The LSH probe must statically prune the (t, sig)-partitioned
-    index to the probed buckets."""
+    index to the probed buckets. r7 mechanism: the probe enumerates
+    exactly the probed bucket DIRECTORIES (direct-path read, planning
+    cost O(buckets probed)) instead of listing the whole L*2^bits tree
+    and filtering — so the proof is the FileIndex's path count, bounded
+    by |queries| x L, far under the 2^bits x L built buckets."""
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        LSH_PLANES,
+        LSH_TABLES,
+        N_QUERIES,
+    )
+
     plan = _plan(spark, sf_dir, "sim_search_ann_lsh")
-    assert re.search(r"PartitionFilters: \[.*\(t#\d+ = \d+\) AND \(sig#\d+ = \d+\)", plan), plan
+    # Location renders as `InMemoryFileIndex [p1, p2, ... N entries]`
+    # (or a short bracket list when few paths) — extract the count.
+    m = re.search(r"InMemoryFileIndex(?:\(\d+ paths\))? \[([^\]]*)\]", plan)
+    assert m, plan
+    ent = re.search(r"\.\.\. (\d+) entries", m.group(1))
+    n_paths = (
+        int(ent.group(1)) if ent else len([p for p in m.group(1).split(",") if p.strip()])
+    )
+    assert 0 < n_paths <= N_QUERIES * LSH_TABLES, plan
+    assert n_paths < LSH_TABLES * (1 << LSH_PLANES)
+    # every listed path is a probed bucket directory, not the tree root
+    assert re.search(r"corpus/(epoch=\d+/)?t=\d+/sig=\d+", m.group(1)), plan
     assert "BroadcastHashJoin" in plan
 
 
