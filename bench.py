@@ -89,7 +89,7 @@ def main() -> int:
         "stream_update_upsert_state": ("stream_upsert", "_build_update_upsert"),
         "stream_dedup_watermark": ("stream_dedup", "_build_dedup_watermark"),
         "stream_running_totals_state": (
-            "stream_running_totals",
+            "stream_running_totals_v2",
             "_build_running_totals",
         ),
         "stream_quarantine_audit": ("stream_quarantine", "_build_quarantine"),

@@ -68,15 +68,43 @@ def _stream_artifact_dir(name: str, sf_dir: str) -> str:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _utc_session(spark: SparkSession):
+    """Pin the session timezone to UTC for a streaming build. The wire
+    encode casts NTZ wall times to tz-aware instants through the
+    SESSION timezone; under a DST-observing driver timezone a wall time
+    inside a spring-forward gap would not round-trip, and the artifact
+    would bake the builder's zone into stored instants. Pinning UTC for
+    the build (and materializing any NTZ output INSIDE the build) makes
+    the published artifact timezone-free; restored afterwards so the
+    driver's session is untouched."""
+    key = "spark.sql.session.timeZone"
+    try:
+        old = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset conf
+        old = None
+    spark.conf.set(key, "UTC")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _run_stream_to_artifact(
     spark: SparkSession, sf_dir: str, name: str, build_fn
 ) -> str:
     """Source-fingerprint-guarded streaming run: if the published
     artifact matches the current input parquet, reuse it (bench and
     repeat driver calls read, not re-stream); otherwise run the
-    pipeline via ``build_fn(events_df, build_dir) -> sink_subdir`` and
-    atomically publish. Same staleness/publish discipline as
-    operators/similarity.lsh_build."""
+    pipeline via ``build_fn(events_df, build_dir) -> sink_subdir``
+    under a UTC-pinned session and atomically publish. Same
+    staleness/publish discipline as operators/similarity.lsh_build."""
     art_dir = _stream_artifact_dir(name, sf_dir)
     if index_current(art_dir, "table", sf_dir, ("events",)):
         return os.path.join(art_dir, "table")
@@ -84,7 +112,8 @@ def _run_stream_to_artifact(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     try:
-        build_fn(load_table(spark, "events", sf_dir), tmp)
+        with _utc_session(spark):
+            build_fn(load_table(spark, "events", sf_dir), tmp)
         write_source_marker(tmp, sf_dir, ("events",))
         # drop run scaffolding (messages/checkpoint) before publish
         for sub in ("messages", "checkpoint"):
@@ -241,6 +270,7 @@ def _build_running_totals(events: DataFrame, build_dir: str) -> None:
     spark = events.sparkSession
     msg_dir = os.path.join(build_dir, "messages")
     ckpt = os.path.join(build_dir, "checkpoint")
+    raw_dir = os.path.join(build_dir, "raw")
     sink_dir = os.path.join(build_dir, "table")
     events_to_messages(events).repartition(MIRROR_FILES).write.mode(
         "overwrite"
@@ -255,7 +285,7 @@ def _build_running_totals(events: DataFrame, build_dir: str) -> None:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = parquet_upsert_sink(sink_dir, key="user_id", order=["n_events"])
+    sink = parquet_upsert_sink(raw_dir, key="user_id", order=["n_events"])
     q = start_to_sink(
         totals,
         sink,
@@ -265,6 +295,19 @@ def _build_running_totals(events: DataFrame, build_dir: str) -> None:
         available_now=True,
     )
     q.awaitTermination()
+    # Materialize last_ts as NTZ HERE, under the build's UTC-pinned
+    # session: the micros->NTZ cast is session-timezone-dependent, so
+    # doing it lazily at read time would bake the DRIVER's zone into
+    # the hashed column. The published artifact is timezone-free.
+    spark.read.parquet(raw_dir).select(
+        "user_id",
+        "n_events",
+        "svq",
+        F.timestamp_micros(F.col("last_us"))
+        .cast("timestamp_ntz")
+        .alias("last_ts"),
+    ).write.mode("overwrite").parquet(sink_dir)
+    shutil.rmtree(raw_dir, ignore_errors=True)
 
 
 @query(
@@ -296,16 +339,14 @@ def stream_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     per data fingerprint, then reads (same discipline as the other
     stream rows)."""
     table = _run_stream_to_artifact(
-        spark, sf_dir, "stream_running_totals", _build_running_totals
+        spark, sf_dir, "stream_running_totals_v2", _build_running_totals
     )
     t = spark.read.parquet(table)
     return t.select(
         "user_id",
         "n_events",
         F.expr(fgrid_sql("CAST(svq AS DOUBLE) / 1e2", 4)).alias("sum_value"),
-        F.timestamp_micros(F.col("last_us"))
-        .cast("timestamp_ntz")
-        .alias("last_ts"),
+        "last_ts",
     )
 
 
