@@ -2501,3 +2501,113 @@ def test_hilo_sum_adversarial_three_way_fuzz(spark):
     # and the carrier is EXACT here: the true integer sum fits a double
     # only after rounding — both halves stayed inside int64
     assert abs(his) < 2**63 and abs(los) < 2**63
+
+
+def test_anomaly_rolling_z_flag_matches_exact_rational(spark, sf_dir):
+    """The r7 integer-exact anomaly predicate
+        (vq*nn - s1)^2 * (nn-1) > 9 * nn * (nn*s2 - s1^2)
+    must be ALGEBRAICALLY the |z| > 3 decision, not merely the same
+    text on both engines (shared text proves engine agreement, not
+    correctness of the cross-multiplication). Recompute the decision
+    per row with exact rational arithmetic (Fraction) from the same
+    frame moments and compare — and pin the emitted zscore against a
+    pure-Python IEEE replay of the shared double expression."""
+    import math
+    from fractions import Fraction
+
+    from structured_streaming_cassandra_sink_spark.operators.windows import (
+        ROLL_MIN_OBS,
+        ROLL_N,
+        anomaly_rolling_z,
+    )
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    got = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in anomaly_rolling_z(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        by_type.setdefault(r.event_type, []).append(r)
+    n_scored = n_anom = 0
+    for evs in by_type.values():
+        vqs = [math.floor(r.value * 100.0 + 0.5) for r in evs]
+        for i, r in enumerate(evs):
+            frame = vqs[max(0, i - ROLL_N) : i]
+            nn, s1, s2 = len(frame), sum(frame), sum(v * v for v in frame)
+            varn = nn * s2 - s1 * s1
+            ok = nn >= ROLL_MIN_OBS and varn > 0
+            z_got, flag_got = got[r.event_id]
+            if not ok:
+                assert z_got is None and flag_got is False, r.event_id
+                continue
+            # exact rational |z| > 3 decision: z = (vq - s1/nn) / sd,
+            # sd^2 = varn / (nn*(nn-1))
+            z2 = Fraction(vqs[i] * nn - s1, nn) ** 2 / Fraction(
+                varn, nn * (nn - 1)
+            )
+            assert flag_got == (z2 > 9), (r.event_id, float(z2), flag_got)
+            # IEEE replay of the shared double expression
+            sd = math.sqrt(varn / (nn * (nn - 1.0)))
+            z = (float(vqs[i]) - s1 / nn) / sd
+            assert z_got == math.floor(z * 1e4 + 0.5) / 1e4, r.event_id
+            n_scored += 1
+            n_anom += flag_got
+    assert n_scored > 100 and 0 < n_anom < n_scored
+
+
+def test_column_corr_pure_ieee_replay(spark, sf_dir):
+    """Bit-exact pure-Python replay of the r7 column_corr contract:
+    exact integer moments (arbitrary-precision in Python == the
+    engines' in-budget int64/hi-lo sums) converted through float()
+    (the same correctly-rounded conversion as CAST AS DOUBLE), then
+    the shared double expression op-for-op. Any engine deviating from
+    this replay deviates from IEEE — the r5 FAIL class cannot exist."""
+    import math
+
+    from structured_streaming_cassandra_sink_spark.operators.scalar import column_corr
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+
+    got = {r.l_returnflag: r for r in column_corr(spark, sf_dir).collect()}
+    rows = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(r)
+    assert set(groups) == set(got)
+    fgrid = lambda x, d: math.floor(x * 10.0**d + 0.5) / 10.0**d  # noqa: E731
+    for flag, rs in groups.items():
+        xq = [math.floor(r.l_quantity * 100.0 + 0.5) for r in rs]
+        yq = [math.floor(r.l_extendedprice * 100.0 + 0.5) for r in rs]
+        dq = [math.floor(r.l_discount * 100.0 + 0.5) for r in rs]
+        # hi/lo carrier replay: halves stay int64-exact, recombination
+        # is float()*2^30 + float() — identical to the engines' text
+        def hilo(ps):
+            his = sum((p - (p % (1 << 30) if p >= 0 else -((-p) % (1 << 30)))) // (1 << 30) for p in ps)
+            los = sum(p % (1 << 30) if p >= 0 else -((-p) % (1 << 30)) for p in ps)
+            return float(his) * float(1 << 30) + float(los)
+
+        sn, sx, sy, sd = float(len(rs)), float(sum(xq)), float(sum(yq)), float(sum(dq))
+        sxx = hilo([a * a for a in xq])
+        syy = hilo([b * b for b in yq])
+        sxy = hilo([a * b for a, b in zip(xq, yq)])
+        sxd = hilo([a * c for a, c in zip(xq, dq)])
+        varx, vary = sn * sxx - sx * sx, sn * syy - sy * sy
+        cov, covd = sn * sxy - sx * sy, sn * sxd - sx * sd
+        g = got[flag]
+        if sn > 1.0 and varx > 0.0 and vary > 0.0:
+            assert g.corr_qty_price == fgrid(cov / math.sqrt(varx * vary), 6), flag
+        else:
+            assert g.corr_qty_price is None
+        assert g.covar_qty_disc == fgrid(covd / (sn * (sn - 1.0)) / 1e4, 6), flag
+        expect_sd = 0.0 if vary <= 0.0 else fgrid(
+            math.sqrt(vary / (sn * (sn - 1.0))) / 1e2, 4
+        )
+        assert g.sd_price == expect_sd, flag
+        assert g.avg_price == fgrid(sy / (sn * 1e2), 4), flag
