@@ -59,14 +59,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Slots 20-22: the three r6-converted queries whose contracts hardened
 #   this round per ADVICE (hi/lo carrier replaces DECIMAL/HUGEINT,
 #   widen-before-multiply, degenerate-group guards).
-# Slots 23-26: NEW streaming-evidence rows that EXECUTE the streaming
+# Slots 23-27: NEW streaming-evidence rows that EXECUTE the streaming
 #   engine to convergence (update-mode PK-upsert — the reference's
 #   exact shape — dropDuplicatesWithinWatermark, the custom
-#   applyInPandasWithState accumulator, and the quarantine bad-records
-#   split), streaming/stream_rows.py.
-# Slots 27-33: the sum_exact/avg_exact/cusum users whose shared carrier
+#   applyInPandasWithState accumulator, the quarantine bad-records
+#   split, and append-mode closed-window emission),
+#   streaming/stream_rows.py.
+# Slots 28-34: the sum_exact/avg_exact/cusum users whose shared carrier
 #   switched from DECIMAL(38,0)/HUGEINT to hi/lo int64 this round.
-# Slots 34-50: evidence refresh — the queries whose only driver rows
+# Slots 35-50: evidence refresh — the queries whose only driver rows
 #   date from r1, oldest first in registry order.
 _PRIORITY_THIS_ROUND = [
     # -- never-seen (1-10)
@@ -94,12 +95,13 @@ _PRIORITY_THIS_ROUND = [
     "ttest_welch",
     "cuped_adjustment",
     "delta_method_ratio_ci",
-    # -- new streaming-execution rows (23-26)
+    # -- new streaming-execution rows (23-27)
     "stream_update_upsert_state",
     "stream_dedup_watermark",
     "stream_running_totals_state",
     "stream_quarantine_audit",
-    # -- hi/lo carrier-swap users (25-31)
+    "stream_append_closed_windows",
+    # -- hi/lo carrier-swap users (28-34)
     "groupby_agg",
     "grouping_sets",
     "cube_agg",
@@ -107,7 +109,7 @@ _PRIORITY_THIS_ROUND = [
     "join_skew_salted",
     "conditional_agg",
     "cusum_changepoint",
-    # -- oldest-evidence refresh, r1-only rows (32-50)
+    # -- oldest-evidence refresh, r1-only rows (35-50)
     "flagship_latest_event_per_user",
     "scan_project_cast",
     "filter_predicate",
@@ -124,7 +126,6 @@ _PRIORITY_THIS_ROUND = [
     "unpivot_melt",
     "map_ops",
     "join_null_safe",
-    "window_rank",
 ]
 
 

@@ -536,3 +536,106 @@ def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("id_checksum"),
     )
     return g.unionByName(q)
+
+
+# ------------------------------------- append-mode closed-window row
+
+
+def _build_append_closed(events: DataFrame, build_dir: str) -> None:
+    """Append-mode watermarked aggregation to convergence. Message
+    chunks are EVENT-TIME-ORDERED (row_number over (ts, event_id),
+    split into {MIRROR_FILES} sequentially-written files so the file
+    source replays them in order): batch k+1's events are never behind
+    batch k's watermark, so nothing is late-dropped and the emission
+    set is deterministic — every (window, type) aggregate whose window
+    end the final watermark passed, exactly once (epoch-partitioned
+    appends make replays idempotent). The open tail windows stay in
+    state and never emit: that asymmetry IS append mode's contract."""
+    from pyspark.sql import Window as W
+
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    w = W.orderBy("ts", "event_id")
+    ev = events.withColumn("rn", F.row_number().over(w))
+    n = ev.count()
+    chunk = (n + MIRROR_FILES - 1) // MIRROR_FILES
+    for k in range(MIRROR_FILES):
+        part = ev.filter(
+            (F.col("rn") > k * chunk) & (F.col("rn") <= (k + 1) * chunk)
+        ).drop("rn")
+        # sequential single-file writes -> increasing mtimes -> the
+        # file source triggers them in event-time order
+        events_to_messages(part).coalesce(1).write.mode("append").parquet(
+            msg_dir
+        )
+    parsed = parse_message_stream(file_message_stream(spark, msg_dir))
+    agg = (
+        parsed.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.expr(_SU_VQ)).alias("svq"))
+        .select(
+            # NTZ materialized under the build's UTC pin — tz-free
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "svq",
+        )
+    )
+    q = start_to_sink(
+        agg,
+        parquet_epoch_append_sink(sink_dir),
+        ckpt,
+        query_name="StreamRowAppendClosed",
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_append_closed_windows",
+    f"""
+    WITH mx AS (SELECT max(ts) AS mts FROM events),
+    g AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type,
+             count(*)      AS n,
+             sum({_SU_VQ}) AS svq
+      FROM events GROUP BY 1, 2, 3)
+    SELECT window_start, window_end, event_type, CAST(n AS BIGINT) AS n,
+           {_SU_SUMV} AS sum_value
+    FROM g, mx WHERE window_end <= mts
+    """,
+)
+def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark semantics, executed and driver-hashed —
+    the one streaming emission contract the other rows don't cover
+    (update re-emits, append emits each window EXACTLY ONCE, only
+    after the watermark passes its end, and open tail windows never
+    emit). The oracle derives the same set declaratively: every
+    (hour, type) aggregate whose window end <= max event time (the
+    final watermark under a 0-second delay; the data's max ts is
+    never exactly on an hour boundary at any shipped scale, so the
+    <=-vs-< emission edge cannot bite). Green means: watermark
+    advancement, late-drop avoidance (event-time-ordered replay),
+    exactly-once emission and state eviction all behaved — per window,
+    per type, with exact-integer counts and quantized sums.
+
+    Scale note: append + watermark is THE unbounded-stream shape (state
+    is only the open windows); this row pins its convergence the same
+    way the update row pins the reference's upsert shape."""
+    table = _run_stream_to_artifact(
+        spark, sf_dir, "stream_append_closed", _build_append_closed
+    )
+    t = spark.read.parquet(table)
+    return t.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        F.expr(_SU_SUMV).alias("sum_value"),
+    )
