@@ -74,8 +74,11 @@ def sum_exact(col: Column | str, q: int, out_dec: int = 4) -> Column:
     """Order-independent ``round(sum(col), out_dec)`` via an exact sum
     of 1/q-grid int64-quantized values, carried as the hi/lo int64 pair
     (r7 — the former DECIMAL(38,0)/HUGEINT carriers convert to double
-    differently past 2^63, ADVICE r6): exact to |sum| < 2^93, no wide
-    integer type on either engine."""
+    differently past 2^63, ADVICE r6): the int64 halves are exact to
+    |sum| < 2^93; the recombined double is correctly-rounded once
+    magnitudes pass ~2^53, and bit-identical cross-engine because both
+    engines perform the identical IEEE ops in the identical order
+    (ADVICE r7 wording). No wide integer type on either engine."""
     return _out_round(_hilo_sum_col(qlong(col, q)) / F.lit(float(q)), out_dec)
 
 

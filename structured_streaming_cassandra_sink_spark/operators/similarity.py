@@ -386,10 +386,15 @@ def lsh_probe(
     paths = snapshot or epochs
     if paths:
         idx = spark.read.option("basePath", corpus_dir).parquet(*paths)
-    else:  # no probed bucket materialized — empty candidate set
-        idx = (
-            spark.read.parquet(corpus_dir)
-            .filter(F.lit(False))
+    else:
+        # No probed bucket materialized — empty candidate set. Built
+        # from the known index schema (signature_rows is the single
+        # owner of the row layout), NOT by scanning corpus_dir: a root
+        # scan re-lists the whole L*2^bits partition tree (the exact
+        # O(buckets built) planning cost the direct-path probe removes)
+        # and throws if the corpus dir is empty (ADVICE r7).
+        idx = spark.createDataFrame(
+            [], "vec_id long, v array<double>, nv double, t int, sig int"
         )
     candidates = (
         idx.join(F.broadcast(qsig), ["t", "sig"])

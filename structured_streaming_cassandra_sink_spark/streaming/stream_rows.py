@@ -561,15 +561,35 @@ def _build_append_closed(events: DataFrame, build_dir: str) -> None:
     ev = events.withColumn("rn", F.row_number().over(w))
     n = ev.count()
     chunk = (n + MIRROR_FILES - 1) // MIRROR_FILES
+    import glob as _glob
+
+    seen: set[str] = set()
+    base_mtime = 0.0
     for k in range(MIRROR_FILES):
         part = ev.filter(
             (F.col("rn") > k * chunk) & (F.col("rn") <= (k + 1) * chunk)
         ).drop("rn")
-        # sequential single-file writes -> increasing mtimes -> the
-        # file source triggers them in event-time order
         events_to_messages(part).coalesce(1).write.mode("append").parquet(
             msg_dir
         )
+        # The file source triggers files in mtime order; sequential
+        # writes USUALLY produce increasing mtimes, but on a fast
+        # filesystem two chunks can share a millisecond-granular mtime
+        # and the tie-break (arbitrary UUID part paths) would replay
+        # out of event-time order — late-dropping rows under the
+        # 0-second watermark (ADVICE r7). Force strict ordering: stamp
+        # each chunk's new part files with an explicitly increasing
+        # mtime.
+        new_files = sorted(
+            f
+            for f in _glob.glob(os.path.join(msg_dir, "part-*"))
+            if f not in seen
+        )
+        if k == 0:
+            base_mtime = max(os.stat(f).st_mtime for f in new_files)
+        for f in new_files:
+            os.utime(f, (base_mtime + k, base_mtime + k))
+        seen.update(new_files)
     parsed = parse_message_stream(file_message_stream(spark, msg_dir))
     agg = (
         parsed.withWatermark("ts", "0 seconds")
