@@ -44,88 +44,83 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver records correctness rows for only the FIRST 50 registered
-# queries per round. Round-7 rotation (r6 verdict "Next round" #1-#3):
+# queries per round. Round-8 rotation (r7 verdict "Next round" #2-#3):
 #
-# Slots 1-10: the LAST never-driver-seen queries — after this round
-#   every one of the 300 registered components has driver evidence.
-#   sim_search_pq_adc is rows-only (no oracle) and takes the driver's
-#   weaker rows-only check; its oracle-hashed companion
-#   ann_recall_report went green in r4.
-# Slots 11-19: the nine converted float-kernel stat queries (r7 purge:
-#   engine corr/covar/stddev/regr/skew/kurt kernels -> quantized exact
-#   int64 moments + shared double expressions) — fresh rows for the
-#   new contracts, retiring the only driver-FAIL class ever recorded
-#   (r5 heaps_law_fit).
-# Slots 20-22: the three r6-converted queries whose contracts hardened
-#   this round per ADVICE (hi/lo carrier replaces DECIMAL/HUGEINT,
-#   widen-before-multiply, degenerate-group guards).
-# Slots 23-27: NEW streaming-evidence rows that EXECUTE the streaming
-#   engine to convergence (update-mode PK-upsert — the reference's
-#   exact shape — dropDuplicatesWithinWatermark, the custom
-#   applyInPandasWithState accumulator, the quarantine bad-records
-#   split, and append-mode closed-window emission),
-#   streaming/stream_rows.py.
-# Slots 28-34: the sum_exact/avg_exact/cusum users whose shared carrier
-#   switched from DECIMAL(38,0)/HUGEINT to hi/lo int64 this round.
-# Slots 35-50: evidence refresh — the queries whose only driver rows
-#   date from r1, oldest first in registry order.
+# Slot 1: NEW executed stream-stream join evidence — a real
+#   StreamingQuery joins the views stream to the clicks stream across
+#   micro-batches (streaming/stream_rows.py), the one major streaming
+#   operator class that previously had only batch-twin + pytest
+#   evidence.
+# Slots 2-22: ALL 21 queries whose only driver rows date from round 1
+#   (oldest evidence in the ledger).
+# Slots 23-50: 28 of the 46 queries whose newest rows date from round 2,
+#   float-contract-bearing ones first (rounded aggregates, distance
+#   argmins, ratio scores — the class the r5 heaps_law_fit driver-env
+#   flip proved needs freshest evidence), then structural ones.
+#
+# Remaining refresh debt after this round (18 r2-only rows, all
+# exact-contract — strings, int64 counts, md5 hash-bucket sampling,
+# rows-only multimodal — the lowest driver-env flip risk; r9 slots):
+#   fixed_size_sample, length_histogram, multimodal_cols,
+#   multimodal_decode, multimodal_dedup, multimodal_frame_sample,
+#   multimodal_resize, negative_sample, ngram_counts,
+#   repetition_filter, scalar_string_math, sequence_packing,
+#   source_budget_sample, stratified_sample, text_clean,
+#   text_pii_scrub, token_count, train_val_split
 _PRIORITY_THIS_ROUND = [
-    # -- never-seen (1-10)
-    "kmeans_lloyd",
-    "pq_encode",
-    "dbscan_grid_clusters",
-    "countmin_sketch_report",
-    "geo_grid_hotspots",
-    "geo_radius_join",
-    "geo_knn_within_radius",
-    "stream_tumbling_distinct",
-    "stream_enrich_static",
-    "sim_search_pq_adc",
-    # -- r7 kernel-purge conversions (11-19)
-    "column_corr",
-    "regression_agg",
-    "moments_agg",
-    "zipf_fit",
-    "anomaly_rolling_z",
-    "groupwise_zscore_pandas",
-    "incremental_stats_merge",
-    "embedding_dim_stats",
-    "pca_variance_report",
-    # -- ADVICE-hardened contracts (20-22)
-    "ttest_welch",
-    "cuped_adjustment",
-    "delta_method_ratio_ci",
-    # -- new streaming-execution rows (23-27)
-    "stream_update_upsert_state",
-    "stream_dedup_watermark",
-    "stream_running_totals_state",
-    "stream_quarantine_audit",
-    "stream_append_closed_windows",
-    # -- hi/lo carrier-swap users (28-34)
-    "groupby_agg",
-    "grouping_sets",
-    "cube_agg",
-    "rollup_agg",
-    "join_skew_salted",
-    "conditional_agg",
-    "cusum_changepoint",
-    # -- oldest-evidence refresh, r1-only rows (35-50)
-    "flagship_latest_event_per_user",
-    "scan_project_cast",
-    "filter_predicate",
-    "json_extract",
-    "split_explode",
-    "date_derive",
-    "dedup_by_key",
-    "join_inner_broadcast",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_range",
-    "pivot_agg",
-    "unpivot_melt",
-    "map_ops",
-    "join_null_safe",
+    # -- new executed stream-stream join (1)
+    "stream_stream_funnel_join",
+    # -- r1-only evidence refresh (2-22)
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "exact_percentiles",
+    "lang_id_heuristic",
+    "quality_score",
+    "scalar_date_funcs",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_search_ann_ivf",
+    "sim_search_ann_lsh",
+    "sim_search_topk",
+    "sort_limit_topk",
+    "text_stats",
+    "window_distribution",
+    "window_frame",
+    "window_lag_lead",
+    "window_rank",
+    # -- r2-only refresh, float-contract first (23-50)
+    "bm25_score",
+    "lm_score",
+    "outlier_mad",
+    "word_pmi",
+    "tfidf_top_terms",
+    "quality_quantile_filter",
+    "text_stats_by_lang",
+    "table_profile",
+    "time_rollup",
+    "join_multiway_revenue",
+    "join_interval_funnel",
+    "join_asof",
+    "window_range_interval",
+    "multimodal_meta_agg",
+    "embedding_cluster_assign",
+    "source_overlap_matrix",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "sessionize_assign",
+    "heavy_hitters",
+    "join_full_outer",
+    "contamination_check",
+    "curation_pipeline",
+    "dedup_incremental",
+    "doc_chunking",
+    "doc_fingerprint",
+    "doc_winnow_fingerprint",
 ]
 
 

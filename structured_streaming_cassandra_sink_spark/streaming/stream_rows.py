@@ -659,3 +659,130 @@ def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(_SU_SUMV).alias("sum_value"),
     )
+
+
+# ------------------------------------- stream-stream interval join row
+
+
+def _build_funnel_join(events: DataFrame, build_dir: str) -> None:
+    """Stream-STREAM interval join to convergence: the parsed message
+    stream is split into a views side and a clicks side (a streaming
+    self-join), each carrying its own watermark, joined on the equi key
+    (user_id) plus the bounded time condition click in
+    (view_ts, view_ts + {FUNNEL_WINDOW_MIN} min]. Matches land in an
+    epoch-partitioned append sink (inner-join emissions are final —
+    append is the only mode stream-stream joins support).
+
+    State across micro-batches is the point: a view arriving in batch 0
+    must meet a click arriving in batch 2 through the join state store.
+    The build watermark is set WIDER than the data's time span because
+    the file mirror does not replay in event-time order — with a tight
+    watermark an early-replayed late file would (correctly) evict join
+    state and the converged table would depend on file order; the
+    interval condition, not the watermark, is what bounds state in the
+    production shape (each side holds watermark + {FUNNEL_WINDOW_MIN}
+    min of rows — streaming/pipeline.streaming_funnel docstring).
+
+    The hashed payload is exact-integer: dm_us = click micros - view
+    micros (int64), divided back to minutes only in the shared
+    read-side expression."""
+    from ..functions import ts_micros
+    from ..operators.timeseries import FUNNEL_WINDOW_MIN
+
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    events_to_messages(events).repartition(MIRROR_FILES).write.mode(
+        "overwrite"
+    ).parquet(msg_dir)
+    parsed = parse_message_stream(file_message_stream(spark, msg_dir))
+    wm = "3650 days"  # >> any shipped sf's event span (~30 days)
+    v = (
+        parsed.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", wm)
+    )
+    c = (
+        parsed.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", wm)
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (ts_micros("click_ts") - ts_micros("view_ts")).alias("dm_us"),
+    )
+    q = start_to_sink(
+        joined,
+        parquet_epoch_append_sink(sink_dir),
+        ckpt,
+        query_name="StreamRowFunnelJoin",
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_stream_funnel_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           round(date_diff('microsecond', v.ts, c.ts) / 60000000.0, 4) AS minutes_between
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, EXECUTED and driver-hashed (r8 — the one
+    major streaming operator class whose evidence was batch-twin +
+    pytest only, r7 verdict "Next round" #3): a real StreamingQuery
+    joins the views stream to the clicks stream across micro-batch
+    boundaries through the join state store, and the converged
+    epoch-partitioned sink must equal DuckDB's batch interval join over
+    the same events. Green means: two-sided stream state, cross-batch
+    matching, inner-join append finality and replay-idempotent epoch
+    appends all behaved — per matched pair, with the minutes-between
+    derived from an exact int64 micros difference in the shared
+    round(x/60000000.0, 4) double contract (batch twin:
+    operators/timeseries.join_interval_funnel, the oracle text here is
+    the same one that query hashes green).
+
+    Reference shape generalized: the streaming lifecycle of
+    cassandra_sink.scala:122-129 applied to Spark's stream-stream join
+    (the reference's engine has no two-stream operator; this is the
+    Spark-first widening SURVEY.md §2.3 plans)."""
+    table = _run_stream_to_artifact(
+        spark, sf_dir, "stream_funnel_join", _build_funnel_join
+    )
+    t = spark.read.parquet(table)
+    return t.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.round(F.col("dm_us").cast("double") / 60000000.0, 4).alias(
+            "minutes_between"
+        ),
+    )
