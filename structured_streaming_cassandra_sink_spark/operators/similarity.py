@@ -43,11 +43,16 @@ COS_THRESHOLD = 0.4
 
 
 def _corpus_and_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    emb = spread(load_table(spark, "embeddings", sf_dir))
+    emb = load_table(spark, "embeddings", sf_dir)
+    # Only the CORPUS side gets spread(): the probe batch is N_QUERIES
+    # rows that every consumer broadcasts or collects driver-side, so a
+    # fan-out shuffle there is a wasted exchange per probe branch (r8 —
+    # ann_recall_report carried one spread per branch, 15 exchanges
+    # total for a 4-branch report).
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    corpus = spread(emb.filter(F.col("vec_id") >= N_QUERIES))
     return corpus, queries_df
 
 
