@@ -25,8 +25,14 @@ and written to /tmp (not committed):
   the resulting exact-duplicate vectors are harmless for the measured
   queries (ties break on vec_id deterministically).
 
-Usage: python tools/gen_sf1eq.py [OUT_DIR]         (default /tmp/sf1eq)
+Usage: python tools/gen_sf1eq.py [OUT_DIR] [--copies N] [--tables a,b,..]
+       (default /tmp/sf1eq, 10 copies, all tables)
 Then:  python tools/scaling_curves.py --sf1eq OUT_DIR
+
+The fifth decade (r8): --copies 100 --tables documents,embeddings builds
+an sf10-EQUIVALENT for the heavy dedup/ANN/graph/tfidf families only
+(their queries read just documents/embeddings + dims); generating 100x
+fact tables nothing measures would only burn disk.
 """
 
 from __future__ import annotations
@@ -46,7 +52,18 @@ def main() -> int:
 
     from structured_streaming_cassandra_sink_spark.session import get_spark
 
-    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1eq"
+    args = [a for a in sys.argv[1:]]
+    copies = COPIES
+    tables = {"orders", "lineitem", "events", "documents", "embeddings"}
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
+    if "--tables" in args:
+        i = args.index("--tables")
+        tables = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    dst = args[0] if args else "/tmp/sf1eq"
     os.makedirs(dst, exist_ok=True)
     spark = get_spark(app_name="gen-sf1eq")
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,68 +78,78 @@ def main() -> int:
     def write(df, name: str, n: int = 32) -> None:
         df.repartition(n).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
-    cp = F.explode(F.array(*[F.lit(i) for i in range(COPIES)])).alias("cp")
+    cp = F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("cp")
+    pscale = max(1, copies // COPIES)  # keep ~constant rows/file as copies grow
 
-    orders = spark.read.parquet(f"{SRC}/orders.parquet")
-    omax = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    write(
-        orders.select("*", cp)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("cp") * omax)
-        .drop("cp"),
-        "orders",
-    )
-    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    write(
-        li.select("*", cp)
-        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("cp") * omax)
-        .drop("cp"),
-        "lineitem",
-    )
+    if {"orders", "lineitem"} & tables:
+        orders = spark.read.parquet(f"{SRC}/orders.parquet")
+        omax = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        if "orders" in tables:
+            write(
+                orders.select("*", cp)
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.col("cp") * omax)
+                .drop("cp"),
+                "orders",
+                32 * pscale,
+            )
+        if "lineitem" in tables:
+            li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+            write(
+                li.select("*", cp)
+                .withColumn("l_orderkey", F.col("l_orderkey") + F.col("cp") * omax)
+                .drop("cp"),
+                "lineitem",
+                32 * pscale,
+            )
 
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
-    emax = ev.agg(F.max("event_id")).first()[0] + 1
-    umax = ev.agg(F.max("user_id")).first()[0] + 1
-    write(
-        ev.select("*", cp)
-        .withColumn("event_id", F.col("event_id") + F.col("cp") * emax)
-        .withColumn("user_id", F.col("user_id") + F.col("cp") * umax)
-        .drop("cp"),
-        "events",
-    )
-
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    dmax = docs.agg(F.max("doc_id")).first()[0] + 1
-    write(
-        docs.select("*", cp)
-        .withColumn("doc_id", F.col("doc_id") + F.col("cp") * dmax)
-        .withColumn(
-            "text",
-            F.array_join(
-                F.transform(
-                    F.split("text", " "),
-                    lambda w: F.concat(
-                        F.lit("c"), F.col("cp").cast("string"), F.lit("_"), w
-                    ),
-                ),
-                " ",
-            ),
+    if "events" in tables:
+        ev = spark.read.parquet(f"{SRC}/events.parquet")
+        emax = ev.agg(F.max("event_id")).first()[0] + 1
+        umax = ev.agg(F.max("user_id")).first()[0] + 1
+        write(
+            ev.select("*", cp)
+            .withColumn("event_id", F.col("event_id") + F.col("cp") * emax)
+            .withColumn("user_id", F.col("user_id") + F.col("cp") * umax)
+            .drop("cp"),
+            "events",
+            32 * pscale,
         )
-        .drop("cp"),
-        "documents",
-        16,
-    )
 
-    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    vmax = emb.agg(F.max("vec_id")).first()[0] + 1
-    write(
-        emb.select("*", cp)
-        .withColumn("vec_id", F.col("vec_id") + F.col("cp") * vmax)
-        .drop("cp"),
-        "embeddings",
-        16,
-    )
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{SRC}/documents.parquet")
+        dmax = docs.agg(F.max("doc_id")).first()[0] + 1
+        write(
+            docs.select("*", cp)
+            .withColumn("doc_id", F.col("doc_id") + F.col("cp") * dmax)
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(
+                            F.lit("c"), F.col("cp").cast("string"), F.lit("_"), w
+                        ),
+                    ),
+                    " ",
+                ),
+            )
+            .drop("cp"),
+            "documents",
+            16 * pscale,
+        )
 
-    for t in "orders lineitem events documents embeddings".split():
+    if "embeddings" in tables:
+        emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        vmax = emb.agg(F.max("vec_id")).first()[0] + 1
+        write(
+            emb.select("*", cp)
+            .withColumn("vec_id", F.col("vec_id") + F.col("cp") * vmax)
+            .drop("cp"),
+            "embeddings",
+            16 * pscale,
+        )
+
+    for t in sorted(tables):
         print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
     return 0
 
