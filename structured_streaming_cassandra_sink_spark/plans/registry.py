@@ -46,19 +46,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver records correctness rows for only the FIRST 50 registered
 # queries per round. Round-8 rotation (r7 verdict "Next round" #2-#3):
 #
-# Slot 1: NEW executed stream-stream join evidence — a real
-#   StreamingQuery joins the views stream to the clicks stream across
-#   micro-batches (streaming/stream_rows.py), the one major streaming
+# Slots 1-2: NEW executed stream-stream join evidence — real
+#   StreamingQueries join the views stream to the clicks stream across
+#   micro-batches (streaming/stream_rows.py): the INNER interval join
+#   (cross-batch state matching) and the LEFT OUTER variant
+#   (watermark-driven expiry emission) — the one major streaming
 #   operator class that previously had only batch-twin + pytest
 #   evidence.
-# Slots 2-22: ALL 21 queries whose only driver rows date from round 1
+# Slots 3-23: ALL 21 queries whose only driver rows date from round 1
 #   (oldest evidence in the ledger).
-# Slots 23-50: 28 of the 46 queries whose newest rows date from round 2,
+# Slots 24-50: 27 of the 46 queries whose newest rows date from round 2,
 #   float-contract-bearing ones first (rounded aggregates, distance
 #   argmins, ratio scores — the class the r5 heaps_law_fit driver-env
 #   flip proved needs freshest evidence), then structural ones.
 #
-# Remaining refresh debt after this round (18 r2-only rows, all
+# Remaining refresh debt after this round (19 r2-only rows, all
 # exact-contract — strings, int64 counts, md5 hash-bucket sampling,
 # rows-only multimodal — the lowest driver-env flip risk; r9 slots):
 #   fixed_size_sample, length_histogram, multimodal_cols,
@@ -66,11 +68,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   multimodal_resize, negative_sample, ngram_counts,
 #   repetition_filter, scalar_string_math, sequence_packing,
 #   source_budget_sample, stratified_sample, text_clean,
-#   text_pii_scrub, token_count, train_val_split
+#   text_pii_scrub, token_count, train_val_split,
+#   doc_winnow_fingerprint (bumped for the left-outer join slot; its
+#   winnowing machinery is also evidenced by winnow_dup_pairs, r3+)
 _PRIORITY_THIS_ROUND = [
-    # -- new executed stream-stream join (1)
+    # -- new executed stream-stream joins (1-2)
     "stream_stream_funnel_join",
-    # -- r1-only evidence refresh (2-22)
+    "stream_stream_left_join_expiry",
+    # -- r1-only evidence refresh (3-23)
     "dedup_cluster_assign",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
@@ -92,7 +97,7 @@ _PRIORITY_THIS_ROUND = [
     "window_frame",
     "window_lag_lead",
     "window_rank",
-    # -- r2-only refresh, float-contract first (23-50)
+    # -- r2-only refresh, float-contract first (24-50)
     "bm25_score",
     "lm_score",
     "outlier_mad",
@@ -120,7 +125,6 @@ _PRIORITY_THIS_ROUND = [
     "dedup_incremental",
     "doc_chunking",
     "doc_fingerprint",
-    "doc_winnow_fingerprint",
 ]
 
 

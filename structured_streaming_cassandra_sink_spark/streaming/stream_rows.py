@@ -541,28 +541,27 @@ def stream_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- append-mode closed-window row
 
 
-def _build_append_closed(events: DataFrame, build_dir: str) -> None:
-    """Append-mode watermarked aggregation to convergence. Message
-    chunks are EVENT-TIME-ORDERED (row_number over (ts, event_id),
-    split into {MIRROR_FILES} sequentially-written files so the file
-    source replays them in order): batch k+1's events are never behind
-    batch k's watermark, so nothing is late-dropped and the emission
-    set is deterministic — every (window, type) aggregate whose window
-    end the final watermark passed, exactly once (epoch-partitioned
-    appends make replays idempotent). The open tail windows stay in
-    state and never emit: that asymmetry IS append mode's contract."""
+def _write_ordered_chunks(events: DataFrame, msg_dir: str) -> None:
+    """Write the message mirror as {MIRROR_FILES} EVENT-TIME-ORDERED
+    chunks (row_number over (ts, event_id), one file per chunk) so the
+    file source replays them in order: batch k+1's events are never
+    behind batch k's watermark — the precondition every tight-watermark
+    build (append-mode emission, outer-join expiry) shares. The file
+    source triggers files in mtime order; sequential writes USUALLY
+    produce increasing mtimes, but on a fast filesystem two chunks can
+    share a millisecond-granular mtime and the tie-break (arbitrary
+    UUID part paths) would replay out of event-time order —
+    late-dropping rows under a 0-second watermark (ADVICE r7). So each
+    chunk's new part files are stamped with an explicitly increasing
+    mtime."""
+    import glob as _glob
+
     from pyspark.sql import Window as W
 
-    spark = events.sparkSession
-    msg_dir = os.path.join(build_dir, "messages")
-    ckpt = os.path.join(build_dir, "checkpoint")
-    sink_dir = os.path.join(build_dir, "table")
     w = W.orderBy("ts", "event_id")
     ev = events.withColumn("rn", F.row_number().over(w))
     n = ev.count()
     chunk = (n + MIRROR_FILES - 1) // MIRROR_FILES
-    import glob as _glob
-
     seen: set[str] = set()
     base_mtime = 0.0
     for k in range(MIRROR_FILES):
@@ -572,14 +571,6 @@ def _build_append_closed(events: DataFrame, build_dir: str) -> None:
         events_to_messages(part).coalesce(1).write.mode("append").parquet(
             msg_dir
         )
-        # The file source triggers files in mtime order; sequential
-        # writes USUALLY produce increasing mtimes, but on a fast
-        # filesystem two chunks can share a millisecond-granular mtime
-        # and the tie-break (arbitrary UUID part paths) would replay
-        # out of event-time order — late-dropping rows under the
-        # 0-second watermark (ADVICE r7). Force strict ordering: stamp
-        # each chunk's new part files with an explicitly increasing
-        # mtime.
         new_files = sorted(
             f
             for f in _glob.glob(os.path.join(msg_dir, "part-*"))
@@ -590,6 +581,21 @@ def _build_append_closed(events: DataFrame, build_dir: str) -> None:
         for f in new_files:
             os.utime(f, (base_mtime + k, base_mtime + k))
         seen.update(new_files)
+
+
+def _build_append_closed(events: DataFrame, build_dir: str) -> None:
+    """Append-mode watermarked aggregation to convergence over the
+    event-time-ordered mirror (_write_ordered_chunks): nothing is
+    late-dropped and the emission set is deterministic — every
+    (window, type) aggregate whose window end the final watermark
+    passed, exactly once (epoch-partitioned appends make replays
+    idempotent). The open tail windows stay in state and never emit:
+    that asymmetry IS append mode's contract."""
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    _write_ordered_chunks(events, msg_dir)
     parsed = parse_message_stream(file_message_stream(spark, msg_dir))
     agg = (
         parsed.withWatermark("ts", "0 seconds")
@@ -776,6 +782,130 @@ def stream_stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first widening SURVEY.md §2.3 plans)."""
     table = _run_stream_to_artifact(
         spark, sf_dir, "stream_funnel_join", _build_funnel_join
+    )
+    t = spark.read.parquet(table)
+    return t.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.round(F.col("dm_us").cast("double") / 60000000.0, 4).alias(
+            "minutes_between"
+        ),
+    )
+
+
+# -------------------------------- stream-stream LEFT OUTER join row
+
+
+def _build_funnel_left_join(events: DataFrame, build_dir: str) -> None:
+    """Left-outer stream-stream join to convergence: same two sides and
+    interval condition as _build_funnel_join, but views that never meet
+    a click must ALSO emit (null-padded) — and may do so only when the
+    watermark passes their state expiry (view_ts + the interval upper
+    bound), because until then a matching click could still arrive.
+    That makes the OUTER emission watermark-driven, so this build uses
+    a 0-second watermark over the event-time-ordered mirror
+    (_write_ordered_chunks), exactly like the append-closed-windows
+    row; Spark's no-data final micro-batch then flushes every expiry
+    the terminal watermark passed. Views still unexpired at the
+    terminal watermark stay in state and never emit — that asymmetry
+    is the outer-join analogue of append mode's open-tail contract,
+    and the oracle reproduces it declaratively."""
+    from ..functions import ts_micros
+    from ..operators.timeseries import FUNNEL_WINDOW_MIN
+
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    _write_ordered_chunks(events, msg_dir)
+    parsed = parse_message_stream(file_message_stream(spark, msg_dir))
+    v = (
+        parsed.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "0 seconds")
+    )
+    c = (
+        parsed.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (ts_micros("click_ts") - ts_micros("view_ts")).alias("dm_us"),
+    )
+    q = start_to_sink(
+        joined,
+        parquet_epoch_append_sink(sink_dir),
+        ckpt,
+        query_name="StreamRowFunnelLeftJoin",
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_stream_left_join_expiry",
+    """
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c)) AS mts),
+         j AS (
+           SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+                  round(date_diff('microsecond', v.ts, c.ts) / 60000000.0, 4)
+                    AS minutes_between,
+                  v.ts AS vts
+           FROM v LEFT JOIN c
+             ON v.user_id = c.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + INTERVAL '10 minutes')
+    SELECT user_id, view_id, click_id, minutes_between
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR vts + INTERVAL '10 minutes' <= mts
+    """,
+)
+def stream_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-OUTER stream-stream join, executed and driver-hashed (r8) —
+    the watermark-driven state-EXPIRY emission contract that the inner
+    join row (stream_stream_funnel_join) cannot exercise: an unmatched
+    view emits its null-padded row only once the watermark passes
+    view_ts + 10 min, and views the terminal watermark never expires
+    stay unemitted in state. The oracle derives the same set
+    declaratively: all matched pairs, plus unmatched views whose expiry
+    <= the terminal watermark = least(max view ts, max click ts) —
+    Spark's global watermark is the MIN over both sides' watermark
+    columns (multipleWatermarkPolicy default), which least() mirrors.
+    The <=-vs-< expiry edge cannot bite at any shipped scale:
+    microsecond event times never land a view's expiry exactly on the
+    terminal watermark. Green means watermark-driven outer emission,
+    state eviction, cross-batch inner matching and the no-data final
+    micro-batch flush all behaved.
+
+    Reference shape generalized: streaming lifecycle of
+    cassandra_sink.scala:122-129 over Spark's outer stream-stream join
+    (SURVEY.md §2.3 widening; no reference analogue exists)."""
+    table = _run_stream_to_artifact(
+        spark, sf_dir, "stream_funnel_left_join", _build_funnel_left_join
     )
     t = spark.read.parquet(table)
     return t.select(
