@@ -137,6 +137,14 @@ def main() -> int:
             "stream_append_closed",
             "_build_append_closed",
         ),
+        "stream_stream_funnel_join": (
+            "stream_funnel_join",
+            "_build_funnel_join",
+        ),
+        "stream_stream_left_join_expiry": (
+            "stream_funnel_left_join",
+            "_build_funnel_left_join",
+        ),
     }
     if _stream_rows.keys() & set(names):
         # One-time streaming convergence runs are the amortized cost of
