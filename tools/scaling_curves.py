@@ -240,6 +240,18 @@ def main() -> int:
             "a family well above 10x beyond its own documented work growth",
             "would demand a re-plan.",
             "",
+            "Documented work factors for the rows that can exceed 10x:",
+            "`dedup_ngram_jaccard` and `winnow_dup_pairs` candidates grow",
+            "exactly 10x/decade (per-copy vocab prefixes keep the inverted",
+            "index's Σdf² and the fingerprint lattice within-copy — the",
+            "bound is linear in copies); `dedup_embedding_lsh` runs its",
+            "scale regime (operators/similarity.py r8 docstring) whose",
+            "candidate volume is L(B+1)·n·occ — ~16x per decade at these",
+            "sizes because B and occupancy creep with ceil(log2). A row is",
+            "healthy when its measured slope stays within ~1.3x of that",
+            "factor (exchange width + GC at the biggest cells); a slope",
+            "WELL beyond it would flag a growth-class regression.",
+            "",
             "| query | sf1eq s | sf10eq s | 10x growth |",
             "|---|---|---|---|",
         ]
