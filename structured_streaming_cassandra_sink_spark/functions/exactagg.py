@@ -199,3 +199,120 @@ def covn_sql(n: str, sxy: str, sx: str, sy: str) -> str:
 
 def varn_sql(n: str, sxx: str, sx: str) -> str:
     return f"(({n}) * ({sxx}) - ({sx}) * ({sx}))"
+
+
+# --------------------------------------------------------------------------
+# Shared-series ln() — retires the LAST libm kernel on any hashed surface
+# (r8 verdict #4; the ready-to-apply patch documented in OPERATORS.md).
+# --------------------------------------------------------------------------
+#
+# zipf_fit / heaps_law_fit quantize ln(<int64>) to a 1e-6 grid. libm ln is
+# NOT a basic IEEE op: JVM Math.log carries a 1-ulp contract
+# (intrinsic-dependent) while DuckDB uses glibc log, so the two engines can
+# disagree by 1 ulp and flip floor(ln(x)*1e6 + 0.5) when the scaled value
+# lands within an ulp of a half-integer. This helper emits ln(n) for
+# integer n >= 1 out of +,-,*,/ and integer comparisons ONLY — every one
+# correctly rounded and order-fixed by the emitted text, so both engines
+# produce the bit-identical double by construction:
+#
+#   n = m * 2^k exactly:  k = floor(log2 n) via an integer CASE ladder
+#   (n < 2, n < 4, ..., n < 2^62 — exact int64 comparisons, ELSE 62),
+#   m = CAST(n AS DOUBLE) / 2^k  (int64->double is correctly rounded and
+#   identical cross-engine; power-of-two division is EXACT), m in [1, 2).
+#
+#   t = (m - 1)/(m + 1) in [0, 1/3);  s = t*t;
+#   ln(m) = 2*t*(1 + s/3 + s^2/5 + ... + s^11/23)   (atanh series,
+#   Horner, 12 terms — truncation < t^24/12 ~ 2.4e-13 relative).
+#
+#   ln(n) = k * LN2 + ln(m),  LN2 one shared double literal.
+#
+# The contract is GRID-exactness, not true-ln accuracy: both engines run
+# the identical op sequence over identical doubles, so the 1e-6 quantizer
+# sees identical inputs; the ~1e-13 deviation from true ln moves a fit
+# slope by < 1e-9 — invisible at the 1e-4 output grid. All literals are
+# spelled in exponent notation (the Spark DECIMAL-literal trap: `0.5` is
+# DECIMAL in Spark SQL, `5e-1` is DOUBLE in both engines) and generated
+# from repr() so both parsers round-trip to the same double.
+#
+# Cost: 2 CASE ladders (<= 62 int comparisons each) + ~30 double ops per
+# row, whole-stage-codegen'd; both call sites run it on <= ~1e3-row fit
+# lattices, so the cost is immeasurable.
+#
+# STAGING (why three helpers, not one expression): a single textual
+# expression duplicates subterms exponentially (t := f(m) twice in s,
+# s 12x in the Horner chain -> the 2.5 KB ladder inlined ~48x = ~120 KB
+# of SQL per ln). Instead the caller materializes k and m ONCE as named
+# columns in a projection stage (ln_k_sql / ln_m_sql), then applies
+# ln_from_km_sql over the column NAMES — same ops, same order, ~1.5 KB
+# text. Both engines evaluate named-column projections identically, so
+# the shared-text bit-identity argument is unchanged.
+
+_LN2_D = "6.931471805599453e-1"  # repr(math.log(2)) — nearest double
+
+# 1/23 ... 1/3, innermost Horner coefficient first; nearest-double decimal
+# literals (repr round-trips), exponent-suffixed for the DECIMAL trap.
+_ATANH_COEFS = [
+    "4.3478260869565216e-2",  # repr(1/23)
+    "4.7619047619047616e-2",  # repr(1/21)
+    "5.263157894736842e-2",   # repr(1/19)
+    "5.8823529411764705e-2",  # repr(1/17)
+    "6.666666666666667e-2",   # repr(1/15)
+    "7.692307692307693e-2",   # repr(1/13)
+    "9.090909090909091e-2",   # repr(1/11)
+    "1.111111111111111e-1",   # repr(1/9)
+    "1.4285714285714285e-1",  # repr(1/7)
+    "2e-1",                   # 1/5
+    "3.333333333333333e-1",   # repr(1/3)
+]
+
+
+def ln_k_sql(n: str) -> str:
+    """``floor(log2 n)`` as a DOUBLE for int64 ``n >= 1`` — exact
+    integer CASE ladder, identical text both engines. Stage-1 column."""
+    return (
+        "CASE "
+        + " ".join(f"WHEN ({n}) < {1 << (i + 1)} THEN {i}e0" for i in range(62))
+        + " ELSE 62e0 END"
+    )
+
+
+def ln_m_sql(n: str) -> str:
+    """Mantissa ``m = n / 2^floor(log2 n)`` in [1, 2) — the int64->double
+    cast is correctly rounded (identical cross-engine), the power-of-two
+    division is exact. Stage-1 column."""
+    div_d = (
+        "CASE "
+        + " ".join(f"WHEN ({n}) < {1 << (i + 1)} THEN {1 << i}e0" for i in range(62))
+        + f" ELSE {1 << 62}e0 END"
+    )
+    return f"(CAST(({n}) AS DOUBLE) / ({div_d}))"
+
+
+def ln_from_km_sql(k: str, m: str) -> str:
+    """``ln(n) = k*LN2 + 2t(1 + s/3 + ... + s^11/23)``, t=(m-1)/(m+1),
+    s=t*t — pass COLUMN NAMES for ``k``/``m`` (each is substituted many
+    times; a computed expression here re-inflates the text)."""
+    t = f"((({m}) - 1e0) / (({m}) + 1e0))"
+    s = f"(({t}) * ({t}))"
+    p = _ATANH_COEFS[0]
+    for c in _ATANH_COEFS[1:]:
+        p = f"(({p}) * ({s}) + {c})"
+    p = f"(({p}) * ({s}) + 1e0)"
+    lnm = f"((({t}) * ({p})) * 2e0)"
+    return f"(({k}) * {_LN2_D} + ({lnm}))"
+
+
+def ln_shared_py(n: int) -> float:
+    """Pure-Python twin of ``ln_shared_sql`` — the SAME IEEE ops in the
+    SAME order (Python floats are IEEE doubles, no FMA contraction), for
+    the replay tests that pin the cross-engine contract."""
+    assert n >= 1
+    k = min(n.bit_length() - 1, 62)
+    m = float(n) / float(1 << k)
+    t = (m - 1.0) / (m + 1.0)
+    s = t * t
+    p = float(_ATANH_COEFS[0])
+    for c in _ATANH_COEFS[1:]:
+        p = p * s + float(c)
+    p = p * s + 1.0
+    return float(k) * float(_LN2_D) + (t * p) * 2.0

@@ -17,6 +17,9 @@ from ..functions.exactagg import (
     count_d_sql,
     covn_sql,
     fgrid_sql,
+    ln_from_km_sql,
+    ln_k_sql,
+    ln_m_sql,
     sum_d_sql,
     varn_sql,
 )
@@ -1249,13 +1252,14 @@ ZIPF_HEAD = 1000  # fit over the head of the frequency table
 # ~2.8e7 at 1e12 tokens; xq*yq <= 2e14 < 2^53 per row, moment sums over
 # 1000 rows <= 2e17 < 2^63 — all direct int64, no hi/lo needed.
 #
-# Residual non-IEEE kernel (ADVICE r6, documented like heaps): ln() is
-# libm — JVM Math.log (1-ulp contract) and DuckDB/glibc log can differ
-# by 1 ulp, flipping floor(ln(x)*1e6+0.5) when the scaled value lands
-# within an ulp of an integer (~1.5e-9 per point on these magnitudes).
-# Every downstream op from the quantized integers is exact.
-_ZF_XQ = "CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
-_ZF_YQ = "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+# r9: the former residual libm kernel (ln()) is RETIRED — ln is now the
+# shared-series expansion from functions/exactagg.py (ln_k/ln_m staged
+# columns + ln_from_km polynomial): basic IEEE ops in a text-fixed order,
+# bit-identical cross-engine by construction, so the 1e-6-grid quantizer
+# cannot flip on a JVM-Math.log-vs-glibc-log ulp again (OPERATORS.md
+# "Residual libm kernel" patch, applied per the r8 verdict #4).
+_ZF_XQ = f"CAST(floor({ln_from_km_sql('kx', 'mx')} * 1e6 + 0.5) AS BIGINT)"
+_ZF_YQ = f"CAST(floor({ln_from_km_sql('ky', 'my')} * 1e6 + 0.5) AS BIGINT)"
 _ZF_VARX = varn_sql("sn", "sxx", "sx")
 _ZF_VARY = varn_sql("sn", "syy", "sy")
 _ZF_COV = covn_sql("sn", "sxy", "sx", "sy")
@@ -1285,9 +1289,13 @@ _ZF_R2 = (
       SELECT token, cnt,
              row_number() OVER (ORDER BY cnt DESC, token) AS rnk
       FROM cnt),
+    ptskm AS (
+      SELECT {ln_k_sql('rnk')} AS kx, {ln_m_sql('rnk')} AS mx,
+             {ln_k_sql('cnt')} AS ky, {ln_m_sql('cnt')} AS my
+      FROM ranked WHERE rnk <= {ZIPF_HEAD}),
     pts AS (
       SELECT {_ZF_XQ} AS xq, {_ZF_YQ} AS yq
-      FROM ranked WHERE rnk <= {ZIPF_HEAD}),
+      FROM ptskm),
     g AS (
       SELECT {count_d_sql('xq')} AS sn,
              {sum_d_sql('xq')} AS sx, {sum_d_sql('yq')} AS sy,
@@ -1310,8 +1318,9 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window runs over that lattice with (count desc, token)
     tie-break so both engines rank identically; the OLS is the exact
     quantized-moment contract (module constants above — NO regr_*
-    kernels, the r5 heaps FAIL class) over {ZIPF_HEAD} rows, with ln()
-    documented as the one residual libm kernel."""
+    kernels, the r5 heaps FAIL class) over {ZIPF_HEAD} rows; ln itself
+    is the shared-series expansion (exactagg.ln_from_km_sql), so NO
+    libm kernel remains anywhere on the hashed surface."""
     d = load_table(spark, "documents", sf_dir)
     tok = d.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
@@ -1321,6 +1330,12 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         cnt.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= ZIPF_HEAD)
+        .select(
+            F.expr(ln_k_sql("rnk")).alias("kx"),
+            F.expr(ln_m_sql("rnk")).alias("mx"),
+            F.expr(ln_k_sql("cnt")).alias("ky"),
+            F.expr(ln_m_sql("cnt")).alias("my"),
+        )
         .select(F.expr(_ZF_XQ).alias("xq"), F.expr(_ZF_YQ).alias("yq"))
     )
     g = pts.agg(
@@ -1613,17 +1628,15 @@ HEAPS_BUCKET = 100  # docs per vocabulary-growth checkpoint
 # so each moment sum <= ~7.8e17 — 11x under 2^63. Slope is invariant to
 # the common 1e6 scale; the intercept divides it back out.
 #
-# Residual non-IEEE kernel (ADVICE r6): ln() itself is libm, not a basic
-# IEEE op — JVM Math.log carries a 1-ulp contract (intrinsic-dependent)
-# while DuckDB uses glibc log, so floor(ln(x)*1e6+0.5) can still flip
-# when the scaled value lands within an ulp of an integer (~1.5e-9 per
-# lattice point at these magnitudes; the pure-IEEE replay test shares
-# Python's libm with DuckDB and would NOT catch a JVM-side flip). Every
-# op downstream of the quantized integers is exact; if a driver row ever
-# flips here, derive ln from the integer inputs via a shared series.
+# r9: ln() retired as a libm kernel (r8 verdict #4 — the OPERATORS.md
+# "Residual libm kernel" patch). ln is the shared-series expansion
+# (exactagg ln_k/ln_m staged columns + ln_from_km polynomial): basic IEEE
+# ops in a text-fixed order, bit-identical cross-engine, so the replay
+# test below now covers the FULL pipeline including the former kernel —
+# a JVM-side Math.log intrinsic flip is no longer reachable.
 _HEAPS_Q = "1e6"
-_HEAPS_XQ = "CAST(floor(ln(CAST(big_n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
-_HEAPS_YQ = "CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+_HEAPS_XQ = f"CAST(floor({ln_from_km_sql('kx', 'mx')} * 1e6 + 0.5) AS BIGINT)"
+_HEAPS_YQ = f"CAST(floor({ln_from_km_sql('ky', 'my')} * 1e6 + 0.5) AS BIGINT)"
 _H_SN = "CAST(count(xq) AS DOUBLE)"
 _H_SX = "CAST(sum(xq) AS DOUBLE)"
 _H_SY = "CAST(sum(yq) AS DOUBLE)"
@@ -1676,11 +1689,16 @@ _HEAPS_R2 = (
                ORDER BY nt.bucket
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
       FROM nt LEFT JOIN nv ON nt.source = nv.source AND nt.bucket = nv.bucket),
+    ptskm AS (
+      SELECT source, v,
+             {ln_k_sql('big_n')} AS kx, {ln_m_sql('big_n')} AS mx,
+             {ln_k_sql('v')} AS ky, {ln_m_sql('v')} AS my
+      FROM cum WHERE v > 0 AND big_n > 0),
     pts AS (
       SELECT source, v,
              {_HEAPS_XQ} AS xq,
              {_HEAPS_YQ} AS yq
-      FROM cum WHERE v > 0 AND big_n > 0)
+      FROM ptskm)
     SELECT source, CAST(count(*) AS BIGINT) AS n_points,
            {_HEAPS_BETA} AS beta,
            {_HEAPS_LNK}  AS ln_k,
@@ -1748,6 +1766,14 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("v"),
         )
         .filter((F.col("v") > 0) & (F.col("big_n") > 0))
+        .select(
+            "source",
+            "v",
+            F.expr(ln_k_sql("big_n")).alias("kx"),
+            F.expr(ln_m_sql("big_n")).alias("mx"),
+            F.expr(ln_k_sql("v")).alias("ky"),
+            F.expr(ln_m_sql("v")).alias("my"),
+        )
         .select(
             "source",
             "v",

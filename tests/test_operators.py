@@ -2042,11 +2042,15 @@ def test_heaps_law_fit_pure_ieee_replay(spark, sf_dir):
     quantized-int64 moments + one shared double expression, so a pure-
     Python IEEE replay over the same lattice must reproduce Spark's
     beta/ln_k/r2 BIT-exactly — any engine float kernel sneaking back into
-    the plan breaks this immediately."""
+    the plan breaks this immediately. r9: ln is the shared-series
+    expansion (exactagg.ln_shared_py is the op-for-op twin of the SQL
+    text), so the replay now covers the FULL pipeline — there is no
+    libm call left on either side."""
     import math
 
     import duckdb
 
+    from structured_streaming_cassandra_sink_spark.functions.exactagg import ln_shared_py
     from structured_streaming_cassandra_sink_spark.operators.text import HEAPS_BUCKET
     from structured_streaming_cassandra_sink_spark.plans.registry import QUERIES
 
@@ -2074,8 +2078,8 @@ def test_heaps_law_fit_pure_ieee_replay(spark, sf_dir):
     for src, big_n, v in lattice:
         if not (v > 0 and big_n > 0):
             continue
-        xq = int(math.floor(math.log(float(big_n)) * 1e6 + 0.5))
-        yq = int(math.floor(math.log(float(v)) * 1e6 + 0.5))
+        xq = int(math.floor(ln_shared_py(int(big_n)) * 1e6 + 0.5))
+        yq = int(math.floor(ln_shared_py(int(v)) * 1e6 + 0.5))
         m = moments.setdefault(src, [0, 0, 0, 0, 0, 0, None, None])
         m[0] += 1
         m[1] += xq
@@ -2455,6 +2459,64 @@ def test_exactagg_helpers_cross_engine_seeded_fuzz(spark):
         bad = [k for k in expect if not (got_s[k] == got_d[k] == expect[k])]
         assert not bad, (kind, q, d, bad[:3],
                          [(got_s[k], got_d[k], expect[k]) for k in bad[:3]])
+
+
+def test_ln_shared_three_way_bit_equality(spark):
+    """r9 libm retirement (r8 verdict #4): the staged shared-series ln
+    (ln_k_sql/ln_m_sql columns + ln_from_km_sql polynomial) must agree
+    BIT-exactly across Spark, DuckDB and the pure-Python twin
+    ln_shared_py on adversarial int64 inputs (powers of two, their
+    neighbors, primes, the full magnitude range up to 2^63-1), and stay
+    within 1e-13 relative of true ln — grid-exactness is the contract,
+    accuracy the sanity floor."""
+    import math
+    import random
+
+    import duckdb
+
+    from structured_streaming_cassandra_sink_spark.functions.exactagg import (
+        ln_from_km_sql,
+        ln_k_sql,
+        ln_m_sql,
+        ln_shared_py,
+    )
+
+    rng = random.Random(11)
+    ns = sorted(
+        {1, 2, 3, 1000, 999983, 2**53 - 1, 2**53 + 1, 2**62, 2**63 - 1}
+        | {2**i for i in range(1, 63)}
+        | {2**i - 1 for i in range(2, 63)}
+        | {2**i + 1 for i in range(1, 62)}
+        | {rng.randrange(1, 2**63) for _ in range(300)}
+    )
+    expect = {n: ln_shared_py(n) for n in ns}
+    for n, v in expect.items():
+        if n > 1:
+            assert abs(v - math.log(n)) / math.log(n) < 1e-13, n
+
+    fin = ln_from_km_sql("kx", "mx")
+    got_d = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT n, {fin} AS lns FROM ("
+            f"  SELECT n, {ln_k_sql('n')} AS kx, {ln_m_sql('n')} AS mx"
+            f"  FROM (SELECT unnest(?) AS n))",
+            [ns],
+        )
+        .fetchall()
+    )
+    assert got_d == expect
+
+    sdf = spark.createDataFrame([(n,) for n in ns], "n long")
+    got_s = {
+        r.n: r.lns
+        for r in sdf.selectExpr(
+            "n", f"{ln_k_sql('n')} AS kx", f"{ln_m_sql('n')} AS mx"
+        )
+        .selectExpr("n", f"{fin} AS lns")
+        .collect()
+    }
+    assert got_s == expect
 
 
 def test_hilo_sum_adversarial_three_way_fuzz(spark):
