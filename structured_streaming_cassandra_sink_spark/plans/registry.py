@@ -44,87 +44,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver records correctness rows for only the FIRST 50 registered
-# queries per round. Round-8 rotation (r7 verdict "Next round" #2-#3):
+# queries per round. Round-9 rotation (r8 verdict "Next round" #1/#3/#4):
 #
-# Slots 1-2: NEW executed stream-stream join evidence — real
-#   StreamingQueries join the views stream to the clicks stream across
-#   micro-batches (streaming/stream_rows.py): the INNER interval join
-#   (cross-batch state matching) and the LEFT OUTER variant
-#   (watermark-driven expiry emission) — the one major streaming
-#   operator class that previously had only batch-twin + pytest
-#   evidence.
-# Slots 3-23: ALL 21 queries whose only driver rows date from round 1
-#   (oldest evidence in the ledger).
-# Slots 24-50: 27 of the 46 queries whose newest rows date from round 2,
-#   float-contract-bearing ones first (rounded aggregates, distance
-#   argmins, ratio scores — the class the r5 heaps_law_fit driver-env
-#   flip proved needs freshest evidence), then structural ones.
+# Slot 1: stream_stream_funnel_join RE-DERIVED with a bounded watermark
+#   (r8 verdict #3 — the r8 row ran with a 3650-day watermark, i.e.
+#   unbounded state, the one configuration that cannot scale; the
+#   re-derivation needs a fresh driver row because bounded expiry
+#   changes the emission contract).
+# Slots 2-20: ALL 19 queries whose newest driver rows date from round 2
+#   (the enumerated r8 refresh debt — retired completely this round).
+# Slots 21-22: zipf_fit + heaps_law_fit — their ln() libm kernel was
+#   replaced by the shared-series expansion this round (r8 verdict #4),
+#   so the kernel-free contract gets driver evidence the same round it
+#   lands.
+# Slots 23-50: 28 of the 44 queries whose newest rows date from round 3,
+#   float-contract-bearing ones first (rounded aggregates, ratios,
+#   distances, entropy — the class the r5 heaps_law_fit driver-env flip
+#   proved needs freshest evidence), then structural ones.
 #
-# Remaining refresh debt after this round (19 r2-only rows, all
-# exact-contract — strings, int64 counts, md5 hash-bucket sampling,
-# rows-only multimodal — the lowest driver-env flip risk; r9 slots):
-#   fixed_size_sample, length_histogram, multimodal_cols,
-#   multimodal_decode, multimodal_dedup, multimodal_frame_sample,
-#   multimodal_resize, negative_sample, ngram_counts,
-#   repetition_filter, scalar_string_math, sequence_packing,
-#   source_budget_sample, stratified_sample, text_clean,
-#   text_pii_scrub, token_count, train_val_split,
-#   doc_winnow_fingerprint (bumped for the left-outer join slot; its
-#   winnowing machinery is also evidenced by winnow_dup_pairs, r3+)
+# Remaining refresh debt after this round (16 r3 rows, all
+# exact-contract or repeatedly pytest-pinned — the lowest flip risk;
+# r10 slots): array_ops, boolean_agg, dup_graph_degree,
+#   dup_graph_triangles, first_last_nonnull, gaps_islands,
+#   mixture_interleave, running_distinct, string_agg_ordered,
+#   subquery_exists, tokenize_to_ids, try_functions,
+#   udtf_sentence_split, variant_ops, window_ntile,
+#   dedup_pipeline_keep_canonical
 _PRIORITY_THIS_ROUND = [
-    # -- new executed stream-stream joins (1-2)
+    # -- re-derived bounded-watermark stream-stream join (1)
     "stream_stream_funnel_join",
-    "stream_stream_left_join_expiry",
-    # -- r1-only evidence refresh (3-23)
-    "dedup_cluster_assign",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "exact_percentiles",
-    "lang_id_heuristic",
-    "quality_score",
-    "scalar_date_funcs",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_search_ann_ivf",
-    "sim_search_ann_lsh",
-    "sim_search_topk",
-    "sort_limit_topk",
-    "text_stats",
-    "window_distribution",
-    "window_frame",
-    "window_lag_lead",
-    "window_rank",
-    # -- r2-only refresh, float-contract first (24-50)
-    "bm25_score",
-    "lm_score",
-    "outlier_mad",
-    "word_pmi",
-    "tfidf_top_terms",
-    "quality_quantile_filter",
-    "text_stats_by_lang",
-    "table_profile",
-    "time_rollup",
-    "join_multiway_revenue",
-    "join_interval_funnel",
-    "join_asof",
-    "window_range_interval",
-    "multimodal_meta_agg",
-    "embedding_cluster_assign",
-    "source_overlap_matrix",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "sessionize_assign",
-    "heavy_hitters",
-    "join_full_outer",
-    "contamination_check",
-    "curation_pipeline",
-    "dedup_incremental",
-    "doc_chunking",
-    "doc_fingerprint",
+    # -- r2-only evidence refresh, retired completely (2-20)
+    "doc_winnow_fingerprint",
+    "fixed_size_sample",
+    "length_histogram",
+    "multimodal_cols",
+    "multimodal_decode",
+    "multimodal_dedup",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "negative_sample",
+    "ngram_counts",
+    "repetition_filter",
+    "scalar_string_math",
+    "sequence_packing",
+    "source_budget_sample",
+    "stratified_sample",
+    "text_clean",
+    "text_pii_scrub",
+    "token_count",
+    "train_val_split",
+    # -- libm-kernel retirement lands with fresh rows (21-22)
+    "zipf_fit",
+    "heaps_law_fit",
+    # -- r3 refresh, float-contract first (23-50)
+    "time_weighted_avg",
+    "share_of_group",
+    "source_entropy",
+    "skew_profile",
+    "retention_cohort",
+    "funnel_conversion_rate",
+    "median_by_group",
+    "dedup_rate_by_source",
+    "data_freshness_report",
+    "order_count_distribution",
+    "ohlc_bars",
+    "gap_fill",
+    "embedding_centroid",
+    "embedding_quantize",
+    "embedding_pca_project",
+    "shingle_containment",
+    "dedup_near_minhash",
+    "edit_distance_pairs",
+    "edit_distance_clusters",
+    "histogram_width_bucket",
+    "hll_partial_merge",
+    "subquery_correlated_scalar",
+    "mode_by_group",
+    "zorder_cluster",
+    "winnow_dup_pairs",
+    "argminmax_agg",
+    "join_shipping_priority",
+    "topk_per_group_agg",
 ]
 
 

@@ -576,6 +576,16 @@ def _write_ordered_chunks(events: DataFrame, msg_dir: str) -> None:
             for f in _glob.glob(os.path.join(msg_dir, "part-*"))
             if f not in seen
         )
+        # A chunk write that yields no 'part-*' files means the committer
+        # naming drifted — fail loudly instead of silently leaving chunks
+        # unstamped and replay order falling back to mtime ties (ADVICE
+        # r8), which would reintroduce exactly the out-of-order replay
+        # this function exists to prevent.
+        if not new_files:
+            raise AssertionError(
+                f"chunk {k}: no new part-* files appeared under {msg_dir};"
+                " output committer naming changed?"
+            )
         if k == 0:
             base_mtime = max(os.stat(f).st_mtime for f in new_files)
         for f in new_files:
@@ -670,40 +680,32 @@ def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- stream-stream interval join row
 
 
-def _build_funnel_join(events: DataFrame, build_dir: str) -> None:
-    """Stream-STREAM interval join to convergence: the parsed message
-    stream is split into a views side and a clicks side (a streaming
-    self-join), each carrying its own watermark, joined on the equi key
-    (user_id) plus the bounded time condition click in
-    (view_ts, view_ts + {FUNNEL_WINDOW_MIN} min]. Matches land in an
-    epoch-partitioned append sink (inner-join emissions are final —
-    append is the only mode stream-stream joins support).
+# Bounded watermark delay for the INNER funnel-join build (r8 verdict
+# #3 — the r8 row ran "3650 days", i.e. all join state retained forever,
+# the one configuration that cannot scale). Over the event-time-ordered
+# mirror (_write_ordered_chunks) NO event is ever behind the watermark,
+# so any non-negative delay emits the identical matched set; the delay
+# only sizes state: each side retains ~(delay + FUNNEL_WINDOW_MIN) of
+# event time. 30 minutes is a production-shaped allowance for source
+# skew, and is << the data span (~30 days at every shipped sf), so
+# eviction demonstrably runs between micro-batches
+# (tests/test_streaming.py::test_funnel_join_state_evicted).
+FUNNEL_JOIN_WM = "30 minutes"
 
-    State across micro-batches is the point: a view arriving in batch 0
-    must meet a click arriving in batch 2 through the join state store.
-    The build watermark is set WIDER than the data's time span because
-    the file mirror does not replay in event-time order — with a tight
-    watermark an early-replayed late file would (correctly) evict join
-    state and the converged table would depend on file order; the
-    interval condition, not the watermark, is what bounds state in the
-    production shape (each side holds watermark + {FUNNEL_WINDOW_MIN}
-    min of rows — streaming/pipeline.streaming_funnel docstring).
 
-    The hashed payload is exact-integer: dm_us = click micros - view
-    micros (int64), divided back to minutes only in the shared
-    read-side expression."""
+def _funnel_joined_stream(spark: SparkSession, msg_dir: str, wm: str, how: str):
+    """The two-sided funnel join, shared by the inner and left-outer
+    builds and the state-eviction test: the parsed message stream split
+    into a views side and a clicks side (a streaming self-join), each
+    carrying its own watermark ``wm``, joined on the equi key (user_id)
+    plus the bounded time condition click in (view_ts, view_ts +
+    {FUNNEL_WINDOW_MIN} min]. The payload is exact-integer: dm_us =
+    click micros - view micros (int64), divided back to minutes only in
+    the shared read-side expression."""
     from ..functions import ts_micros
     from ..operators.timeseries import FUNNEL_WINDOW_MIN
 
-    spark = events.sparkSession
-    msg_dir = os.path.join(build_dir, "messages")
-    ckpt = os.path.join(build_dir, "checkpoint")
-    sink_dir = os.path.join(build_dir, "table")
-    events_to_messages(events).repartition(MIRROR_FILES).write.mode(
-        "overwrite"
-    ).parquet(msg_dir)
     parsed = parse_message_stream(file_message_stream(spark, msg_dir))
-    wm = "3650 days"  # >> any shipped sf's event span (~30 days)
     v = (
         parsed.filter(F.col("event_type") == "view")
         .select(
@@ -722,7 +724,7 @@ def _build_funnel_join(events: DataFrame, build_dir: str) -> None:
         )
         .withWatermark("click_ts", wm)
     )
-    joined = v.join(
+    return v.join(
         c,
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") > F.col("view_ts"))
@@ -730,12 +732,39 @@ def _build_funnel_join(events: DataFrame, build_dir: str) -> None:
             F.col("click_ts")
             <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
         ),
+        how,
     ).select(
         "user_id",
         "view_id",
         "click_id",
         (ts_micros("click_ts") - ts_micros("view_ts")).alias("dm_us"),
     )
+
+
+def _build_funnel_join(events: DataFrame, build_dir: str) -> None:
+    """Stream-STREAM interval join to convergence under a BOUNDED
+    watermark (r9 re-derivation): matches land in an epoch-partitioned
+    append sink (inner-join emissions are final — append is the only
+    mode stream-stream joins support).
+
+    State across micro-batches is the point: a view arriving in batch 0
+    must meet a click arriving in batch 2 through the join state store.
+    The r8 build kept every state row forever (a 3650-day watermark)
+    because the unordered mirror could replay a late file early; r9
+    replays the mirror in event-time order (_write_ordered_chunks —
+    batch k+1's events are never behind batch k's watermark), so the
+    {FUNNEL_JOIN_WM} watermark is safe: the matched set is unchanged
+    while join state is EVICTED as the watermark passes view_ts +
+    interval (+ delay) — each side holds only ~(delay + interval) of
+    event time, the production shape that scales to an unbounded
+    stream. Eviction is pinned by
+    tests/test_streaming.py::test_funnel_join_state_evicted."""
+    spark = events.sparkSession
+    msg_dir = os.path.join(build_dir, "messages")
+    ckpt = os.path.join(build_dir, "checkpoint")
+    sink_dir = os.path.join(build_dir, "table")
+    _write_ordered_chunks(events, msg_dir)
+    joined = _funnel_joined_stream(spark, msg_dir, FUNNEL_JOIN_WM, "inner")
     q = start_to_sink(
         joined,
         parquet_epoch_append_sink(sink_dir),
@@ -776,12 +805,18 @@ def stream_stream_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.join_interval_funnel, the oracle text here is
     the same one that query hashes green).
 
+    r9 re-derivation (r8 verdict #3): the build now runs with a BOUNDED
+    {FUNNEL_JOIN_WM} watermark over the event-time-ordered mirror —
+    join state is evicted as the watermark advances instead of retained
+    forever (the artifact name is versioned so no pre-r9 unbounded
+    build can be reused). Same matched set, production state bound.
+
     Reference shape generalized: the streaming lifecycle of
     cassandra_sink.scala:122-129 applied to Spark's stream-stream join
     (the reference's engine has no two-stream operator; this is the
     Spark-first widening SURVEY.md §2.3 plans)."""
     table = _run_stream_to_artifact(
-        spark, sf_dir, "stream_funnel_join", _build_funnel_join
+        spark, sf_dir, "stream_funnel_join_v2", _build_funnel_join
     )
     t = spark.read.parquet(table)
     return t.select(
@@ -811,48 +846,12 @@ def _build_funnel_left_join(events: DataFrame, build_dir: str) -> None:
     terminal watermark stay in state and never emit — that asymmetry
     is the outer-join analogue of append mode's open-tail contract,
     and the oracle reproduces it declaratively."""
-    from ..functions import ts_micros
-    from ..operators.timeseries import FUNNEL_WINDOW_MIN
-
     spark = events.sparkSession
     msg_dir = os.path.join(build_dir, "messages")
     ckpt = os.path.join(build_dir, "checkpoint")
     sink_dir = os.path.join(build_dir, "table")
     _write_ordered_chunks(events, msg_dir)
-    parsed = parse_message_stream(file_message_stream(spark, msg_dir))
-    v = (
-        parsed.filter(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "0 seconds")
-    )
-    c = (
-        parsed.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "0 seconds")
-    )
-    joined = v.join(
-        c,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("click_ts") > F.col("view_ts"))
-        & (
-            F.col("click_ts")
-            <= F.col("view_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
-        ),
-        "leftOuter",
-    ).select(
-        "user_id",
-        "view_id",
-        "click_id",
-        (ts_micros("click_ts") - ts_micros("view_ts")).alias("dm_us"),
-    )
+    joined = _funnel_joined_stream(spark, msg_dir, "0 seconds", "leftOuter")
     q = start_to_sink(
         joined,
         parquet_epoch_append_sink(sink_dir),
@@ -881,7 +880,7 @@ def _build_funnel_left_join(events: DataFrame, build_dir: str) -> None:
             AND c.ts <= v.ts + INTERVAL '10 minutes')
     SELECT user_id, view_id, click_id, minutes_between
     FROM j, wm
-    WHERE click_id IS NOT NULL OR vts + INTERVAL '10 minutes' <= mts
+    WHERE click_id IS NOT NULL OR vts + INTERVAL '10 minutes' < mts
     """,
 )
 def stream_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,12 +891,16 @@ def stream_stream_left_join_expiry(spark: SparkSession, sf_dir: str) -> DataFram
     view_ts + 10 min, and views the terminal watermark never expires
     stay unemitted in state. The oracle derives the same set
     declaratively: all matched pairs, plus unmatched views whose expiry
-    <= the terminal watermark = least(max view ts, max click ts) —
-    Spark's global watermark is the MIN over both sides' watermark
-    columns (multipleWatermarkPolicy default), which least() mirrors.
-    The <=-vs-< expiry edge cannot bite at any shipped scale:
-    microsecond event times never land a view's expiry exactly on the
-    terminal watermark. Green means watermark-driven outer emission,
+    STRICTLY BELOW the terminal watermark = least(max view ts, max
+    click ts) — Spark's global watermark is the MIN over both sides'
+    watermark columns (multipleWatermarkPolicy default), which least()
+    mirrors, and Spark removes/null-emits state on a STRICT comparison
+    (state ts < eviction threshold), which the oracle's `<` mirrors (r9,
+    ADVICE r8 — previously `<=`, identical on microsecond-random data
+    but misaligned if a generator ever lands an expiry exactly on the
+    watermark; the strict engine behavior is pinned by
+    tests/test_streaming.py::test_left_join_expiry_boundary_is_strict).
+    Green means watermark-driven outer emission,
     state eviction, cross-batch inner matching and the no-data final
     micro-batch flush all behaved.
 

@@ -1926,3 +1926,154 @@ def test_transform_with_state_matches_batch_and_old_api(spark, message_dir):
         for u in want
     )
     assert set(got) == set(want)
+
+
+# ---------------------------------------------------------------------------
+# r9: bounded-watermark funnel join — state eviction + expiry strictness
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_join_state_evicted(spark, sf_dir, tmp_path):
+    """r8 verdict #3: the inner stream-stream funnel join must run with a
+    BOUNDED watermark and demonstrably EVICT join state between
+    micro-batches — the r8 row's 3650-day watermark retained all state
+    forever, the one configuration that cannot scale. Over the
+    event-time-ordered mirror the bounded build must (a) emit exactly
+    the batch interval-join matched set, and (b) report state rows
+    removed in the streaming progress, with terminal state far below
+    the total row count."""
+    import json
+    import os
+
+    from structured_streaming_cassandra_sink_spark.sources import load_table
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        parquet_epoch_append_sink,
+        start_to_sink,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.stream_rows import (
+        FUNNEL_JOIN_WM,
+        _funnel_joined_stream,
+        _write_ordered_chunks,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        msg = str(tmp_path / "messages")
+        sink = str(tmp_path / "table")
+        ck = str(tmp_path / "ck")
+        _write_ordered_chunks(events, msg)
+        j = _funnel_joined_stream(spark, msg, FUNNEL_JOIN_WM, "inner")
+        q = start_to_sink(
+            j,
+            parquet_epoch_append_sink(sink),
+            ck,
+            query_name="t_funnel_evict",
+            output_mode="append",
+            available_now=True,
+        )
+        q.awaitTermination()
+        # PySpark 4 returns StreamingQueryProgress objects; .json is the
+        # stable serialized form
+        progresses = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    # (a) converged sink == batch interval join over the same events
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") > F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert got == want and got
+
+    # (b) the join state store actually evicted rows as the watermark
+    # advanced (strictly positive removals), and the terminal state holds
+    # only ~(watermark delay + interval) of events, not the whole stream
+    ops = [p["stateOperators"][0] for p in progresses if p.get("stateOperators")]
+    assert ops, "no stateOperators progress recorded"
+    removed = sum(o.get("numRowsRemoved", 0) for o in ops)
+    assert removed > 0, "bounded watermark never evicted join state"
+    total_in = events.count()
+    final_state = ops[-1]["numRowsTotal"]
+    assert final_state < total_in / 2, (final_state, total_in)
+
+
+def test_left_join_expiry_boundary_is_strict(spark, tmp_path):
+    """Pins the engine behavior the stream_stream_left_join_expiry
+    oracle's STRICT `<` mirrors (ADVICE r8): a view whose state expiry
+    (view_ts + 10 min) lands EXACTLY on the terminal watermark is NOT
+    null-emitted (Spark removes/emits outer state on ts < threshold,
+    strictly), while a view strictly below it IS. Previously this edge
+    was unobservable only because the testdata carries random
+    microseconds; this test makes the boundary an engine contract, so a
+    future second-granular generator cannot silently flip one row
+    between engines."""
+    from structured_streaming_cassandra_sink_spark.streaming.sinks import (
+        parquet_epoch_append_sink,
+        start_to_sink,
+    )
+    from structured_streaming_cassandra_sink_spark.streaming.stream_rows import (
+        _funnel_joined_stream,
+        _write_ordered_chunks,
+    )
+
+    rows = [
+        # expiry 10:09:59 <  terminal wm 10:10:00 -> MUST null-emit
+        (1, "2024-01-01 09:59:59", 1, "view", 1.0, None),
+        # expiry 10:10:00 == terminal wm 10:10:00 -> must NOT emit
+        (2, "2024-01-01 10:00:00", 2, "view", 1.0, None),
+        # both sides' terminal max = 10:10:00 (global wm = min of sides)
+        (3, "2024-01-01 10:10:00", 3, "view", 1.0, None),
+        (4, "2024-01-01 10:10:00", 4, "click", 1.0, None),
+    ]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        msg = str(tmp_path / "messages")
+        sink = str(tmp_path / "table")
+        ck = str(tmp_path / "ck")
+        _write_ordered_chunks(ev, msg)
+        j = _funnel_joined_stream(spark, msg, "0 seconds", "leftOuter")
+        q = start_to_sink(
+            j,
+            parquet_epoch_append_sink(sink),
+            ck,
+            query_name="t_expiry_boundary",
+            output_mode="append",
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    emitted = {
+        r.view_id for r in spark.read.parquet(sink).collect()
+    }
+    assert 1 in emitted, "strictly-expired view must null-emit"
+    assert 2 not in emitted, (
+        "expiry == terminal watermark emitted: Spark's comparison is not"
+        " strict; realign the stream_stream_left_join_expiry oracle"
+    )
+    assert 3 not in emitted  # unexpired tail stays in state
