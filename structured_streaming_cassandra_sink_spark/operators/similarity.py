@@ -33,13 +33,28 @@ from ..functions.exactagg import (
 )
 from ..functions.vectorfns import as_double, dot, norm
 from ..plans.registry import query
-from ..sources import load_table, spread
+from ..sources import load_table, spread, table_rowcount
 
 N_QUERIES = 5      # vec_id < 5 are the probe vectors
 TOP_K = 10
 LSH_PLANES = 6     # bits per hash table (2^6 = 64 buckets)
 LSH_TABLES = 4     # independent tables; candidates = union of bucket hits
 COS_THRESHOLD = 0.4
+
+# dedup_embedding_lsh regime constants (ADVICE r8: named, not magic).
+# Demo regime (<= LSH_DEDUP_DEMO_MAX_N vectors): the registered
+# driver-scale configuration — COS_THRESHOLD, fixed-4-bit signatures,
+# candidate volume ~L(B+1)/2^B of all pairs (fine at 2k, quadratic at
+# 200k). Production regime (above the cutoff): dedup-realistic
+# threshold, occupancy held ~constant by B = log2(n/occupancy) →
+# candidates linear in n. The cutoff sits where the demo regime's
+# candidate volume (~1.25 * n^2/2 pairs) crosses ~15M comparisons —
+# past that the demo config measurably grinds (r8 fifth-decade curve).
+LSH_DEDUP_DEMO_MAX_N = 5000
+LSH_DEDUP_DEMO_BITS = 4
+LSH_DEDUP_TABLES = 4
+LSH_DEDUP_PROD_THRESHOLD = 0.9
+LSH_DEDUP_PROD_OCCUPANCY = 64
 
 
 def _corpus_and_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -781,7 +796,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all pairs on random data (1.25 here). tests/test_similarity.py pins
     # measured recall >= 0.9.
     #
-    # SCALE REGIME (r8 — found by the fifth-decade curve, not theorized):
+    # SCALE REGIME (r8 — found by the fifth-decade curve, not theorized;
+    # constants hoisted to module level per ADVICE r8):
     # "≈1.25 of all pairs" is a fine demo at <=2k vectors and a
     # quadratic grind at 200k (the sf10eq cell ran 25+ min before the
     # re-plan). A FIXED B cannot scale: candidates = L(B+1)·n·occ/2 with
@@ -790,23 +806,38 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # better than the 90° of random pairs) growing B collapses recall
     # (B=10 → recall 0.25 at L=4): thresholds that close to random are
     # information-theoretically not LSH-blockable — which is why real
-    # dedup runs at ~0.9. So past the demo scale the query switches to
-    # the PRODUCTION regime: threshold 0.9 (θ≈26°, p≈0.856), B =
-    # log2(n/64) (occupancy ~64), same L=4 + multi-probe → recall =
-    # 1-(1-m)^4 ≈ 0.92 at B=12/200k vectors by the formula above,
-    # candidates ~n·occ — linear in n times the documented L(B+1)·occ
-    # work factor (the fifth-decade slope must be read against that
-    # factor: ~16x per decade at these sizes, of which 10x is data).
+    # dedup runs at ~0.9. So past LSH_DEDUP_DEMO_MAX_N the query
+    # switches to the PRODUCTION regime: threshold
+    # {LSH_DEDUP_PROD_THRESHOLD} (θ≈26°, p≈0.856), B =
+    # log2(n/{LSH_DEDUP_PROD_OCCUPANCY}), same L + multi-probe →
+    # candidates ~n·occ, linear in n times the documented L(B+1)·occ
+    # work factor. Production-regime recall is MEASURED, not derived
+    # (r9): tools/measure_lsh_recall.py over planted >=0.9 twins (exact
+    # full ground truth at sf1eq) and
+    # tests/test_similarity.py::test_embedding_lsh_production_regime_recall
+    # pin the >=0.9 floor; SCALING_CURVES.md records the figures.
     # Driver scales (<=2k vectors) keep the registered demo regime
-    # bit-for-bit (recall pin and driver rows unchanged).
-    planes_per_table, n_tables, thr = 4, 4, COS_THRESHOLD
+    # bit-for-bit (recall pin and driver rows unchanged). n_corpus comes
+    # from parquet footer metadata — no per-call count() job (ADVICE
+    # r8). The emitted `regime` column makes the active regime visible
+    # to consumers comparing outputs across scales.
+    planes_per_table, n_tables, thr = (
+        LSH_DEDUP_DEMO_BITS,
+        LSH_DEDUP_TABLES,
+        COS_THRESHOLD,
+    )
+    regime = "demo"
+    n_corpus = table_rowcount("embeddings", sf_dir)
     emb = spread(load_table(spark, "embeddings", sf_dir))
-    n_corpus = emb.count()
-    if n_corpus > 5000:
+    if n_corpus > LSH_DEDUP_DEMO_MAX_N:
         import math
 
-        planes_per_table = max(4, math.ceil(math.log2(n_corpus / 64)))
-        thr = 0.9
+        planes_per_table = max(
+            LSH_DEDUP_DEMO_BITS,
+            math.ceil(math.log2(n_corpus / LSH_DEDUP_PROD_OCCUPANCY)),
+        )
+        thr = LSH_DEDUP_PROD_THRESHOLD
+        regime = "production"
     e = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     ).withColumn("nv", norm(F.col("v")))
@@ -860,6 +891,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= thr)
         .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("regime", F.lit(regime))
     )
 
 

@@ -102,3 +102,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def table_rowcount(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job.
+
+    Regime selectors (e.g. dedup_embedding_lsh's demo/production switch)
+    need n_corpus before planning; an eager df.count() costs a full scan
+    job on every invocation (ADVICE r8). Parquet footers carry the exact
+    count, so this is a driver-side metadata read (one footer per file),
+    the same statistic a lakehouse table format would serve from its
+    manifest at 100 TB."""
+    import pyarrow.dataset as pads
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    return pads.dataset(
+        os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+    ).count_rows()

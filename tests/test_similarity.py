@@ -374,3 +374,61 @@ def test_index_source_fingerprint_staleness(spark, sf_dir, tmp_path):
     assert os.path.exists(marker) is False
     pq_build(spark, sf_dir, index_dir=idx)
     assert index_current(idx, "codes", sf_dir, ("embeddings",))
+
+
+def test_embedding_lsh_production_regime_recall(spark, tmp_path):
+    """r8 verdict #2: the production regime's recall is MEASURED, not
+    collision-formula-derived. A synthetic corpus big enough to trip the
+    regime switch (> LSH_DEDUP_DEMO_MAX_N vectors) gets deterministic
+    planted twins at known cosines in [0.905, 0.995] (the same
+    construction as tools/gen_sf1eq.py); ground truth is the exact
+    all-pairs brute force (8k^2 x 64 numpy, seconds). Pins: the regime
+    column reports 'production', measured recall >= 0.9 (B =
+    ceil(log2(n/64)) = 7 here; the formula predicts ~0.99 for this
+    cosine band — 0.9 is the floor the operator promises), and
+    precision == 1.0 (exact verify means no false positives, ever)."""
+    import numpy as np
+
+    from structured_streaming_cassandra_sink_spark.operators.similarity import (
+        LSH_DEDUP_DEMO_MAX_N,
+        LSH_DEDUP_PROD_THRESHOLD,
+        dedup_embedding_lsh,
+    )
+
+    rng = np.random.default_rng(99)
+    n_base, dim, n_twins = 7600, 64, 380
+    X = rng.standard_normal((n_base, dim))
+    twins = []
+    for i in range(n_twins):
+        x = X[i * 20]
+        nx = np.linalg.norm(x)
+        target = 0.905 + 0.09 * rng.random()
+        u = rng.standard_normal(dim)
+        u -= (u @ x) / (nx * nx) * x
+        u /= np.linalg.norm(u)
+        twins.append(nx * (target * x / nx + np.sqrt(1 - target * target) * u))
+    M = np.vstack([X, np.array(twins)]).astype(np.float32)
+    ids = np.arange(len(M))
+    assert len(M) > LSH_DEDUP_DEMO_MAX_N
+
+    # exact ground truth, mirroring the engine's round(cos, 6) >= thr
+    Xh = M.astype(np.float64)
+    Xh /= np.linalg.norm(Xh, axis=1, keepdims=True)
+    S = np.round(Xh @ Xh.T, 6)
+    np.fill_diagonal(S, -1.0)
+    ia, ib = np.nonzero(np.triu(S >= LSH_DEDUP_PROD_THRESHOLD, k=1))
+    gt = {(int(a), int(b)) for a, b in zip(ia, ib)}
+    assert len(gt) >= n_twins  # every planted twin is a true pair
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in M[i]], 0) for i in ids],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    out = dedup_embedding_lsh(spark, d).collect()
+    assert {r.regime for r in out} == {"production"}
+    found = {(min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b)) for r in out}
+    assert found <= gt, f"{len(found - gt)} false positives"
+    recall = len(found & gt) / len(gt)
+    assert recall >= 0.9, (len(found), len(gt), recall)

@@ -2077,3 +2077,141 @@ def test_left_join_expiry_boundary_is_strict(spark, tmp_path):
         " strict; realign the stream_stream_left_join_expiry oracle"
     )
     assert 3 not in emitted  # unexpired tail stays in state
+
+
+# ---------------------------------------------------------------------------
+# r9: transformWithStateInPandas processors, pinned PROTOBUF-FREE
+# (r8 verdict #5 — same move as the Cassandra adapter-mapping test: the
+# gated API surface's LOGIC is covered even while the runtime dependency
+# is absent, so it can't rot between environments that have protobuf)
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeListState:
+    def __init__(self):
+        self._rows = []
+
+    def get(self):
+        from collections import namedtuple
+
+        Row = namedtuple("Row", ["value", "event_id"])
+        return iter([Row(*r) for r in self._rows])
+
+    def appendList(self, rows):
+        self._rows.extend(tuple(r) for r in rows)
+
+    def clear(self):
+        self._rows = []
+
+
+class _FakeHandle:
+    """Duck-typed StatefulProcessorHandle: getValueState/getListState
+    return in-memory states keyed by name — the exact call surface the
+    processors use (schema strings accepted and ignored)."""
+
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def test_tws_topk_processor_contract_protobuf_free():
+    """TopKEventsProcessor emission contract without the TWS runtime:
+    across THREE handleInputRows calls (state carried in ListState
+    between them) the final emission is the global top-K by value desc
+    with event_id-asc tie-breaks, rnk 1..K — equal to the brute-force
+    computation over every row ever fed."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import (
+        TWS_TOPK,
+        TopKEventsProcessor,
+    )
+
+    proc = TopKEventsProcessor()
+    proc.init(_FakeHandle())
+    batches = [
+        pd.DataFrame({"value": [5.0, 1.0, 3.0], "event_id": [10, 11, 12]}),
+        pd.DataFrame({"value": [4.0, 5.0], "event_id": [13, 2]}),  # value tie
+        pd.DataFrame({"value": [0.5, 9.0], "event_id": [14, 15]}),
+    ]
+    outs = [
+        list(proc.handleInputRows((7,), iter([b]), None))[-1] for b in batches
+    ]
+    final = outs[-1]
+    allrows = pd.concat(batches)
+    want = sorted(
+        zip(allrows["value"], allrows["event_id"]), key=lambda t: (-t[0], t[1])
+    )[:TWS_TOPK]
+    assert list(final["user_id"]) == [7] * TWS_TOPK
+    assert list(zip(final["value"], final["event_id"])) == want
+    assert list(final["rnk"]) == [1, 2, 3]
+    # the value tie (5.0 at event 10 vs event 2) broke toward the SMALLER
+    # event_id first — deterministic re-run stability
+    assert want[0] == (9.0, 15) and want[1] == (5.0, 2) and want[2] == (5.0, 10)
+    # intermediate emission after batch 1 was that batch's own top-3
+    assert list(zip(outs[0]["value"], outs[0]["event_id"])) == [
+        (5.0, 10),
+        (3.0, 12),
+        (1.0, 11),
+    ]
+
+
+def test_tws_running_totals_processor_contract_protobuf_free():
+    """RunningTotalsProcessor (ValueState) accumulates n/sum/last_ts
+    across calls and emits the running aggregate each time — the same
+    recurrence the applyInPandasWithState form and the batch groupBy
+    compute, pinned without the protobuf runtime."""
+    import pandas as pd
+
+    from structured_streaming_cassandra_sink_spark.streaming.stateful import (
+        RunningTotalsProcessor,
+    )
+
+    proc = RunningTotalsProcessor()
+    proc.init(_FakeHandle())
+    b1 = pd.DataFrame(
+        {
+            "value": [1.5, 2.5],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00.000001", "2024-01-01 09:00:00.000000"]
+            ),
+        }
+    )
+    b2 = pd.DataFrame(
+        {"value": [4.0], "ts": pd.to_datetime(["2024-01-01 12:30:00.999999"])}
+    )
+    o1 = list(proc.handleInputRows((42,), iter([b1]), None))[-1]
+    assert (
+        int(o1["user_id"][0]),
+        int(o1["n_events"][0]),
+        float(o1["sum_value"][0]),
+        o1["last_ts"][0],
+    ) == (42, 2, 4.0, pd.Timestamp("2024-01-01 10:00:00.000001"))
+    o2 = list(proc.handleInputRows((42,), iter([b2]), None))[-1]
+    assert (
+        int(o2["n_events"][0]),
+        float(o2["sum_value"][0]),
+        o2["last_ts"][0],
+    ) == (3, 8.0, pd.Timestamp("2024-01-01 12:30:00.999999"))

@@ -26,13 +26,30 @@ and written to /tmp (not committed):
   queries (ties break on vec_id deterministically).
 
 Usage: python tools/gen_sf1eq.py [OUT_DIR] [--copies N] [--tables a,b,..]
-       (default /tmp/sf1eq, 10 copies, all tables)
+       [--plant-every K]
+       (default /tmp/sf1eq, 10 copies, all tables, plant every 50th)
 Then:  python tools/scaling_curves.py --sf1eq OUT_DIR
+       python tools/measure_lsh_recall.py OUT_DIR
 
 The fifth decade (r8): --copies 100 --tables documents,embeddings builds
 an sf10-EQUIVALENT for the heavy dedup/ANN/graph/tfidf families only
 (their queries read just documents/embeddings + dims); generating 100x
 fact tables nothing measures would only burn disk.
+
+Planted near-dup twins (r9, verdict #2): every K-th embedding gets a
+deterministic TWIN at a known cosine in [0.905, 0.995] — twin =
+||x||*(cos(phi)*x_hat + sin(phi)*u_hat) with u a seeded gaussian
+orthogonalized against x, so cos(twin, x) = cos(phi) EXACTLY (up to
+float32 storage, recomputed after the cast and recorded). The sign-flip
+corpus otherwise has NO pair >= 0.9 (within-copy max 0.601 measured on
+sf0.1; different-base cross-copy <= 0.867 by the any-mask abs bound;
+same-base cross-copy <= 0.872 under the actual md5 masks at 100
+copies — bounds re-verified by measure_lsh_recall.py), so the planted
+set plus a cheap twin-vs-everything rectangular sweep IS the complete
+>= 0.9 ground truth — which makes dedup_embedding_lsh's
+production-regime recall MEASURABLE instead of formula-derived. Ground
+truth lands in OUT_DIR/planted_pairs.parquet (not a registered engine
+table). Twin vec_ids live at 10^9 + base vec_id.
 """
 
 from __future__ import annotations
@@ -62,6 +79,11 @@ def main() -> int:
     if "--tables" in args:
         i = args.index("--tables")
         tables = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    plant_every = 50
+    if "--plant-every" in args:
+        i = args.index("--plant-every")
+        plant_every = int(args[i + 1])
         del args[i : i + 2]
     dst = args[0] if args else "/tmp/sf1eq"
     os.makedirs(dst, exist_ok=True)
@@ -188,9 +210,83 @@ def main() -> int:
             16 * pscale,
         )
 
+    if "embeddings" in tables and plant_every > 0:
+        plant_twins(dst, plant_every)
+
     for t in sorted(tables):
         print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
     return 0
+
+
+def plant_twins(dst: str, plant_every: int) -> None:
+    """Plant deterministic >=0.9-cosine twins (module docstring) and
+    write the ground-truth pair table. Driver-side numpy: even sf10eq's
+    200k x 64 floats is ~50 MB — generator tooling, not engine path."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{dst}/embeddings.parquet/*.parquet'"
+        f" WHERE vec_id % {plant_every} = 0 ORDER BY vec_id"
+    ).fetchall()
+    twin_ids, twins, labels, pairs = [], [], [], []
+    for vec_id, emb, label in rows:
+        x = np.asarray(emb, dtype=np.float64)
+        nx = np.linalg.norm(x)
+        seed = int.from_bytes(
+            hashlib.md5(f"sf1eq-twin:{vec_id}".encode()).digest()[:8], "big"
+        )
+        rng = np.random.default_rng(seed)
+        # target cosine in [0.905, 0.995]: clear of the 0.9 cut so the
+        # float32 store and the engine's round(,6) cannot flip
+        # membership, and spanning easy-to-hard collision probabilities
+        target = 0.905 + 0.09 * rng.random()
+        u = rng.standard_normal(x.shape[0])
+        u -= (u @ x) / (nx * nx) * x
+        u /= np.linalg.norm(u)
+        t64 = nx * (target * x / nx + np.sqrt(1.0 - target * target) * u)
+        t32 = t64.astype(np.float32)
+        # the cosine AS STORED (float32), the value the engine sees
+        stored = float(
+            (t32.astype(np.float64) @ x)
+            / (np.linalg.norm(t32.astype(np.float64)) * nx)
+        )
+        assert stored >= 0.9049, (vec_id, stored)
+        tid = 10**9 + int(vec_id)
+        twin_ids.append(tid)
+        twins.append(t32)
+        labels.append(label)
+        pairs.append((int(vec_id), tid, stored))
+
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("label", pa.int32()),
+        ]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(twin_ids, pa.int64()),
+            "embedding": pa.array([t.tolist() for t in twins], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        },
+        schema=schema,
+    )
+    pq.write_table(tbl, f"{dst}/embeddings.parquet/part-planted-twins.parquet")
+    gt = pa.table(
+        {
+            "vec_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "vec_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "cos_stored": pa.array([p[2] for p in pairs], pa.float64()),
+        }
+    )
+    pq.write_table(gt, f"{dst}/planted_pairs.parquet")
+    print(f"planted {len(pairs)} twins (every {plant_every}th vec)")
 
 
 if __name__ == "__main__":
