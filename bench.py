@@ -138,7 +138,9 @@ def main() -> int:
             "_build_append_closed",
         ),
         "stream_stream_funnel_join": (
-            "stream_funnel_join",
+            # _v2: the r9 bounded-watermark re-derivation versioned the
+            # artifact so no pre-r9 unbounded build can be reused
+            "stream_funnel_join_v2",
             "_build_funnel_join",
         ),
         "stream_stream_left_join_expiry": (
