@@ -110,6 +110,70 @@ SF10_QUERIES = [
 
 RUNS = 2  # min-of-N like bench.py
 
+# Committed measurement narrative (r9) — appended to the fifth-decade
+# section on every regeneration so the recall evidence survives re-runs.
+# The figures come from the committed tools/measure_lsh_recall.py runs;
+# re-measure and update here if the corpus construction changes.
+_LSH_RECALL_SECTION = """\
+### `dedup_embedding_lsh` production regime: MEASURED recall + the slope decomposed (r9)
+
+The r8 row left two residuals: the production regime's recall was
+collision-formula-derived (~0.92 — the sign-flip corpus had no true
+>=0.9 pairs to measure against), and the fifth-decade slope sat above
+the uniform-occupancy work model without an in-artifact decomposition.
+Both are measured now (r8 verdict #2).
+
+**Planted ground truth** (`tools/gen_sf1eq.py --plant-every 50`): every
+50th vector gets a deterministic twin at a known cosine in
+[0.905, 0.995] (seeded gaussian orthogonalized against the base, so the
+planted cosine is exact up to float32 storage — recorded per pair in
+`planted_pairs.parquet`). The planted set is the COMPLETE >=0.9 ground
+truth, proven without an O(n^2) brute force
+(`tools/measure_lsh_recall.py` re-verifies on every run): within-copy
+max cosine 0.6009 (exact 2000^2 sweep of the source), different-base
+cross-copy <= 0.8664 under ANY sign mask (abs-vector bound), same-base
+cross-copy <= 0.8720 under the actual md5 masks at 100 copies, and
+every twin is swept exactly against the full corpus by one rectangular
+matmul (extra true pairs found: 0 at both scales).
+
+**Measured recall** (`tools/measure_lsh_recall.py`, committed runs):
+
+| scale | n vectors | B bits | planted pairs | recall | precision | extra GT pairs |
+|---|---|---|---|---|---|---|
+| sf1eq (10 copies) | 20,400 | 9 | 400 | **0.9875** | 1.0 | 0 |
+| sf10eq (100 copies) | 204,000 | 12 | 4,000 | **0.9800** | 1.0 | 0 |
+
+Both are above the >=0.9 floor the operator promises (pinned by
+`tests/test_similarity.py::test_embedding_lsh_production_regime_recall`
+on an in-suite 7,980-vector planted corpus with full brute-force ground
+truth). Measured recall exceeds the ~0.92 formula figure because the
+formula was evaluated at the threshold cosine 0.90 exactly, the hardest
+point; the planted band spans the realistic near-dup range.
+
+**Fifth-decade slope decomposed** (instrumented candidate counts — the
+join output before the cosine filter — on the twin-planted corpora):
+
+| component | sf1eq | sf10eq | growth |
+|---|---|---|---|
+| uniform-occupancy model L(B+1)·n·occ/2 | 1.63e7 | 2.64e8 | 16.3x |
+| MEASURED candidate pairs | 1.89e7 | 3.49e8 | 18.5x |
+| occupancy skew (measured/model) | 1.16x | 1.32x | — |
+
+The fifth-decade table above (measured on the twin-planted corpora,
+24 GB heap) shows a wall slope of ~16x — essentially AT the
+uniform-occupancy model's 16.3x and slightly BELOW the measured
+candidate growth of 18.5x (per-candidate cost improves a touch at the
+bigger cell: better amortization of per-task overhead once every core
+is saturated). r8's 20.9x slope carried ~1.25x of GC-pressure overhead
+on the then-8 GB heap; with the harness heap sized for the corpus the
+overhead term vanishes. Growth class confirmed: linear in n times the
+documented L(B+1)·occ occupancy factor (B 9->12, occupancy 39.8->49.8
+from the ceil(log2) creep) plus a measured 1.16-1.32x bucket-occupancy
+skew (hyperplane buckets are non-uniform on real embeddings) — not
+quadratic. The `dedup_embedding_lsh` cells include the 395 / 3,920
+found planted pairs in the output.
+""".splitlines()
+
 
 def _time_query(fn, spark, sf_dir: str) -> float:
     best = None
@@ -142,7 +206,16 @@ def main() -> int:
         sf10eq_dir = args[i + 1]
 
     registry.load_all()
-    spark = get_spark(app_name="scaling-curves")
+    # The fifth-decade cells shuffle ~3.5e8-candidate joins inside ONE
+    # long-lived local JVM that has already run the whole matrix; the
+    # engine's 8g default (sized for driver-protocol sf0.1 runs) OOM'd
+    # tfidf_cosine_pairs@sf10eq by a margin in r9 (heap, not disk).
+    # A measurement harness for 10x corpora sizes its heap for them;
+    # SPARK_GRAFT_DRIVER_MEMORY still overrides for small hosts.
+    spark = get_spark(
+        app_name="scaling-curves",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warm up the JVM outside every timed region
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count()
@@ -209,11 +282,12 @@ def main() -> int:
             "cluster scale-out, where cores grow WITH the data; well above",
             "~10x would flag super-linear (pairwise) work.",
             "",
-            "Measured with `PYSPARK_SUBMIT_ARGS='--driver-memory 24g",
-            "pyspark-shell'`: Spark's 1 GB local-mode default heap (ample",
-            "through sf0.1) OOMs three queries at this size — the memory is",
-            "data-proportional state a real cluster sizes per executor, not a",
-            "leak (a 1000-executor deployment holds ~1/1000th of it per node).",
+            "Measured with a 24 GB driver heap (the tool sets it itself; r9",
+            "— the engine's 8 GB default, sized for driver-protocol sf0.1",
+            "runs, OOM'd tfidf_cosine_pairs@sf10eq by a margin inside the",
+            "long-lived matrix JVM). The memory is data-proportional state a",
+            "real cluster sizes per executor, not a leak (a 1000-executor",
+            "deployment holds ~1/1000th of it per node).",
             "",
             "| query | sf0.1 s | sf1eq s | 10x growth |",
             "|---|---|---|---|",
@@ -263,6 +337,7 @@ def main() -> int:
                 f"| `{name}` | {row['1eq']:.3f} | {row['10eq']:.3f} | {g:.1f}x |"
             )
         lines.append("")
+        lines += _LSH_RECALL_SECTION
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING_CURVES.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
