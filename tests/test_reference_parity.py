@@ -177,3 +177,48 @@ def test_cassandra_adapter_emits_reference_writer_mapping():
         "timestamp_dt",
     ]
     assert [f.nullable for f in FX_SINK.fields] == [False, True, True]
+
+
+def test_kafka_stream_emits_reference_source_mapping():
+    """Jar-free pin of the production Kafka source construction (r9 —
+    the same move as the Cassandra adapter-mapping test below the
+    envelope-parse test above): `kafka_stream` must build the EXACT
+    reference scan (cassandra_sink.scala:98-103) — format "kafka",
+    `kafka.bootstrap.servers`, `subscribe`, then load() — with the
+    startingOffsets knob the reference leaves at Spark's default
+    surfaced explicitly. Driven against a duck-typed reader recorder,
+    so the mapping cannot rot while the kafka jar is absent from the
+    container (the executed streaming evidence replays the same
+    `value`-envelope wire through the file mirror)."""
+    from structured_streaming_cassandra_sink_spark.streaming.sources import kafka_stream
+
+    calls = {}
+
+    class _Reader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            calls.setdefault("options", {})[k] = v
+            return self
+
+        def load(self):
+            calls["loaded"] = True
+            return "df-sentinel"
+
+    class _FakeSpark:
+        @property
+        def readStream(self):
+            return _Reader()
+
+    out = kafka_stream(
+        _FakeSpark(), "broker1:9092,broker2:9092", "currency_exchange"
+    )
+    assert out == "df-sentinel" and calls["loaded"]
+    assert calls["format"] == "kafka"  # ref :100
+    assert calls["options"] == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",  # ref :101
+        "subscribe": "currency_exchange",  # ref :102
+        "startingOffsets": "latest",  # Spark's streaming default, explicit
+    }
