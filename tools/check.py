@@ -156,10 +156,13 @@ def main() -> int:
     if "--json" in args:
         i = args.index("--json")
         if i + 1 >= len(args):
-            print("usage: check.py [--json OUT_PATH] [query ...]")
+            print("usage: check.py [--json OUT_PATH] [--plain] [query ...]")
             return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    plain = "--plain" in args
+    if plain:
+        args.remove("--plain")
     wanted = args
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -169,7 +172,19 @@ def main() -> int:
         print(f"unknown queries: {unknown}; known: {sorted(qs)}")
         return 2
 
-    spark = get_spark(app_name="check")
+    if plain:
+        # Driver-sim mode (r9): the external driver builds a PLAIN
+        # SparkSession — none of get_spark's conf (200 default shuffle
+        # partitions instead of 32 => different partial-agg order, AQE
+        # defaults, no Arrow conf). Any query whose green depends on our
+        # session factory rather than the order-independent contracts
+        # shows up here before it burns a driver slot.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(app_name="check")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
