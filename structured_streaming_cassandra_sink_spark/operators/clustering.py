@@ -78,32 +78,47 @@ def _init_centroids(vecs: DataFrame, k: int) -> DataFrame:
 def _assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """(vec_id, cluster, d, v): nearest centroid per vector under the
     ROUNDED distance with cluster-id tie-break. The K centroids arrive
-    as a DRIVER-SIDE LIST (bounded: K rows per iteration) and are
-    re-injected as literal arrays, so assignment is a PURE MAP — one
-    projection computing K folds and a lexicographic least() — with no
-    crossJoin row explosion and, critically, no groupBy(vec_id) that
-    drags the full DIM-double vector payload through a shuffle (the
-    pre-r6 shape shuffled corpus x vector three times per run; this
-    shuffles nothing). Same _sqdist fold over a literal array, so the
-    accumulation order — and therefore every rounded distance — is
-    bit-identical to the broadcast-join form and the oracle's
-    list_sum."""
+    as a DRIVER-SIDE LIST (bounded: K rows per iteration) and ride along
+    as a single broadcast 1-row relation (one array column per cluster),
+    so assignment is a broadcast product with a 1-row side — effectively
+    a PURE MAP: one projection computing K folds and a lexicographic
+    least(), with no groupBy(vec_id) that drags the full DIM-double
+    vector payload through a shuffle (the pre-r6 shape shuffled
+    corpus x vector three times per run; this shuffles nothing).
+
+    Broadcast columns instead of the r6 LITERAL arrays (optimization
+    r10): embedding the K·DIM doubles as literals made every iteration's
+    generated code UNIQUE, so each Lloyd round recompiled the same
+    64-term fold projection from scratch (and evicted other queries from
+    the 100-entry codegen cache in full-registry runs — kmeans measured
+    6.1 s interleaved vs 3.8 s solo). With column references the
+    generated source is identical across iterations and runs; values
+    live in the broadcast row. Same _sqdist fold over the same doubles,
+    so every rounded distance is bit-identical to the literal form and
+    the oracle's list_sum (diffed row-equal before the swap)."""
+    spark = vecs.sparkSession
+    cents = sorted(cents)
+    cdf = spark.createDataFrame(
+        [tuple(list(c) for _, c in cents)],
+        ", ".join(f"__c{cl} array<double>" for cl, _ in cents),
+    )
     structs = [
         F.struct(
-            F.round(
-                _sqdist(F.col("v"), F.array(*[F.lit(float(x)) for x in c])),
-                DIST_DP,
-            ).alias("d"),
+            F.round(_sqdist(F.col("v"), F.col(f"__c{cl}")), DIST_DP).alias("d"),
             F.lit(int(cl)).alias("cluster"),
         )
-        for cl, c in cents
+        for cl, _ in cents
     ]
     # least(struct...) is lexicographic on (d, cluster) — unique per row.
-    return vecs.select("vec_id", "v", F.least(*structs).alias("b")).select(
-        "vec_id",
-        F.col("b.cluster").alias("cluster"),
-        F.col("b.d").alias("d"),
-        "v",
+    return (
+        vecs.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "v", F.least(*structs).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.d").alias("d"),
+            "v",
+        )
     )
 
 
@@ -127,12 +142,16 @@ def kmeans_assignments(
     """Lloyd's algorithm, `iters` update steps from the deterministic
     init, returning the FINAL assignment (vec_id, cluster, dist).
 
-    Per iteration: ONE corpus scan (map-side literal-centroid assign +
+    Per iteration: ONE corpus scan (map-side broadcast-centroid assign +
     K-group partial-agg update) whose K-row result is collected —
     a bounded driver-side constant, the same discipline as the probe
-    sets — and re-injected as literals for the next step. Collecting
-    also flattens the per-iteration lineage, replacing the pre-r6
-    localCheckpoint."""
+    sets — and re-injected as a 1-row broadcast for the next step.
+    Collecting also flattens the per-iteration lineage, replacing the
+    pre-r6 localCheckpoint. The corpus projection is localCheckpointed
+    once up front (r10): the iterations are inherently sequential
+    driver-synced jobs, and without it every one of the k+2 jobs
+    re-read the parquet and re-ran the spread() repartition."""
+    vecs = vecs.localCheckpoint(eager=False)
     cents = sorted(
         (r["cluster"], list(r["c"]))
         for r in _init_centroids(vecs, k).collect()
@@ -444,12 +463,12 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pts feeds the cell rollup AND the two point-assignment joins;
     # core feeds the neighbor explode, the edge join and core_comp —
     # materialize both once (the repo's multi-consumer rule)
-    pts = pts.withColumn("cell", cell_id).localCheckpoint(eager=True)
+    pts = pts.withColumn("cell", cell_id).localCheckpoint(eager=False)
     cells = pts.groupBy("cell", "cx", "cy").agg(F.count(F.lit(1)).alias("n"))
     core = (
         cells.filter(F.col("n") >= DBSCAN_MINPTS)
         .select("cell", "cx", "cy")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # x9 neighbor explode on one side, equi-join on shifted coords
     nbr = core.select(

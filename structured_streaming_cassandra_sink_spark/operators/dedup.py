@@ -109,16 +109,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. Exact n-gram Jaccard via inverted-index join
 # ---------------------------------------------------------------------------
+def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingles array<string>, sz) — distinct word n-grams per doc.
+
+    ZERO-shuffle form (optimization r10): the distinct shingle set of a
+    document depends only on that document's own tokens, so it is a pure
+    per-row ``array_distinct(transform(positions, build-shingle))``
+    projection — the r1-r9 explode + collect_set shape shuffled every
+    (doc_id, shingle-string) row (the fattest intermediate in the dedup
+    family, ~4M ~25 B strings at sf0.1) just to regroup them under the
+    doc_id they started with. Set semantics identical (array_distinct
+    dedups exactly like collect_set; element ORDER differs but every
+    consumer is order-insensitive: array_intersect sizes, explodes into
+    aggregations, hash transforms). The old Generate-re-evaluation
+    worry about inline-computed arrays was re-measured on Spark 4.1:
+    explode evaluates its child ONCE per input row, so both this
+    transform and downstream explodes of it stay linear.
+
+    CALLER CONTRACT (r10): being a pure projection, this leaves NO
+    exchange for Spark to reuse — every consumer that reads the arrays
+    more than once (verify joins read both pair sides) must
+    localCheckpoint the result, or sibling projections (sz, explode)
+    re-evaluate the whole shingle construction per reference. All four
+    call sites do. For exploded single-pass consumption use
+    shingle_rows/shingle_table, whose aggregation shapes measured
+    faster there."""
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> array_join(slice(toks, i, {n}), ' ')))"
+    )
+    return base.select("doc_id", sh.alias("shingles")).withColumn(
+        "sz", F.size("shingles")
+    )
+
+
 def shingle_rows(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     """(doc_id, shingle) distinct word n-gram rows.
 
-    CRITICAL plan shape: explode POSITIONS, then build each shingle per
-    exploded row. Exploding an inline-computed array
-    (``explode(transform(...))``) makes Generate re-evaluate the
-    producing expression per OUTPUT row — O(shingles²) work per document
-    (measured 40x on this path). Position-explode keeps it linear;
-    exploding a materialized attribute (post-aggregation/exchange) is
-    equally safe."""
+    Position-explode, then build each shingle per exploded row, then
+    DISTINCT. Kept in this exploded shape (r10 re-measured): deriving it
+    from the pure-map shingle_arrays re-computes the whole per-row array
+    expression for every projection that touches it (explode + any
+    sibling column), which measured ~3x slower than this form on the
+    contamination/novelty consumers — while the DISTINCT exchange here
+    doubles as the reuse point when a query reads the rows twice."""
     toks = tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
     ex = base.select(
@@ -131,13 +167,12 @@ def shingle_rows(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     ).distinct()
 
 
-def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, shingles array<string>, sz) — distinct word n-grams per doc.
-
-    collect_set both aggregates AND dedups, so this is ONE shuffle keyed
-    by doc_id straight off the position-explode (a separate distinct
-    first would add a second, wider shuffle keyed by (doc_id, shingle)
-    for nothing — map-side partial collect_set already dedups locally)."""
+def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle, sz) exploded inverted index; sz = |shingle set|.
+    Built from one explode + collect_set aggregation and re-exploded —
+    the aggregation output is a materialized attribute, so the explode
+    and the sz projection never re-evaluate the shingle construction
+    (the pure-map shingle_arrays form measured ~3x slower here, r10)."""
     toks = tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
     ex = base.select(
@@ -145,7 +180,7 @@ def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
         "toks",
         F.explode(F.expr(f"sequence(1, size(toks) - {n - 1})")).alias("i"),
     )
-    return (
+    agged = (
         ex.select(
             "doc_id", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("shingle")
         )
@@ -153,17 +188,7 @@ def shingle_arrays(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
         .agg(F.collect_set("shingle").alias("shingles"))
         .withColumn("sz", F.size("shingles"))
     )
-
-
-def shingle_table(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, shingle, sz) exploded inverted index; sz = |shingle set|.
-    Derived from the one-shuffle shingle_arrays by re-exploding — the
-    array is a materialized aggregation output, so the explode is safe
-    (no per-output-row re-evaluation) and adds NO shuffle. Replaces the
-    round-1 distinct + count-window shape (two shuffles)."""
-    return shingle_arrays(docs, n).select(
-        "doc_id", "sz", F.explode("shingles").alias("shingle")
-    )
+    return agged.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
 
 
 def _exact_pair_stats(candidates: DataFrame, arr: DataFrame) -> DataFrame:
@@ -267,7 +292,7 @@ def ngram_jaccard_pairs(
     it — so hash-candidates are a superset of true pairs and the exact
     string-array verify of survivors makes the output identical to the
     all-string join."""
-    arr = shingle_arrays(docs, n).localCheckpoint(eager=True)
+    arr = shingle_arrays(docs, n).localCheckpoint(eager=False)
     cand = (
         _hashed_candidate_counts(arr)
         .filter(
@@ -305,7 +330,7 @@ def ngram_jaccard_pairs_prefix(
     # counts, rank, both verify sides) would otherwise each re-run the
     # shingle transform. At cluster scale this is a persisted/checkpointed
     # intermediate table by design, not an optimization.
-    arr = shingle_arrays(docs, n).localCheckpoint(eager=True)
+    arr = shingle_arrays(docs, n).localCheckpoint(eager=False)
     sh = arr.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_tbl, "shingle").withColumn(
@@ -401,8 +426,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verify on the tiny LSH-survivor candidate set — which is the
-    # entire point of banding (never the Σ df² full self-join).
-    return _verify_candidates(candidates, shingle_arrays(docs, n), threshold)
+    # entire point of banding (never the Σ df² full self-join). The
+    # shingle arrays are materialized once (r10): _exact_pair_stats reads
+    # them on BOTH pair sides, and the zero-shuffle shingle_arrays no
+    # longer leaves an exchange for Spark to reuse across consumers.
+    arr = shingle_arrays(docs, n).localCheckpoint(eager=False)
+    return _verify_candidates(candidates, arr, threshold)
 
 
 @query(
@@ -583,13 +612,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # Materialize the edge list once — every round joins against it, and
     # without this each round would re-run the (possibly expensive)
     # pair-generation pipeline that produced `edges`.
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
     # Fused init + first hop: label(node) = min(node, min(nbr)) is ONE
     # shuffle — replaces the separate distinct-node round plus a join.
     labels = sym.groupBy("node").agg(
         F.least(F.col("node"), F.min("nbr")).alias("comp")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     # Min-propagation is monotone (labels only decrease), so the sum of
     # labels is a fixpoint witness: unchanged sum == converged. One cheap
     # aggregate per round instead of a join-based diff.
@@ -613,7 +642,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         jumped = left.join(right, F.col("l.comp") == F.col("r.node")).select(
             F.col("l.node").alias("node"), F.col("r.comp").alias("comp")
         )
-        labels = jumped.localCheckpoint(eager=True)
+        labels = jumped.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break
@@ -839,7 +868,7 @@ def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filtered index (containment admits the same rarest-shingle
     prefix bound on the CONTAINED side)."""
     docs = spread(load_table(spark, "documents", sf_dir))
-    arr = shingle_arrays(docs, NGRAM_N).localCheckpoint(eager=True)
+    arr = shingle_arrays(docs, NGRAM_N).localCheckpoint(eager=False)
     # hashed counts are a SUPERSET under any monotone-in-overlap
     # predicate (see _hashed_candidate_counts) — exact verify follows
     cand = (
@@ -1291,7 +1320,7 @@ def dup_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = p.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionAll(p.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     dist = (
         docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0)
         .select(F.col("doc_id").alias("node"))
@@ -1305,7 +1334,7 @@ def dup_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(k))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         dist = dist.unionAll(nxt)
         frontier = nxt.select("node")
@@ -1368,14 +1397,23 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
     toks = tokens(F.col("text"))
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= NGRAM_N)
+    # Terms are xxhash64(w1, w2, w3) FROM THE START (optimization r10):
+    # the r1-r9 shape built every ~25 B trigram string, shuffled the
+    # strings through the tf and df aggregations, and only then hashed
+    # for the self-join. Hashing the three token columns directly skips
+    # the string construction entirely and makes every downstream
+    # shuffle key 8 B. Collision surface is the same documented trade as
+    # before (P ~ |vocab|²/2^65, ~1e-11 here; idf-weighting makes any
+    # collided term near-noise) — it merely moves from the join to the
+    # tf count; oracle-hash equality at all driver scales pins that no
+    # collision exists on this corpus.
     sh = base.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {NGRAM_N - 1}),"
-                f" i -> array_join(slice(toks, i, {NGRAM_N}), ' '))"
-            )
-        ).alias("t"),
+        "toks",
+        F.explode(F.expr(f"sequence(1, size(toks) - {NGRAM_N - 1})")).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr("xxhash64(toks[i-1], toks[i], toks[i+1])").alias("t"),
     )
     tf = sh.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -1391,16 +1429,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df").cast("double"))
             ).alias("w"),
         )
-        # join/shuffle on xxhash64(term), not the ~25B string — same trick
-        # as ngram_jaccard's inverted index. Unlike there, no exact-verify
-        # pass follows, but a collision must pair two distinct shingles
-        # ACROSS the 64-bit space (P ~ |vocab|²/2^65, ~1e-11 here) and
-        # idf-weighting makes any such term near-noise; documented trade.
-        .withColumn("t", F.xxhash64("t"))
         # the weight index feeds FOUR consumers (norms twice via na/nb,
         # both self-join sides): materialize once or the whole
         # tokenize→tf→df pipeline re-executes per consumer
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a, b = w.alias("a"), w.alias("b")

@@ -1218,7 +1218,19 @@ def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is map-side least/greatest, codegen-resident. At 100 TB the
     exact percentile swaps for approx_percentile (documented on
     `exact_percentiles`) without touching the clip plumbing."""
-    li = load_table(spark, "lineitem", sf_dir)
+    # spread() the projected fact input (optimization r10): exact
+    # percentile's update phase (per-row sorted-buffer insert) is the
+    # dominant cost and the single-row-group parquet scan runs it on ONE
+    # task — measured 3.4 s -> 1.8 s for the cuts aggregate alone with a
+    # 32-way fan-out of the two needed columns. Both consumers (cuts and
+    # the final clip aggregate) read the same spread projection. The 4dp
+    # round on every float aggregate already absorbs the partial-agg
+    # order change, the same tolerance the query was built on.
+    li = spread(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_returnflag", "l_extendedprice"
+        )
+    )
     cuts = li.groupBy("l_returnflag").agg(
         F.round(
             F.expr(f"percentile(l_extendedprice, {WINS_LO})"), 4

@@ -1512,18 +1512,11 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     items = li.select("l_orderkey", "l_partkey").distinct()
     part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+    pairs = _copurchase_pair_counts(
+        li.select("l_orderkey", "l_partkey")
+    ).select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"),
+        F.col("n").alias("n_ab"),
     )
     top = pairs.orderBy(F.col("n_ab").desc(), "part_a", "part_b").limit(
         BASKET_TOP_PAIRS
@@ -1728,7 +1721,7 @@ def surrogate_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = d.select("doc_id", "source").repartitionByRange(
         n, F.col("source"), F.col("doc_id")
     ).withColumn("__pid", F.spark_partition_id())
-    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning across passes
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning across passes
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
     offsets, acc = {}, 0
     for pid, c in sorted((r["__pid"], r["c"]) for r in counts):
@@ -1847,14 +1840,31 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     rare = pn.filter(F.col("n").between(AA_PART_MIN, AA_PART_CAP))
     w = cp.join(rare, "p")
-    w = w.localCheckpoint(eager=True)  # both wedge sides read it
-    a, b = w.alias("a"), w.alias("b")
+    # Wedge generation by per-part buyer sets instead of the self-join
+    # (optimization r10, same rewrite as _copurchase_pair_counts): one
+    # groupBy(p) with map-side partial collect_set replaces the
+    # checkpoint + both join sides re-keyed by p — 2 exchanges fewer and
+    # no SMJ. The buyer set per part is bounded by AA_PART_CAP by
+    # construction, so the in-array pair expansion is a bounded k² — the
+    # exact same fan-out the equi-join had. Pair multiset identical
+    # (collect_set dedups like the DISTINCT cp; sorted array emits each
+    # c_a < c_b wedge once per part); the Σ 1/ln(n) addend multiset is
+    # identical too, so the 4dp-rounded score is unchanged under the
+    # same partial-agg-order tolerance the query already relies on.
+    wsets = w.groupBy("p").agg(
+        F.array_sort(F.collect_set("c")).alias("cs"), F.first("n").alias("n")
+    ).filter(F.size("cs") >= 2)
+    wedge_arr = F.expr(
+        "flatten(transform(cs, (x, i) -> "
+        "transform(slice(cs, i + 2, size(cs) - i - 1), "
+        "y -> struct(x AS ca, y AS cb))))"
+    )
     scored = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
-        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+        wsets.select("n", F.explode(wedge_arr).alias("pr"))
+        .groupBy(F.col("pr.ca").alias("cust_a"), F.col("pr.cb").alias("cust_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
-            F.round(F.sum(F.lit(1.0) / F.log(F.col("a.n"))), 4).alias("adamic_adar"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("n"))), 4).alias("adamic_adar"),
         )
     )
     wr = Window.orderBy(F.col("adamic_adar").desc(), "cust_a", "cust_b")
@@ -2031,7 +2041,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hub = cp.select("c").distinct().withColumn("h", F.lit(1.0))
     auth = None
@@ -2047,7 +2057,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             cp.join(hub, "c")
             .groupBy("p")
             .agg(F.sum("h").alias("s"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         an = a_raw.agg(F.max("s").alias("m"))
         auth = a_raw.crossJoin(F.broadcast(an)).select(
@@ -2057,7 +2067,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             cp.join(auth, "p")
             .groupBy("c")
             .agg(F.sum("a").alias("s"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hn = h_raw.agg(F.max("s").alias("m"))
         hub = h_raw.crossJoin(F.broadcast(hn)).select(
@@ -2121,27 +2131,14 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines ((w1+w2)+w3), so the min-reduced distances are
     bit-identical before the final (no-op) round."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= SSSP_MIN_SUPPORT)
-    )
+    pairs = _copurchase_pair_counts(li).filter(F.col("n") >= SSSP_MIN_SUPPORT)
     w = F.round(F.lit(1.0) / F.log(1 + F.col("n")), 6)
     edges = (
         pairs.select(F.col("pa").alias("s"), F.col("pb").alias("d"), w.alias("w"))
         .unionAll(
             pairs.select(F.col("pb").alias("s"), F.col("pa").alias("d"), w.alias("w"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = (
         edges.filter(F.col("s") % SSSP_SEED_MOD == 0)
@@ -2158,7 +2155,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist.select("node", F.round("dist", 6).alias("dist"))
 
@@ -2277,6 +2274,38 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_K = 2
 KCORE_ROUNDS = 4
 
+def _copurchase_pair_counts(li: DataFrame) -> DataFrame:
+    """(pa, pb, n): unordered distinct part pairs per order, counted
+    across orders — the shared candidate stage of market_basket_pairs,
+    graph_sssp_weighted and _copurchase_edges.
+
+    collect_set-per-order + in-array pair expansion (optimization r10,
+    guide §2.4): the previous DISTINCT + self-join-on-orderkey shape cost
+    4 exchanges (distinct, both join sides re-keyed by orderkey, pair
+    aggregate) plus a sort-merge join; this is 2 exchanges — one by
+    order key with map-side partial collect_set, one by pair — and the
+    pair multiset is identical: collect_set dedups exactly like the
+    DISTINCT did, and the sorted array emits each pa < pb combination
+    once per order. Per-basket work is O(k²) in either shape (the self
+    join also fans out k² per order); the documented 100 TB guard is
+    unchanged — cap or salt giant baskets BEFORE this stage."""
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
+    return (
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 _COPURCHASE_EDGES_SQL = f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -2295,24 +2324,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     graph every structure statistic below runs on (same construction
     as graph_sssp_weighted, weights dropped)."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= SSSP_MIN_SUPPORT)
-    )
+    pairs = _copurchase_pair_counts(li).filter(F.col("n") >= SSSP_MIN_SUPPORT)
     return (
         pairs.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
         .unionAll(pairs.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -2436,7 +2452,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep.withColumnRenamed("node", "s"), "s")
             .join(keep.withColumnRenamed("node", "d"), "d")
             .select("s", "d")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     final_deg = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("degree_in_core")

@@ -863,34 +863,76 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(planes_per_table)
         ],
     )
-    a = buckets.withColumn("psig", F.explode(probe_sigs)).alias("a")
-    b = buckets.alias("b")
-    # Verify-then-dedup, NOT dedup-then-verify: a candidate pair's cosine
-    # is identical whichever probe found it, so the exact check runs
-    # inline in the join's codegen and the >= threshold filter kills
-    # ~everything BEFORE any exchange. The old order dropDuplicates'd
-    # first — shuffling both 64-dim vectors for every candidate pair
-    # (at sf0.1: ~15M pairs x 128 doubles); this order shuffles only the
-    # few surviving (id, id, cos) rows. A pair is rediscovered <= L times
-    # (once per table), so the duplicated dot products are bounded and
-    # map-side — far cheaper than a wide exchange.
-    sim = F.round(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 6
+    # Per-bucket VECTORIZED verification (optimization r10, guide §4.2).
+    # The candidate volume is Σ_bucket |probes|·|homes| dot products
+    # (~2.5M at sf0.1 demo regime); evaluating them as per-pair Catalyst
+    # folds inside the bucket join costs ~1.4 µs/pair interpreted
+    # (measured — the whole query was 6.9 s, ~5 s of it the folds).
+    # Instead the probe and home rows of each (table, bucket) group meet
+    # in ONE applyInPandas and the group's full candidate block is one
+    # numpy gram matrix (Va @ Vb.T): identical shuffle bytes (the join
+    # shuffled the same expanded rows on the same key), ~50x cheaper
+    # verification, and each bucket's pairs are produced exactly once
+    # instead of once per probe hit. Raw cosines come back UNROUNDED and
+    # the round(6)/threshold/dropDuplicates pipeline is unchanged, so
+    # the emitted pair set is the same (raw float64 bits may differ from
+    # the sequential fold at ~1e-16 relative — far below the 6dp grid;
+    # old-vs-new outputs diffed set-equal at sf0.001/0.01/0.1).
+    # Group sizes are bounded by design (demo: n <= LSH_DEDUP_DEMO_MAX_N;
+    # production: occupancy held ~constant by B = log2(n/occ)), so no
+    # pandas group can blow up at scale.
+    probes = buckets.select(
+        "vec_id", "v", "nv", "t",
+        F.explode(probe_sigs).alias("bkt"),
+        F.lit(0).alias("side"),
+    )
+    homes = buckets.select(
+        "vec_id", "v", "nv", "t", F.col("sig").alias("bkt"), F.lit(1).alias("side")
+    )
+    import numpy as np
+    import pandas as pd
+
+    # Conservative in-batch prefilter: round(raw, 6) >= thr implies
+    # raw >= thr - 5e-7, so raw >= thr - 1e-6 keeps every pair the exact
+    # JVM-side round/threshold can accept while shrinking the Arrow
+    # return path from |candidates| (~2.5M at sf0.1) to |near-matches|
+    # (~1k) rows. The authoritative filter stays in the JVM, unchanged.
+    pre_thr = thr - 1e-6
+
+    def _gram_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "raw": "float64"}
+            )
+        va = np.vstack(a["v"].to_numpy())
+        vb = np.vstack(b["v"].to_numpy())
+        ia = a["vec_id"].to_numpy()
+        ib = b["vec_id"].to_numpy()
+        g = (va @ vb.T) / np.outer(a["nv"].to_numpy(), b["nv"].to_numpy())
+        ai, bi = np.nonzero((ia[:, None] < ib[None, :]) & (g >= pre_thr))
+        return pd.DataFrame(
+            {"vec_a": ia[ai], "vec_b": ib[bi], "raw": g[ai, bi]}
+        )
+
+    cand = (
+        probes.unionByName(homes)
+        .groupBy("t", "bkt")
+        .applyInPandas(_gram_pairs, "vec_a long, vec_b long, raw double")
     )
     return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.psig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cos_sim"),
+        cand.select(
+            "vec_a", "vec_b", F.round(F.col("raw"), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= thr)
-        .dropDuplicates(["vec_a", "vec_b"])
+        # groupBy/min instead of dropDuplicates: the rounded cosine is
+        # identical across a pair's <= L rediscoveries, so min == any,
+        # but the aggregate is DETERMINISTIC (dropDuplicates keeps an
+        # arbitrary duplicate) and avoids a Catalyst Deduplicate-node
+        # rewrite bug under exceptAll observed on Spark 4.1.
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cos_sim").alias("cos_sim"))
         .withColumn("regime", F.lit(regime))
     )
 
@@ -1749,7 +1791,7 @@ def pq_build(
     index_dir = index_dir or _pq_index_dir(sf_dir)
     corpus, _ = _corpus_and_queries(spark, sf_dir)
     cv = corpus.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    book = _codebook(cv, PQ_ADC_K, PQ_ADC_M).localCheckpoint(eager=True)
+    book = _codebook(cv, PQ_ADC_K, PQ_ADC_M).localCheckpoint(eager=False)
     codes = pq_code_rows(cv, book, PQ_ADC_M).select("vec_id", "m", "code")
     norms = cv.select("vec_id", norm(F.col("v")).alias("cn"))
     tmp = f"{index_dir}.build-{os.getpid()}"
@@ -2289,7 +2331,11 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("tn", norm(F.col("tv")))
     )
-    tr = emb.filter(F.col("vec_id") % KNN_TEST_MOD != 0).select(
+    # spread() the TRAIN side (optimization r10): it carries the whole
+    # per-pair cosine workload (|train| x |test| folds), and the single-
+    # row-group parquet arrives as ONE scan task — the query ran its
+    # ~2.4 s of compute on one core of 32 (12 tasks total profiled).
+    tr = spread(emb.filter(F.col("vec_id") % KNN_TEST_MOD != 0)).select(
         "vec_id", as_double(F.col("embedding")).alias("cv"), "label"
     ).withColumn("cn", norm(F.col("cv")))
     cs = F.round(dot(F.col("tv"), F.col("cv")) / (F.col("tn") * F.col("cn")), 6)

@@ -983,7 +983,15 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic blowup on template text; the pair agg shuffles only
     (id, id) pairs."""
     d = spread(load_table(spark, "documents", sf_dir))
-    fp = winnow_fingerprints(d, PAIR_WINNOW_K, PAIR_WINNOW_W)
+    # Materialize the fingerprint table once (optimization r10): it feeds
+    # THREE consumers (the df-cap aggregate and both sides of the
+    # self-join), and each re-ran the ~N_chars md5-per-document winnowing
+    # pipeline from scratch (measured 3x the fingerprint cost, 4.6 s of
+    # the query's 6.8 s profile). One pass + checkpoint is the multi-
+    # consumer rule every other index-shaped operator here follows.
+    fp = winnow_fingerprints(d, PAIR_WINNOW_K, PAIR_WINNOW_W).localCheckpoint(
+        eager=False
+    )
     rare = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1393,7 +1401,10 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
     from .dedup import shingle_rows
 
-    sh = shingle_rows(docs, 3)
+    # Materialize the shingle rows once (r10): they feed the first-
+    # occurrence index AND the join back, and the zero-shuffle
+    # shingle_rows no longer leaves a reusable exchange.
+    sh = shingle_rows(docs, 3).localCheckpoint(eager=False)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (

@@ -231,7 +231,7 @@ def running_total(
     ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both passes
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
     subtotals = (
         ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum")).collect()
     )
@@ -830,33 +830,49 @@ def _chain_walk(spark: SparkSession, ev: DataFrame) -> DataFrame:
         "spark.sql.cteRecursionRowLimit",
         str(max(1_000_000, int(n_events) + 1_000)),
     )
-    ev.createOrReplaceTempView("__chain_events")
+    # Materialize the edge and root tables ONCE before the recursion
+    # (optimization r10): as plain CTEs they inline into the recursive
+    # step, so every one of the `longest`-many UnionLoop iterations
+    # re-ran the window-over-all-events pipeline just to rebuild the
+    # static edge relation (35 jobs / 3.7 s execute at sf0.1; the walk
+    # itself only ever joins a shrinking frontier against edges). The
+    # recursion now joins a checkpointed edge table — per-round cost is
+    # the frontier join alone, which is the shape that scales (rounds x
+    # |edges|, not rounds x window-over-corpus). Same rows: the CTE
+    # bodies are unchanged, just pre-evaluated.
+    nxt_ev = ev.selectExpr(
+        "user_id",
+        "event_id",
+        "lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS next_id",
+        f"""coalesce(unix_micros(CAST(lead(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)
+             AS TIMESTAMP))
+             - unix_micros(CAST(ts AS TIMESTAMP))
+             <= {SESSION_GAP_US}, false) AS linked""",
+    ).localCheckpoint(eager=False)
+    edges = nxt_ev.filter("linked").select("event_id", "next_id")
+    roots = (
+        nxt_ev.alias("n")
+        .join(
+            edges.select(F.col("next_id").alias("e_next")).alias("e"),
+            F.col("n.event_id") == F.col("e.e_next"),
+            "left",
+        )
+        .filter(F.col("e.e_next").isNull())
+        .select("user_id", "event_id")
+    )
+    edges.localCheckpoint(eager=False).createOrReplaceTempView("__chain_edges")
+    roots.localCheckpoint(eager=False).createOrReplaceTempView("__chain_roots")
     return spark.sql(
-        f"""
-        WITH RECURSIVE nxt AS (
-          SELECT user_id, event_id,
-                 lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     AS next_id,
-                 coalesce(unix_micros(CAST(lead(ts) OVER (
-                              PARTITION BY user_id ORDER BY ts, event_id)
-                          AS TIMESTAMP))
-                          - unix_micros(CAST(ts AS TIMESTAMP))
-                          <= {SESSION_GAP_US}, false) AS linked
-          FROM __chain_events
-        ),
-        edges AS (SELECT event_id, next_id FROM nxt WHERE linked),
-        roots AS (
-          SELECT n.user_id, n.event_id FROM nxt n
-          LEFT JOIN edges e ON n.event_id = e.next_id
-          WHERE e.next_id IS NULL
-        ),
-        walk AS (
+        """
+        WITH RECURSIVE walk AS (
           SELECT user_id, event_id AS root_id, event_id AS cur_id,
                  1 AS chain_len
-          FROM roots
+          FROM __chain_roots
           UNION ALL
           SELECT w.user_id, w.root_id, e.next_id, w.chain_len + 1
-          FROM walk w JOIN edges e ON w.cur_id = e.event_id
+          FROM walk w JOIN __chain_edges e ON w.cur_id = e.event_id
         )
         SELECT user_id, root_id AS session_start_event,
                CAST(max(chain_len) AS BIGINT) AS n_events
@@ -2926,7 +2942,7 @@ def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = e.repartitionByRange(n, F.col("aj"), F.col("event_id")).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning for both passes
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
     # pass 1: per-partition event-time maxima in micros (tiny driver collect)
     subs = sorted(
         (r["__pid"], r["__mx"])

@@ -699,7 +699,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         gp.repartitionByRange(n, F.col("price"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin partitioning across the two passes
+        .localCheckpoint(eager=False)  # pin partitioning across the two passes
     )
     SENT = -(1 << 62)
     subtot = ranged.groupBy("__pid").agg(F.max("m_eq").alias("pm")).collect()

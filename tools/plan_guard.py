@@ -50,7 +50,8 @@ BNLJ_ALLOWED = {
     "sim_search_topk", "sim_search_pq_adc", "hard_negative_topk",
     "ndcg_at_k", "mrr_map_at_k", "ann_recall_report",
     "embedding_cluster_assign",
-    # kmeans_lloyd pruned r6: literal-centroid assign, no BNLJ anymore
+    "kmeans_lloyd",  # K-row centroid broadcast ride-along (re-added r10:
+                     # literal centroids recompiled codegen per iteration)
     # 1-row scalar / stats-row ride-alongs:
     "ab_test_readout", "acf_lags", "benford_check", "bigram_lm_probs",
     "bm25_score", "calibration_bins", "countmin_sketch_report",
@@ -127,6 +128,9 @@ PYTHON_ALLOWED = {
                                 # mergeable-summary design
     "holt_linear_smooth",       # two-state coupled recurrence
                                 # (grouped-map over the day lattice)
+    "dedup_embedding_lsh",      # per-bucket vectorized gram verification
+                                # (applyInPandas; r10 — replaced ~2.5M
+                                # per-pair interpreted dot folds)
 }
 
 
