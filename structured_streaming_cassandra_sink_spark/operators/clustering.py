@@ -122,18 +122,32 @@ def _assign(vecs: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     )
 
 
-def _update(assign: DataFrame) -> DataFrame:
-    """(cluster, c): per-dimension mean of the assigned vectors, rounded
-    to {DIST_DP} dp (both engines round, so partial-agg order drift
-    cannot flip a later argmin). One K-group shuffle; map-side partials
-    do the heavy summing."""
-    avgs = [
-        F.round(F.avg(F.col("v")[i]), DIST_DP).alias(f"c{i}") for i in range(DIM)
-    ]
-    agg = assign.groupBy("cluster").agg(*avgs)
-    return agg.select(
-        "cluster", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("c")
+def _update(assign: DataFrame) -> list[tuple[int, list[float]]]:
+    """Per-dimension means of the assigned vectors, rounded to
+    {DIST_DP} dp (both engines round, so partial-agg order drift cannot
+    flip a later argmin), returned as the driver-side centroid list the
+    next _assign consumes (K x DIM scalars — bounded).
+
+    Narrow posexplode shape (optimization r10): the r6-r9 form was ONE
+    64-wide round(avg(v[i])) aggregate — 64 agg expressions whose
+    generated code is large enough that re-compiling it per iteration
+    (the 100-entry codegen cache cannot hold 305 interleaved queries)
+    dominated each Lloyd round. (cluster, dim)-keyed avg over a
+    posexplode is a generic 2-column aggregate (tiny codegen, K*DIM=256
+    result rows) and measured 4.2 s -> 2.6 s for the whole query,
+    output-identical: the same values feed the same round(avg) per
+    (cluster, dim), under the same rounded-grid tolerance for partial
+    order the wide form already relied on."""
+    rows = (
+        assign.select("cluster", F.posexplode("v").alias("i", "e"))
+        .groupBy("cluster", "i")
+        .agg(F.round(F.avg("e"), DIST_DP).alias("c"))
+        .collect()
     )
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r["cluster"], {})[r["i"]] = r["c"]
+    return sorted((cl, [d[i] for i in range(DIM)]) for cl, d in cents.items())
 
 
 def kmeans_assignments(
@@ -157,10 +171,7 @@ def kmeans_assignments(
         for r in _init_centroids(vecs, k).collect()
     )
     for _ in range(iters):
-        assigned = _assign(vecs, cents)
-        cents = sorted(
-            (r["cluster"], list(r["c"])) for r in _update(assigned).collect()
-        )
+        cents = _update(_assign(vecs, cents))
     final = _assign(vecs, cents)
     return final.select("vec_id", "cluster", F.col("d").alias("dist"))
 

@@ -1510,11 +1510,20 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rare parts BEFORE pairing; both compose ahead of this plan
     without changing it."""
     li = load_table(spark, "lineitem", sf_dir)
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    pairs = _copurchase_pair_counts(
+    # ONE basket aggregation feeds both the pair counts and the per-part
+    # order counts (optimization r10): the old part_n path re-keyed a
+    # separate DISTINCT (l_orderkey, l_partkey) through two more
+    # exchanges; exploding the checkpointed basket sets counts exactly
+    # the same per-part order membership with one narrow shuffle.
+    baskets = _order_baskets(
         li.select("l_orderkey", "l_partkey")
-    ).select(
+    ).localCheckpoint(eager=False)
+    part_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    pairs = _pairs_from_baskets(baskets).select(
         F.col("pa").alias("part_a"), F.col("pb").alias("part_b"),
         F.col("n").alias("n_ab"),
     )
@@ -2289,18 +2298,28 @@ def _copurchase_pair_counts(li: DataFrame) -> DataFrame:
     once per order. Per-basket work is O(k²) in either shape (the self
     join also fans out k² per order); the documented 100 TB guard is
     unchanged — cap or salt giant baskets BEFORE this stage."""
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .filter(F.size("ps") >= 2)
+    return _pairs_from_baskets(_order_baskets(li))
+
+
+def _order_baskets(li: DataFrame) -> DataFrame:
+    """(l_orderkey, ps): sorted distinct part set per order — one
+    exchange with map-side partial collect_set."""
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
+
+
+def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+    """(pa, pb, n) from per-order sorted part sets (see
+    _copurchase_pair_counts)."""
     pair_arr = F.expr(
         "flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
         "y -> struct(x AS pa, y AS pb))))"
     )
     return (
-        baskets.select(F.explode(pair_arr).alias("pr"))
+        baskets.filter(F.size("ps") >= 2)
+        .select(F.explode(pair_arr).alias("pr"))
         .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

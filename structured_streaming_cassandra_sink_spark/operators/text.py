@@ -599,21 +599,32 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
 
     def mg_partial(batches):
-        counters: dict[str, int] = {}
+        # Batched Misra-Gries (optimization r10): exact-count each Arrow
+        # batch with a C-speed Counter, MERGE into the running summary,
+        # and prune with the mergeable-summaries merge step (Agarwal et
+        # al., TODS'13: subtract the (cap+1)-th largest count from all,
+        # drop non-positive) instead of the per-gram decrement-all loop
+        # (~4M interpreted dict operations per partition at sf0.1 — the
+        # whole query's hot spot). The guarantee is unchanged: after any
+        # sequence of merges+prunes every gram's counter undercounts by
+        # at most N_partition/(cap+1), so any gram with partition
+        # frequency > 1/cap survives — the same locally-heavy superset
+        # the row-by-row form keeps, and pass 2's exact counts make the
+        # final output identical for ANY candidate superset.
+        from collections import Counter
+
+        counters: Counter = Counter()
         for pdf in batches:
+            batch: Counter = Counter()
             for text in pdf["text"]:
                 t = text.split(" ")
-                for i in range(len(t) - 2):
-                    g = f"{t[i]} {t[i+1]} {t[i+2]}"
-                    if g in counters:
-                        counters[g] += 1
-                    elif len(counters) < cap:
-                        counters[g] = 1
-                    else:  # decrement-all step
-                        for k in list(counters):
-                            counters[k] -= 1
-                            if not counters[k]:
-                                del counters[k]
+                batch.update(map(" ".join, zip(t, t[1:], t[2:])))
+            counters.update(batch)
+            if len(counters) > cap:
+                sub = sorted(counters.values(), reverse=True)[cap]
+                counters = Counter(
+                    {g: c - sub for g, c in counters.items() if c > sub}
+                )
         yield pd.DataFrame({"gram": list(counters)})
 
     cands = (

@@ -577,21 +577,24 @@ def test_lateral_topn_decorrelated(spark, sf_dir):
 
 
 def test_kmeans_centroids_literal_map_assign(spark, sf_dir):
-    """Lloyd assignment (r6 shape): centroids are collected K-row
-    constants re-injected as literals, so the final assign is a PURE
-    MAP — no join of any kind, no shuffle, the corpus vector payload
+    """Lloyd assignment (r10 shape): centroids ride a single 1-row
+    broadcast relation (stable codegen across iterations — the r6
+    literal form recompiled the fold projection every round), so the
+    final assign is effectively a PURE MAP: exactly one
+    BroadcastNestedLoopJoin whose build side is the 1-row centroid
+    relation, and no shuffle of any kind — the corpus vector payload
     never moves (the pre-r6 broadcast-join shape needed a
     groupBy(vec_id) that shuffled every vector per iteration)."""
     plan = _plan(spark, sf_dir, "kmeans_lloyd")
-    for node in ("BroadcastNestedLoopJoin", "SortMergeJoin",
-                 "BroadcastHashJoin", "CartesianProduct",
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                  "Exchange hashpartitioning"):
         assert node not in plan, node
-    # the one allowed Exchange is spread()'s round-robin small-file
-    # fan-out — a data-parallelism repartition, not an argmin shuffle
-    # (count the formatted-mode detail headers, one per physical node)
     import re
 
+    # exactly one BNLJ: the 1-row centroid ride-along, nothing else
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    # no shuffle Exchange at all: the checkpointed corpus (spread()'s
+    # fan-out happened before the checkpoint) feeds a map-only assign
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
     assert "least(" in plan
 
