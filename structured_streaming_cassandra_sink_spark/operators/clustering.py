@@ -7,14 +7,14 @@ not raw floats. Both are expressed as DataFrame plans, generalizing the
 reference's aggregate surface (cassandra_sink.scala:113-120) to vector
 data:
 
-- **k-means assignment is a broadcast join, never a collect.** The
-  centroid side is K rows; each Lloyd iteration is
-  `corpus x broadcast(centroids) -> argmin -> groupBy(cluster) avg`,
-  i.e. one corpus scan + one K-group shuffle per iteration. At 100 TB
-  the corpus never moves — only K·dim doubles do. The driver loop holds
-  DataFrames, not data (the K-row centroid frame is localCheckpoint'ed
-  per round so iteration N's plan does not replay rounds 1..N-1 —
-  same lineage-flattening trick as dedup.connected_components).
+- **k-means assignment is a 1-row broadcast ride-along, never a corpus
+  shuffle.** The centroid side is K rows; each Lloyd iteration is
+  `corpus x broadcast(centroid row) -> argmin -> (cluster, dim) avg`,
+  i.e. one scan of the once-checkpointed corpus + one narrow shuffle per
+  iteration. At 100 TB the corpus never moves — only K·dim doubles do,
+  collected per round (a bounded driver constant) and re-injected as the
+  next round's broadcast row, which also flattens the per-iteration
+  lineage (the same reason dedup.connected_components checkpoints).
 - **Determinism contract (the oracle depends on it).** Init centroids
   are the K lowest vec_ids (rank order = cluster id); every distance is
   the same sequential zip_with/aggregate fold as vectorfns.dot, ROUNDED
