@@ -466,34 +466,49 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     The per-token hash is md5 (bit-identical across engines, like
     `fingerprint`), with bit j read from hex nibble j//4 — so the whole
     sketch is portable and a DuckDB oracle can replicate it exactly,
-    unlike the xxhash64 family (engine-internal). Plan shape: one
-    explode, 16 nibble extractions per token (each feeds 4 bit tests),
-    then 64 conditional-sum aggregates in a single groupBy — all
-    map-side partial, one shuffle of (doc_id, 64 ints)."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).withColumn(
-        "h", F.md5("tok")
+    unlike the xxhash64 family (engine-internal).
+
+    Spark-side spelling (optimization r11, guide §1.2 per-task work —
+    the oracle keeps the original nibble spelling, results provably
+    identical): the 16 hex nibbles are parsed with TWO conv() calls (8
+    hex chars -> one int64 each, va = nibbles 0-7, vb = nibbles 8-15;
+    conv parses big-endian, so nibble k sits at bit 4*(7-k) of its
+    word), and each sign sum becomes a shiftright-and-mask bit count —
+    b_j = Σ(±1) = 2*Σ bit_j - n_tokens, all exact int64, so the sign
+    test b_j > 0 is spelled 2*s_j > n. The r1-r10 form ran 16
+    instr(substring(hex)) string scans plus 64 CASE/floor-div/modulo
+    sums per token (~64 M interpreted-ish expression evaluations at
+    sf0.1 — the whole query's hot spot, measured 3.3-3.5 s); integer
+    shifts codegen to single instructions. Plan shape is unchanged: one
+    explode, one groupBy with map-side partials, one shuffle of
+    (doc_id, 64 ints)."""
+    h = F.md5("tok")
+    # conv(hex, 16, 10) returns a decimal STRING; 8 hex chars <= 2^32-1
+    # always fits bigint. md5() is CSE'd by codegen across the two refs.
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").alias("va"),
+        F.expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)").alias("vb"),
     )
-    nibs = [
-        F.expr(f"instr('0123456789abcdef', substring(h, {k + 1}, 1)) - 1").alias(f"n{k}")
-        for k in range(bits // 4)
-    ]
-    tok = tok.select("doc_id", *nibs)
-    # CAST(floor(n/2^s) AS INT) % 2, not shiftright: identical spelling
-    # works in DuckDB, keeping sketch bits provably cross-engine.
+    assert bits == 64, "two-word nibble parse is fixed at 64 bits"
+
+    def _bit(j: int) -> str:
+        k, s = j // 4, j % 4
+        word = "va" if k < 8 else "vb"
+        return f"(shiftright({word}, {4 * (7 - (k % 8)) + s}) & 1)"
+
     sums = [
-        F.sum(
-            F.when(
-                F.expr(f"CAST(floor(n{j // 4} / {1 << (j % 4)}) AS INT) % 2") == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
+        F.sum(F.expr(_bit(j))).alias(f"s{j}") for j in range(bits)
+    ] + [F.count(F.lit(1)).alias("nt")]
     agg = tok.groupBy("doc_id").agg(*sums)
     width = bits // SIMHASH_CHUNKS
+    # b_j = 2*s_j - nt; b_j > 0 <=> 2*s_j > nt (exact integers).
     chunk_exprs = [
         F.expr(
             " + ".join(
-                f"(CASE WHEN b{j} > 0 THEN {1 << (j - c * width)} ELSE 0 END)"
+                f"(CASE WHEN 2 * s{j} > nt THEN {1 << (j - c * width)} ELSE 0 END)"
                 for j in range(c * width, (c + 1) * width)
             )
         ).cast("int").alias(f"c{c}")

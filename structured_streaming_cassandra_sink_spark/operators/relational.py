@@ -1504,11 +1504,11 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Σ basket_size² over orders, never |parts|². The top-{BASKET_TOP_PAIRS}
     cut is TakeOrderedAndProject, and only the tiny winner set joins the
     per-part order counts (the winner set broadcasts onto BOTH count
-    probes — part_n is scanned, never shuffled, for either join). At 100 TB the guard is
-    basket-size capping before the self-join (a 10k-item basket
-    contributes 5·10^7 pairs — cap or salt it) plus min-support pruning
-    of rare parts BEFORE pairing; both compose ahead of this plan
-    without changing it."""
+    probes — part_n is scanned, never shuffled, for either join). The
+    giant-basket in-row memory guard is implemented in
+    _pairs_from_baskets (r11: two-level explode above BASKET_PAIR_CAP
+    items); min-support pruning of rare parts BEFORE pairing still
+    composes ahead of this plan without changing it."""
     li = load_table(spark, "lineitem", sf_dir)
     # ONE basket aggregation feeds both the pair counts and the per-part
     # order counts (optimization r10): the old part_n path re-keyed a
@@ -1730,7 +1730,11 @@ def surrogate_key_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = d.select("doc_id", "source").repartitionByRange(
         n, F.col("source"), F.col("doc_id")
     ).withColumn("__pid", F.spark_partition_id())
-    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning across passes
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning: the groupBy('__pid') collect right below MUST
+    # stay the FIRST action and aggregate every partition — eager=False
+    # materializes on first use, and a partial action (limit/sample)
+    # would let pass 2 recompute the nondeterministic repartition with
+    # different partition ids
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
     offsets, acc = {}, 0
     for pid, c in sorted((r["__pid"], r["c"]) for r in counts):
@@ -2296,9 +2300,11 @@ def _copurchase_pair_counts(li: DataFrame) -> DataFrame:
     pair multiset is identical: collect_set dedups exactly like the
     DISTINCT did, and the sorted array emits each pa < pb combination
     once per order. Per-basket work is O(k²) in either shape (the self
-    join also fans out k² per order); the documented 100 TB guard is
-    unchanged — cap or salt giant baskets BEFORE this stage."""
-    return _pairs_from_baskets(_order_baskets(li))
+    join also fans out k² per order); giant baskets now take the
+    two-level explode inside _pairs_from_baskets (r11 — the in-row
+    memory guard the r10 round only documented), so the basket table
+    has two consumer branches and is checkpointed once."""
+    return _pairs_from_baskets(_order_baskets(li).localCheckpoint(eager=False))
 
 
 def _order_baskets(li: DataFrame) -> DataFrame:
@@ -2309,7 +2315,18 @@ def _order_baskets(li: DataFrame) -> DataFrame:
     )
 
 
-def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+# Giant-basket guard (optimization r11, guide §5/§2.5): the one-shot
+# flatten builds all k(k-1)/2 pair structs inside ONE array value before
+# exploding — fine for TPC-H baskets (<= 7 parts) but a k=10^4 basket
+# would materialize ~5*10^7 structs in a single row. Baskets above the
+# cap take a two-level explode instead (anchor positions first, then the
+# per-anchor suffix), whose largest in-flight value is the O(k) basket
+# array itself; the emitted pair multiset is identical, so the guard is
+# output-invariant at ANY cap (pinned by tests/test_relational.py).
+BASKET_PAIR_CAP = 1024
+
+
+def _pairs_from_baskets(baskets: DataFrame, cap: int = BASKET_PAIR_CAP) -> DataFrame:
     """(pa, pb, n) from per-order sorted part sets (see
     _copurchase_pair_counts)."""
     pair_arr = F.expr(
@@ -2317,11 +2334,21 @@ def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
         "transform(slice(ps, i + 2, size(ps) - i - 1), "
         "y -> struct(x AS pa, y AS pb))))"
     )
-    return (
-        baskets.filter(F.size("ps") >= 2)
+    small = (
+        baskets.filter((F.size("ps") >= 2) & (F.size("ps") <= cap))
         .select(F.explode(pair_arr).alias("pr"))
-        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+    )
+    big = (
+        baskets.filter(F.size("ps") > cap)
+        .select("ps", F.explode(F.expr("sequence(1, size(ps) - 1)")).alias("i"))
+        .select(
+            F.expr("ps[i-1]").alias("pa"),
+            F.explode(F.expr("slice(ps, i + 1, size(ps) - i)")).alias("pb"),
+        )
+    )
+    return small.unionAll(big).groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 

@@ -1457,6 +1457,15 @@ def pca_variance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(hilo_sum_sql("eq * eq")).alias("s2"),
         )
         .select(F.expr(_PV_VPQ).alias("vpq"))
+        # 64 rows, TWO consumers (the trace-band collect below and the
+        # returned total_var aggregate): without materialization each
+        # consumer re-runs the whole corpus-sized posexplode + quantized
+        # moment aggregation — the query's dominant cost, measured as the
+        # slowest query of the r11 baseline bench (4.3 s, two identical
+        # ~1.6 s explode-agg jobs in the profile). One localCheckpoint
+        # halves that; the vpq values are bit-identical either way
+        # (optimization r11, guide §1.2 multi-consumer materialization).
+        .localCheckpoint(eager=False)
     )
     # 1-row bounded collect (report pattern): the UN-gridded exact total
     # for the trace band (the hashed column re-derives the 4dp-gridded

@@ -417,8 +417,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, "documents", sf_dir))
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are unique (doc_id, term) pairs, so df = count(DISTINCT
+    # doc_id) per term over the token stream IS count(*) per term over
+    # tf — identical integers. Deriving df from tf (optimization r11,
+    # guide §1.2) drops the second tokenize+explode pass over the corpus
+    # AND the two-phase distinct aggregation; tf is materialized once
+    # because it now feeds both the df re-agg and the scoring join.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_tbl, "term")
@@ -614,17 +624,27 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         from collections import Counter
 
         counters: Counter = Counter()
+
+        def prune(c: Counter) -> Counter:
+            sub = sorted(c.values(), reverse=True)[cap]
+            return Counter({g: n - sub for g, n in c.items() if n > sub})
+
+        # Transient bound (r11, advisor note): the merged counter is
+        # pruned as soon as it exceeds 2*cap — INSIDE the document loop,
+        # not only per Arrow batch — so peak memory is O(cap) plus one
+        # document's grams, never O(distinct grams per batch). The prune
+        # schedule doesn't affect the guarantee: every prune subtracts
+        # the (cap+1)-th largest count s from all survivors while >= cap+1
+        # counters hold >= s, so Σ s <= N_partition/(cap+1) regardless of
+        # when prunes fire — the same locally-heavy superset survives.
         for pdf in batches:
-            batch: Counter = Counter()
             for text in pdf["text"]:
                 t = text.split(" ")
-                batch.update(map(" ".join, zip(t, t[1:], t[2:])))
-            counters.update(batch)
-            if len(counters) > cap:
-                sub = sorted(counters.values(), reverse=True)[cap]
-                counters = Counter(
-                    {g: c - sub for g, c in counters.items() if c > sub}
-                )
+                counters.update(map(" ".join, zip(t, t[1:], t[2:])))
+                if len(counters) > 2 * cap:
+                    counters = prune(counters)
+        if len(counters) > cap:
+            counters = prune(counters)
         yield pd.DataFrame({"gram": list(counters)})
 
     cands = (
@@ -687,16 +707,32 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score with doc_id tie-break (engine-portable cut, no global
     sort, no single-partition window)."""
     d = spread(load_table(spark, "documents", sf_dir))
-    base = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    # ONE tokenize pass over a narrow materialized per-doc row
+    # (optimization r11, guide §1.2): the r1-r10 shape ran the corpus
+    # scan+tokenize twice (stats consumer + token consumer) and the
+    # exploded q stream twice more (tf + df). Now: explode(array(tokens))
+    # binds the token array ONCE per row as a Generate output attribute
+    # (sibling projections of an inline array re-evaluate it per
+    # reference on Spark 4.1 — the shingle-pipeline gotcha — but
+    # attribute reads don't), the per-doc row keeps only (doc_id, dl,
+    # query-term hits) — a few bytes per document — and is checkpointed
+    # for its two consumers. df derives from tf (tf rows are unique per
+    # (doc_id, term), so count(*) per term == count(DISTINCT doc_id) —
+    # identical integers).
+    bound = d.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
     )
-    tok = base.select(
-        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+    perdoc = bound.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.filter("t", lambda x: x.isin(BM25_QUERY)).alias("qt"),
+    ).localCheckpoint(eager=False)
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    q = tok.filter(F.col("term").isin(BM25_QUERY))
+    q = perdoc.select("doc_id", "dl", F.explode("qt").alias("term"))
     tf = q.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     score = (
         idf
@@ -762,22 +798,32 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so the double math agrees before rounding."""
     d = spread(load_table(spark, "documents", sf_dir))
     base = d.select(tokens(F.col("text")).alias("tk")).filter(F.size("tk") >= 2)
-    tot = base.agg(
-        F.sum(F.size("tk")).cast("bigint").alias("tu"),
-        F.sum(F.size("tk") - 1).cast("bigint").alias("tb"),
-    )
-    cu = (
-        base.select(F.explode("tk").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_w"))
-    )
-    ex = base.select("tk", F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"))
-    cb = (
+    # ONE corpus pass (optimization r11, guide §1.2/§2.3): the r1-r10
+    # shape ran the tokenize pipeline THREE times (corpus totals, unigram
+    # counts, bigram counts). Every statistic derives from one exploded
+    # stream of (token, successor-or-NULL) pairs — each token occupies
+    # exactly one position, so its successor-padded pair count is its
+    # unigram count: c_w(x) = Σ_y c(x, y incl NULL), tu = Σ c, tb = Σ
+    # non-NULL c. The (x, y) count table is vocabulary²-bounded and
+    # checkpointed once for its three tiny re-aggregations — identical
+    # integers everywhere, so the pmi doubles are bit-identical.
+    ex = base.select("tk", F.explode(F.expr("sequence(1, size(tk))")).alias("i"))
+    cbx = (
         ex.select(
-            F.expr("tk[i-1]").alias("x"), F.expr("tk[i]").alias("y")
+            F.expr("tk[i-1]").alias("x"),
+            F.expr("IF(i < size(tk), tk[i], NULL)").alias("y"),
         )
         .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cbx.agg(
+        F.sum("c").cast("bigint").alias("tu"),
+        F.sum(F.when(F.col("y").isNotNull(), F.col("c"))).cast("bigint").alias("tb"),
+    )
+    cu = cbx.groupBy("x").agg(F.sum("c").alias("c_w")).withColumnRenamed("x", "w")
+    cb = cbx.filter(F.col("y").isNotNull()).select(
+        "x", "y", F.col("c").alias("c_xy")
     )
     cx = cu.select(F.col("w").alias("x"), F.col("c_w").alias("cx_c"))
     cy = cu.select(F.col("w").alias("y"), F.col("c_w").alias("cy_c"))
@@ -871,6 +917,13 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = base.select(
         "doc_id", "tk", F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i")
     )
+    # Examined r11, kept the two-consumer shape: sharing the bigram
+    # stream through ONE explicit repartition("x","y") exchange (reused
+    # by the groupBy and the scoring join) measured 0.75-0.81x in the
+    # interleaved A/B — the count model's groupBy normally ships only
+    # map-side partials (distinct (x,y) per task), so the "shared"
+    # exchange upgraded a small shuffle to a full-stream shuffle; the
+    # duplicated tokenize+explode is cheaper than that.
     db = ex.select(
         "doc_id", F.expr("tk[i-1]").alias("x"), F.expr("tk[i]").alias("y")
     )
@@ -1412,10 +1465,14 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
     from .dedup import shingle_rows
 
-    # Materialize the shingle rows once (r10): they feed the first-
-    # occurrence index AND the join back, and the zero-shuffle
-    # shingle_rows no longer leaves a reusable exchange.
-    sh = shingle_rows(docs, 3).localCheckpoint(eager=False)
+    # No checkpoint (r11 revert of the r10 one): shingle_rows kept its
+    # explode + DISTINCT shape, so its distinct Exchange IS a reusable
+    # subtree across the two consumers — the r10 checkpoint only added a
+    # materialization job on top. Settled by the interleaved in-session
+    # A/B (5 samples each way: checkpointed 0.98x of this shape by both
+    # min and median), the same instrument that kept the other four
+    # disputed r10 rewrites.
+    sh = shingle_rows(docs, 3)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
@@ -1584,10 +1641,15 @@ def collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, "documents", sf_dir))
     base = d.select(tokens(F.col("text")).alias("tk")).filter(F.size("tk") >= 2)
     ex = base.select("tk", F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"))
+    # cb feeds FOUR consumers (both marginals, the grand total, and the
+    # scored join): materialize the vocabulary²-bounded count table once
+    # (optimization r11, guide §1.2) instead of re-running the corpus
+    # explode+count per consumer.
     cb = (
         ex.select(F.expr("tk[i-1]").alias("x"), F.expr("tk[i]").alias("y"))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)
     )
     mx = cb.groupBy("x").agg(F.sum("c_xy").alias("rx"))
     my = cb.groupBy("y").agg(F.sum("c_xy").alias("cy"))
@@ -1762,6 +1824,11 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (cassandra_sink.scala:107-111) to corpus-growth law
     estimation."""
     d = spread(load_table(spark, "documents", sf_dir))
+    # Examined r11, kept the two-pass shape: deriving both aggregates
+    # from one checkpointed (source, bucket, word) count table measured
+    # 0.89-0.91x in the interleaved A/B — the (source, bucket, word)
+    # shuffle is strictly wider than the (source, word) one, and the
+    # whitespace split it saves is cheap.
     toks = d.select(
         "source",
         F.expr(f"doc_id div {HEAPS_BUCKET}").alias("bucket"),

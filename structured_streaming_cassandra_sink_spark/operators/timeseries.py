@@ -231,7 +231,11 @@ def running_total(
     ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning: the groupBy('__pid') collect right below MUST
+    # stay the FIRST action and aggregate every partition — eager=False
+    # materializes on first use, and a partial action (limit/sample)
+    # would let pass 2 recompute the nondeterministic repartition with
+    # different partition ids
     subtotals = (
         ranged.groupBy("__pid").agg(F.sum(value_col).alias("__psum")).collect()
     )
@@ -2942,7 +2946,11 @@ def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = e.repartitionByRange(n, F.col("aj"), F.col("event_id")).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning for both passes
+    ranged = ranged.localCheckpoint(eager=False)  # pin partitioning: the groupBy('__pid') collect right below MUST
+    # stay the FIRST action and aggregate every partition — eager=False
+    # materializes on first use, and a partial action (limit/sample)
+    # would let pass 2 recompute the nondeterministic repartition with
+    # different partition ids
     # pass 1: per-partition event-time maxima in micros (tiny driver collect)
     subs = sorted(
         (r["__pid"], r["__mx"])

@@ -699,7 +699,12 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         gp.repartitionByRange(n, F.col("price"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin partitioning across the two passes
+        .localCheckpoint(eager=False)
+        # pin partitioning: the groupBy('__pid') collect right below MUST
+        # stay the FIRST action and aggregate every partition — eager=False
+        # materializes on first use, and a partial action (limit/sample)
+        # would let pass 2 recompute the nondeterministic repartition with
+        # different partition ids
     )
     SENT = -(1 << 62)
     subtot = ranged.groupBy("__pid").agg(F.max("m_eq").alias("pm")).collect()

@@ -94,7 +94,7 @@ def main() -> int:
         t_exec = time.perf_counter() - t1
         jobs1 = _rest(ui, app_id, "jobs")
         new_jobs = [j for j in jobs1 if j["jobId"] not in {x["jobId"] for x in jobs0}]
-        n_stages = sum(j.get("numTasks", 0) > 0 and len(j.get("stageIds", [])) or len(j.get("stageIds", [])) for j in new_jobs)
+        n_stages = sum(len(j.get("stageIds", [])) for j in new_jobs)
         n_tasks = sum(j.get("numTasks", 0) for j in new_jobs)
         rec = {
             "query": name,
