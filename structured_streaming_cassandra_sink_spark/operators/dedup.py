@@ -1666,7 +1666,12 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deletion-neighborhood block is no longer lossless
     assert FS_W["name"][1] + FS_W["bal"][0] + FS_W["band"][0] < 0.0
 
-    b = load_table(spark, "customer", sf_dir).select(
+    # spread(): the customer parquet is a single row group, so without a
+    # fan-out BOTH sides of the variant self-join run their 16-way
+    # explode + hash partials on ONE task each (profiled r11: 9 tasks
+    # total for the whole query) — the same single-row-group trap as
+    # knn/winsorize in r10 (guide §6 scan parallelism).
+    b = spread(load_table(spark, "customer", sf_dir)).select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",

@@ -2103,11 +2103,16 @@ def naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing. log_p is quantized at 1e-9 so the scorer's sums run over
     identical doubles cross-engine (the pagerank discipline)."""
     d = load_table(spark, "documents", sf_dir)
+    # wc feeds FOUR consumers (vocab distinct, the vocab.count() driver
+    # action, per-lang totals, and the grid's left join) — without
+    # materialization each re-runs the corpus explode+count (optimization
+    # r11, guide §1.2). The table is |langs|×|vocab|-bounded, tiny.
     wc = (
         d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     vocab = wc.select("w").distinct()
     v = vocab.count()  # bounded driver scalar: vocab size (one int)

@@ -2072,9 +2072,16 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("h").alias("s"))
             .localCheckpoint(eager=False)
         )
-        an = a_raw.agg(F.max("s").alias("m"))
-        auth = a_raw.crossJoin(F.broadcast(an)).select(
-            "p", F.round(F.col("s") / F.col("m"), 9).alias("a")
+        # normalizer as a driver-collected LITERAL (optimization r11):
+        # the crossJoin(broadcast(1-row max)) form needed a job per
+        # half-iteration anyway (the broadcast build materializes the
+        # checkpoint), but left a BroadcastExchange + BNLJ pair in every
+        # half-iteration's lineage. first() is the same single job and
+        # the same double (py4j round-trips binary64 exactly; round(s/m)
+        # over identical doubles), with a plain Project on top.
+        m_a = a_raw.agg(F.max("s")).first()[0]
+        auth = a_raw.select(
+            "p", F.round(F.col("s") / F.lit(m_a), 9).alias("a")
         )
         h_raw = (
             cp.join(auth, "p")
@@ -2082,9 +2089,9 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("a").alias("s"))
             .localCheckpoint(eager=False)
         )
-        hn = h_raw.agg(F.max("s").alias("m"))
-        hub = h_raw.crossJoin(F.broadcast(hn)).select(
-            "c", F.round(F.col("s") / F.col("m"), 9).alias("h")
+        m_h = h_raw.agg(F.max("s")).first()[0]
+        hub = h_raw.select(
+            "c", F.round(F.col("s") / F.lit(m_h), 9).alias("h")
         )
     hubs = hub.select(
         F.lit("hub").alias("kind"),
@@ -2300,11 +2307,11 @@ def _copurchase_pair_counts(li: DataFrame) -> DataFrame:
     pair multiset is identical: collect_set dedups exactly like the
     DISTINCT did, and the sorted array emits each pa < pb combination
     once per order. Per-basket work is O(k²) in either shape (the self
-    join also fans out k² per order); giant baskets now take the
-    two-level explode inside _pairs_from_baskets (r11 — the in-row
-    memory guard the r10 round only documented), so the basket table
-    has two consumer branches and is checkpointed once."""
-    return _pairs_from_baskets(_order_baskets(li).localCheckpoint(eager=False))
+    join also fans out k² per order); the pair expansion is the
+    two-level explode in _pairs_from_baskets (r11), whose in-flight
+    values are O(k) — the in-row memory guard the r10 one-shot flatten
+    only documented."""
+    return _pairs_from_baskets(_order_baskets(li))
 
 
 def _order_baskets(li: DataFrame) -> DataFrame:
@@ -2315,40 +2322,29 @@ def _order_baskets(li: DataFrame) -> DataFrame:
     )
 
 
-# Giant-basket guard (optimization r11, guide §5/§2.5): the one-shot
-# flatten builds all k(k-1)/2 pair structs inside ONE array value before
-# exploding — fine for TPC-H baskets (<= 7 parts) but a k=10^4 basket
-# would materialize ~5*10^7 structs in a single row. Baskets above the
-# cap take a two-level explode instead (anchor positions first, then the
-# per-anchor suffix), whose largest in-flight value is the O(k) basket
-# array itself; the emitted pair multiset is identical, so the guard is
-# output-invariant at ANY cap (pinned by tests/test_relational.py).
-BASKET_PAIR_CAP = 1024
-
-
-def _pairs_from_baskets(baskets: DataFrame, cap: int = BASKET_PAIR_CAP) -> DataFrame:
+def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
     """(pa, pb, n) from per-order sorted part sets (see
-    _copurchase_pair_counts)."""
-    pair_arr = F.expr(
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps) - i - 1), "
-        "y -> struct(x AS pa, y AS pb))))"
-    )
-    small = (
-        baskets.filter((F.size("ps") >= 2) & (F.size("ps") <= cap))
-        .select(F.explode(pair_arr).alias("pr"))
-        .select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
-    )
-    big = (
-        baskets.filter(F.size("ps") > cap)
+    _copurchase_pair_counts).
+
+    Giant-basket guard (optimization r11, guide §5/§2.5): anchor-position
+    explode first, then a per-anchor suffix explode. Total element copies
+    stay O(k²/2) per basket — identical to the r10 one-shot
+    flatten(transform(...)) — but the largest single VALUE ever built is
+    the O(k) basket array itself, never the k(k-1)/2-struct pair array
+    the one-shot form materialized inside one row (a 10^4-item basket =
+    ~5·10^7 structs ≈ GBs in one row buffer; r10 only documented this
+    guard). Pair multiset is provably identical: anchor i pairs with
+    exactly the elements after it, once each. Pinned by the mixed-size +
+    10k-basket test in tests/test_operators.py."""
+    return (
+        baskets.filter(F.size("ps") >= 2)
         .select("ps", F.explode(F.expr("sequence(1, size(ps) - 1)")).alias("i"))
         .select(
             F.expr("ps[i-1]").alias("pa"),
             F.explode(F.expr("slice(ps, i + 1, size(ps) - i)")).alias("pb"),
         )
-    )
-    return small.unionAll(big).groupBy("pa", "pb").agg(
-        F.count(F.lit(1)).alias("n")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

@@ -2092,14 +2092,26 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir)).filter(F.col("doc_id") >= 1)
     emb = load_table(spark, "embeddings", sf_dir)
 
-    base = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
+    # Same one-pass restructure as bm25_score (optimization r11, guide
+    # §1.2 — see text.py for the full argument): the token array binds
+    # once via explode(array(...)), the narrow (doc_id, dl, query-hits)
+    # row is checkpointed for its two consumers, and df derives from tf
+    # (identical integers). Scoring math untouched, kept in sync with
+    # bm25_score per the docstring contract.
+    bound = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
     )
-    tok = base.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
-    qt = tok.filter(F.col("term").isin(BM25_QUERY))
+    perdoc = bound.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.filter("t", lambda x: x.isin(BM25_QUERY)).alias("qt"),
+    ).localCheckpoint(eager=False)
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qt = perdoc.select("doc_id", "dl", F.explode("qt").alias("term"))
     tf = qt.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     score = (
         idf

@@ -2676,13 +2676,12 @@ def test_column_corr_pure_ieee_replay(spark, sf_dir):
 
 
 def test_pairs_from_baskets_giant_basket_guard(spark):
-    """The r11 giant-basket guard: baskets above BASKET_PAIR_CAP take a
-    two-level explode whose largest in-flight value is the O(k) basket
-    array (never the one-shot k(k-1)/2-struct pair array), and the pair
-    multiset is identical at ANY cap — both paths are exercised against
-    each other on mixed basket sizes, and a synthetic 10k-item basket
-    (~5*10^7 pairs as one array value in the unguarded form) completes
-    through the guarded plan."""
+    """The r11 giant-basket guard: pair expansion is a two-level explode
+    whose largest in-flight value is the O(k) basket array (never the
+    one-shot k(k-1)/2-struct pair array) — the pair multiset must match
+    the combinatorial ground truth on mixed basket sizes, and a
+    synthetic 10k-item basket (~5*10^7 pairs as ONE array value in the
+    unguarded form) must complete through the guarded plan."""
     import pyspark.sql.functions as F
 
     from structured_streaming_cassandra_sink_spark.operators.relational import (
@@ -2690,22 +2689,17 @@ def test_pairs_from_baskets_giant_basket_guard(spark):
         _pairs_from_baskets,
     )
 
-    # mixed sizes straddling a tiny cap: identical output either path
     rows = [(o, p) for o, ps in enumerate([[1, 2], [3, 4, 5, 6, 7], [8], [1, 3, 5, 7, 9, 11]])
             for p in ps]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    baskets = _order_baskets(li).localCheckpoint(eager=False)
-    one_shot = {(r.pa, r.pb, r.n)
-                for r in _pairs_from_baskets(baskets, cap=10**9).collect()}
-    guarded = {(r.pa, r.pb, r.n)
-               for r in _pairs_from_baskets(baskets, cap=3).collect()}
-    assert one_shot == guarded and one_shot
+    got = {(r.pa, r.pb, r.n)
+           for r in _pairs_from_baskets(_order_baskets(li)).collect()}
     import itertools
     expect = {}
     for ps in ([1, 2], [3, 4, 5, 6, 7], [1, 3, 5, 7, 9, 11]):
         for a, b in itertools.combinations(sorted(ps), 2):
             expect[(a, b)] = expect.get((a, b), 0) + 1
-    assert one_shot == {(a, b, n) for (a, b), n in expect.items()}
+    assert got == {(a, b, n) for (a, b), n in expect.items()}
 
     # 10k-item basket: must flow through the two-level branch without
     # building the quadratic array; spot-check totals, not 5*10^7 rows
