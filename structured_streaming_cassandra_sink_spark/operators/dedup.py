@@ -411,8 +411,20 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    # buckets feeds BOTH sides of the banding self-join, and the join
+    # plans as a BroadcastHashJoin (bucket rows are tiny), so there is no
+    # shuffle exchange for Spark to reuse — without materialization the
+    # whole shingle->32-hash-min signature pipeline runs TWICE (verified
+    # in the committed r10 plan: two parquet scans + two Generate +
+    # paired signature aggregates). One checkpoint of the (doc, band,
+    # bh) rows — 3 small ints per doc per band — halves the signature
+    # work (optimization r11, guide §1.2).
+    buckets = (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+        )
+        .localCheckpoint(eager=False)
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (

@@ -70,9 +70,8 @@ BNLJ_ALLOWED = {
     "naive_bayes_score",     # model + prior broadcasts (vocab x langs)
     "feature_info_gain",     # min/max row + per-feature totals ride-along
     "rfm_segmentation",      # ref-date row + 12-scalar boundary row
-    # max-normalizer 1-row ride-alongs, 2 per HITS iteration (lineage
-    # re-expands them in the formatted plan — count is cosmetic):
-    "graph_hits_bipartite",
+    # (graph_hits_bipartite PRUNED r11: its max-normalizer is now a
+    # driver-collected literal, so no BNLJ remains in the plan)
     # bin-lattice x interval-lattice products (<=10^3 tuples by design):
     "isotonic_calibration",
     "survival_c_index",      # (t,score)-lattice x lattice inequality product (<=10^4 cells)
